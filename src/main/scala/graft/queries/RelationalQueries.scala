@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.5) expressed over the
+  * driver's synthetic tables. Every query is paired with a DuckDB oracle.
+  *
+  * Conventions for scale + determinism:
+  *  - row-level operators return a top-N by a stable key (Spark plans this
+  *    as TakeOrderedAndProject — no full sort/shuffle) plus a broadcast
+  *    total row count, so full-table semantics are still checked;
+  *  - double aggregates go through Det.dsum (exact decimal summation) so
+  *    results are bit-identical across engines;
+  *  - every result carries an unambiguous ORDER BY.
+  */
+object RelationalQueries {
+
+  /** Top-N by stable key plus full-cardinality audit column (A11-style
+    * count audit, SURVEY §2.5 A11 / Preprocessor.py:13-21). The count is
+    * broadcast-joined so no data moves to one partition.
+    */
+  private def topNWithTotal(df: DataFrame, n: Int, key: Column*): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total_rows"))
+    df.orderBy(key: _*).limit(n).crossJoin(broadcast(total))
+  }
+  private def sqlTopNWithTotal(base: String, proj: String, order: String, n: Int): String =
+    s"""WITH base AS ($base),
+       |top_n AS (SELECT * FROM base ORDER BY $order LIMIT $n)
+       |SELECT $proj, t.total_rows
+       |FROM top_n CROSS JOIN (SELECT COUNT(*) AS total_rows FROM base) t
+       |ORDER BY $order""".stripMargin
+
+  // ---------------------------------------------------------------- flagship
+  /** Flagship pricing-summary aggregation: P4 arithmetic derive + A1-style
+    * grouped agg (ref: Preprocessor.py:153, plotting.py:50-67).
+    */
+  val q01PricingSummary: GraftQuery = GraftQuery(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy($c("l_returnflag"), $c("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def $c(name: String): Column = col(name)
+
+  // ------------------------------------------------------------- projections
+  /** P1 — derived filename `{id}_{code}.jpg` (ref: Preprocessor.py:138). */
+  val p01DeriveImage: GraftQuery = GraftQuery(
+    "p01_derive_image",
+    sqlTopNWithTotal(
+      "SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) || '_' || o_orderstatus || '.jpg' AS image FROM orders",
+      "o_orderkey, image", "o_orderkey", 1000)) { (spark, dir) =>
+    val df = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        concat(col("o_orderkey").cast("string"), lit("_"), col("o_orderstatus"), lit(".jpg")).as("image"))
+    topNWithTotal(df, 1000, col("o_orderkey"))
+  }
+
+  /** P3 — date-part derivations year/month/day (ref: Preprocessor.py:149-151). */
+  val p03DateParts: GraftQuery = GraftQuery(
+    "p03_date_parts",
+    """SELECT CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month,
+      |       CAST(day(o_orderdate) AS INT) AS day, COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"),
+        dayofmonth(col("o_orderdate")).as("day"))
+      .groupBy("year", "month", "day").agg(count(lit(1)).as("n"))
+      .orderBy("year", "month", "day")
+  }
+
+  /** P4 + P6 — arithmetic derive (likes+comments analog) and constant column
+    * (ref: Preprocessor.py:153,110).
+    */
+  val p04ArithDerive: GraftQuery = GraftQuery(
+    "p04_arith_derive",
+    sqlTopNWithTotal(
+      """SELECT event_id, CAST(value + CAST(user_id AS DOUBLE) AS DOUBLE) AS interactions, TRUE AS scrape_image
+        |FROM events""".stripMargin,
+      "event_id, interactions, scrape_image", "event_id", 1000)) { (spark, dir) =>
+    val df = Tables.events(spark, dir).select(
+      col("event_id"),
+      (col("value") + col("user_id").cast("double")).as("interactions"),
+      lit(true).as("scrape_image"))
+    topNWithTotal(df, 1000, col("event_id"))
+  }
+
+  /** P9 — equality filter (ref: Preprocessor.py:169-170). */
+  val p09EqFilter: GraftQuery = GraftQuery(
+    "p09_eq_filter",
+    sqlTopNWithTotal(
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+      "event_id, user_id, value", "event_id", 1000)) { (spark, dir) =>
+    val df = Tables.events(spark, dir)
+      .filter(col("event_type") === lit("purchase"))
+      .select("event_id", "user_id", "value")
+    topNWithTotal(df, 1000, col("event_id"))
+  }
+
+  /** P10 — half-open year-range filter (ref: Preprocessor.py:172-180). */
+  val p10YearRange: GraftQuery = GraftQuery(
+    "p10_year_range",
+    sqlTopNWithTotal(
+      "SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) >= 1996 AND year(o_orderdate) < 1998",
+      "o_orderkey, o_orderdate", "o_orderkey", 1000)) { (spark, dir) =>
+    val df = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) >= 1996 && year(col("o_orderdate")) < 1998)
+      .select("o_orderkey", "o_orderdate")
+    topNWithTotal(df, 1000, col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------------- dedup
+  /** D1 — dedup keeping first occurrence by a stable order (ref:
+    * Preprocessor.py:161-167; deterministic row_number variant per SURVEY §4).
+    */
+  val d01DedupFirst: GraftQuery = GraftQuery(
+    "d01_dedup_first",
+    """WITH ranked AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_linenumber, l_quantity) AS rn
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_quantity FROM ranked WHERE rn = 1
+      |ORDER BY l_orderkey LIMIT 2000""".stripMargin) { (spark, dir) =>
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+    // tie-break extends over every projected column for a deterministic pick.
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey").limit(2000)
+  }
+
+  /** D6 — ordered frequency list / value_counts (ref: ExploratoryAnalysis.py:88). */
+  val d06FreqList: GraftQuery = GraftQuery(
+    "d06_freq_list",
+    """SELECT event_type, COUNT(*) AS occurrence FROM events
+      |GROUP BY event_type ORDER BY occurrence DESC, event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("occurrence"))
+      .orderBy(desc("occurrence"), asc("event_type"))
+  }
+
+  // ------------------------------------------------------------------- joins
+  /** J1 — inner equi-join to small dimensions, explicitly broadcast (ref:
+    * ImageLabeler.py:169, scene-hierarchy dim join).
+    */
+  val j01DimJoin: GraftQuery = GraftQuery(
+    "j01_dim_join",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("region", "nation")
+  }
+
+  /** J3/P14 — left-anti membership: customers with no orders (ref:
+    * InstagramImageScraper.py:157-160 undone-set anti-join).
+    */
+  val j03AntiJoin: GraftQuery = GraftQuery(
+    "j03_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J4 — left-semi existence join: orders that have lineitems (ref:
+    * InstagramPostScraper.py:350-359 image-exists join).
+    */
+  val j04SemiJoin: GraftQuery = GraftQuery(
+    "j04_semi_join",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem))
+      |SELECT b.o_orderkey, b.o_totalprice, t.total_rows
+      |FROM (SELECT * FROM base ORDER BY o_orderkey LIMIT 1000) b
+      |CROSS JOIN (SELECT COUNT(*) AS total_rows FROM base) t
+      |ORDER BY b.o_orderkey""".stripMargin) { (spark, dir) =>
+    val df = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+    topNWithTotal(df, 1000, col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------------- aggregation
+  /** A1 — time-bucket grouped aggregation at month grain (ref:
+    * plotting.py:50-67, ExploratoryAnalysis.py:83-85).
+    */
+  val a01TimeBucket: GraftQuery = GraftQuery(
+    "a01_time_bucket_month",
+    """SELECT date_trunc('month', o_orderdate) AS bucket, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+      |  (CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("sum_price"),
+        Det.davg(col("o_totalprice")).as("avg_price"))
+      .orderBy("bucket")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, p01DeriveImage, p03DateParts, p04ArithDerive,
+    p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
+    j01DimJoin, j03AntiJoin, j04SemiJoin, a01TimeBucket)
+}
