@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window operator inventory (SURVEY.md §2.5–§2.6) over the
+  * driver's synthetic tables: time-bucket pivots, relative-to-group
+  * normalization, profiling, histograms, correlation, describe(), and the
+  * window idioms the reference's pandas code implies.
+  *
+  * Scale notes (100 TB):
+  *  - pivots use an explicit category list (no extra distinct job);
+  *  - profile counts would move to `approx_count_distinct` (exact here for
+  *    oracle parity — flagged per SURVEY §2.5);
+  *  - describe() exact quantiles are per-metric single-partition sorts;
+  *    production path is `percentile_approx`, the oracle needs exactness;
+  *  - correlation is one map-side-combinable pass of decimal sums (no
+  *    per-pair shuffles).
+  */
+object AnalyticsQueries {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** A2 — two-key group (time × category) pivoted to a time×category matrix,
+    * missing cells zero-filled (ref: plotting.py:224-232,291-307).
+    */
+  val a02Pivot: GraftQuery = GraftQuery(
+    "a02_pivot_month_type",
+    s"""SELECT date_trunc('month', ts) AS bucket,
+       |${eventTypes.map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("bucket"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("bucket") +: eventTypes.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("bucket")
+  }
+
+  /** A3 — relative-to-group normalization: per event type's share of each
+    * month's total value (ref: plotting.py:238-241,315-316). Decimal sums
+    * stay exact through the window; only the final division is double.
+    */
+  val a03RelShare: GraftQuery = GraftQuery(
+    "a03_rel_share",
+    """WITH agg AS (
+      |  SELECT date_trunc('month', ts) AS bucket, event_type,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bucket, event_type,
+      |  CAST(sv AS DOUBLE) AS sum_value,
+      |  (CAST(sv AS DOUBLE) / CAST(SUM(sv) OVER (PARTITION BY bucket) AS DOUBLE)) AS share
+      |FROM agg ORDER BY bucket, event_type""".stripMargin) { (spark, dir) =>
+    val agg = Tables.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("bucket"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("sv"))
+    agg
+      .select(
+        col("bucket"), col("event_type"),
+        col("sv").cast("double").as("sum_value"),
+        (col("sv").cast("double") /
+          sum(col("sv")).over(Window.partitionBy(col("bucket"))).cast("double")).as("share"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** A5 — describe(): count/mean/std/min/quartiles/max per numeric metric
+    * (ref: ExploratoryAnalysis.py:31). Quantiles are nearest-rank (type-1)
+    * for cross-engine exactness; std is sample std (ddof=1) rebuilt from
+    * exact decimal sums so the double arithmetic is order-independent.
+    */
+  val a05Describe: GraftQuery = GraftQuery(
+    "a05_describe", {
+      val sd = "CAST(sx AS DOUBLE)"
+      val sdd = "CAST(sxx AS DOUBLE)"
+      s"""WITH long AS (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem),
+         |ranked AS (
+         |  SELECT metric, value,
+         |         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         |         COUNT(*) OVER (PARTITION BY metric) AS n
+         |  FROM long),
+         |q AS (
+         |  SELECT metric,
+         |    MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q1,
+         |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median,
+         |    MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q3
+         |  FROM ranked GROUP BY metric),
+         |m AS (
+         |  SELECT metric, COUNT(*) AS cnt,
+         |         SUM(CAST(value AS DECIMAL(38,8))) AS sx,
+         |         SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx,
+         |         MIN(value) AS min_v, MAX(value) AS max_v
+         |  FROM long GROUP BY metric)
+         |SELECT m.metric, cnt, ($sd / cnt) AS mean,
+         |  sqrt((cnt * $sdd - $sd * $sd) / (CAST(cnt AS DOUBLE) * (cnt - 1))) AS std,
+         |  min_v, q1, median, q3, max_v
+         |FROM m JOIN q ON m.metric = q.metric ORDER BY m.metric""".stripMargin
+    }) { (spark, dir) =>
+    val long = Tables.lineitem(spark, dir).select(explode(array(
+      struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
+      struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
+    )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val w = Window.partitionBy("metric").orderBy("value")
+    val ranked = long
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("metric")))
+    val q = ranked.groupBy("metric").agg(
+      max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"), col("value"))).as("q1"),
+      max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("value"))).as("median"),
+      max(when(col("rn") === ceil(lit(0.75) * col("n")).cast("long"), col("value"))).as("q3"))
+    val sd = col("sx").cast("double")
+    val sdd = col("sxx").cast("double")
+    val m = long.groupBy("metric").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(38,8)")).as("sx"),
+      sum((col("value") * col("value")).cast("decimal(38,8)")).as("sxx"),
+      min("value").as("min_v"), max("value").as("max_v"))
+    m.join(q, "metric")
+      .select(col("metric"), col("cnt"), (sd / col("cnt")).as("mean"),
+        sqrt((col("cnt") * sdd - sd * sd) / (col("cnt").cast("double") * (col("cnt") - 1))).as("std"),
+        col("min_v"), col("q1"), col("median"), col("q3"), col("max_v"))
+      .orderBy("metric")
+  }
+
+  /** A6 — per-column profile: non-null / null / distinct counts (ref:
+    * ExploratoryAnalysis.py:34-44). Exact distinct for the oracle; the
+    * 100 TB path is approx_count_distinct.
+    */
+  val a06Profile: GraftQuery = GraftQuery(
+    "a06_profile", {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS non_null,
+           |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    cols.map { c =>
+      ev.agg(
+        count(col(c)).as("non_null"),
+        (count(lit(1)) - count(col(c))).as("nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("non_null"), col("nulls"), col("n_distinct"))
+    }.reduce(_ unionByName _).orderBy("col_name")
+  }
+
+  /** A7 — fixed-bin histogram (30 bins over data min/max, ref:
+    * ExploratoryAnalysis.py:91-99). Bucket arithmetic is shape-identical
+    * double math in both engines.
+    */
+  val a07Histogram: GraftQuery = GraftQuery(
+    "a07_histogram",
+    """WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+      |SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / 30)) AS BIGINT), 29) AS bucket,
+      |       COUNT(*) AS n
+      |FROM orders CROSS JOIN s GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val s = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(s))
+      .select(least(
+        floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 30)).cast("long"),
+        lit(29L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** A8 — pairwise Pearson correlation matrix over numeric columns (ref:
+    * plotting.py:14-21, ExploratoryAnalysis.py:101-104). One aggregation
+    * pass of exact decimal sums; r assembled in deterministic double math.
+    * No per-pair shuffles — map-side combinable at any scale.
+    */
+  val a08Correlation: GraftQuery = {
+    val colsN = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- colsN.indices; j <- colsN.indices if i < j } yield (colsN(i), colsN(j))
+    def s(c: String) = s"s_$c"
+    def ss(c: String) = s"ss_$c"
+    def sp(a: String, b: String) = s"sp_${a}_$b"
+    val sumSql =
+      colsN.map(c => s"SUM(CAST($c AS DECIMAL(38,8))) AS ${s(c)}") ++
+        colsN.map(c => s"SUM(CAST($c * $c AS DECIMAL(38,8))) AS ${ss(c)}") ++
+        pairs.map { case (a, b) => s"SUM(CAST($a * $b AS DECIMAL(38,8))) AS ${sp(a, b)}" }
+    def corrSql(a: String, b: String) =
+      s"""(n * CAST(${sp(a, b)} AS DOUBLE) - CAST(${s(a)} AS DOUBLE) * CAST(${s(b)} AS DOUBLE)) /
+         | (sqrt(n * CAST(${ss(a)} AS DOUBLE) - CAST(${s(a)} AS DOUBLE) * CAST(${s(a)} AS DOUBLE)) *
+         |  sqrt(n * CAST(${ss(b)} AS DOUBLE) - CAST(${s(b)} AS DOUBLE) * CAST(${s(b)} AS DOUBLE)))""".stripMargin
+    val oracle =
+      s"""WITH sums AS (SELECT COUNT(*) AS n, ${sumSql.mkString(", ")} FROM lineitem)
+         |SELECT * FROM (
+         |${pairs.map { case (a, b) => s"SELECT '$a' AS col_x, '$b' AS col_y, ${corrSql(a, b)} AS corr FROM sums" }.mkString("\nUNION ALL\n")}
+         |) ORDER BY col_x, col_y""".stripMargin
+    GraftQuery("a08_correlation", oracle) { (spark, dir) =>
+      val sumCols =
+        Seq(count(lit(1)).as("n")) ++
+          colsN.map(c => sum(col(c).cast("decimal(38,8)")).as(s(c))) ++
+          colsN.map(c => sum((col(c) * col(c)).cast("decimal(38,8)")).as(ss(c))) ++
+          pairs.map { case (a, b) => sum((col(a) * col(b)).cast("decimal(38,8)")).as(sp(a, b)) }
+      val sums = Tables.lineitem(spark, dir).agg(sumCols.head, sumCols.tail: _*)
+      def corrCol(a: String, b: String): Column = {
+        def d(c: String) = col(c).cast("double")
+        (col("n") * d(sp(a, b)) - d(s(a)) * d(s(b))) /
+          (sqrt(col("n") * d(ss(a)) - d(s(a)) * d(s(a))) *
+            sqrt(col("n") * d(ss(b)) - d(s(b)) * d(s(b))))
+      }
+      sums.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"), corrCol(a, b).as("corr"))
+      }: _*)).as("r")).select("r.*").orderBy("col_x", "col_y")
+    }
+  }
+
+  /** A10 — conditional-count status aggregation (ref:
+    * InstagramImageScraper.py:162-191 scrape-status table): one pass of
+    * sum(when(...)) counters plus a derived completion ratio.
+    */
+  val a10CondCounts: GraftQuery = GraftQuery(
+    "a10_cond_counts",
+    """SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type IN ('purchase', 'error')) AS n_done,
+      |  (COUNT(*) FILTER (WHERE event_type IN ('purchase', 'error')) / COUNT(*)) AS pct_done
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val done = col("event_type").isin("purchase", "error")
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(done, 1L).otherwise(0L)).as("n_done"))
+      .withColumn("pct_done", col("n_done") / col("n_total"))
+      .orderBy("day")
+  }
+
+  /** A13 — stacked-bar totals: horizontal sum across pivoted category
+    * columns + per-category share (ref: plotting.py:392-413).
+    */
+  val a13RowTotals: GraftQuery = GraftQuery(
+    "a13_row_totals",
+    s"""WITH p AS (
+       |  SELECT date_trunc('month', ts) AS bucket,
+       |${eventTypes.map(t => s"    COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n")}
+       |  FROM events GROUP BY 1)
+       |SELECT bucket, ${eventTypes.map(t => s"n_$t").mkString(" + ")} AS total,
+       |${eventTypes.map(t => s"  (n_$t / (${eventTypes.map(x => s"n_$x").mkString(" + ")})) AS share_$t").mkString(",\n")}
+       |FROM p ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val p = Tables.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("bucket"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("bucket") +: eventTypes.map(t => col(t).as(s"n_$t")): _*)
+    val total = eventTypes.map(t => col(s"n_$t")).reduce(_ + _)
+    p.select(
+      Seq(col("bucket"), total.as("total")) ++
+        eventTypes.map(t => (col(s"n_$t") / total).as(s"share_$t")): _*)
+      .orderBy("bucket")
+  }
+
+  /** J2 — full-outer join on time bin, zero-filled (ref:
+    * plotting.py:147-151 series alignment).
+    */
+  val j02TimeAlign: GraftQuery = GraftQuery(
+    "j02_time_align",
+    """WITH a AS (SELECT date_trunc('month', o_orderdate) AS bucket, COUNT(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |b AS (SELECT date_trunc('month', ts) AS bucket, COUNT(*) AS n_events
+      |      FROM events GROUP BY 1)
+      |SELECT bucket, COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events
+      |FROM a FULL JOIN b USING (bucket) ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val a = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = Tables.events(spark, dir)
+      .groupBy(date_trunc("month", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .na.fill(0, Seq("n_orders", "n_events"))
+      .orderBy("bucket")
+  }
+
+  /** W1 — window-function suite the reference's idioms imply (SURVEY §2.6):
+    * per-customer row_number, lag-based day gaps, and an exact running
+    * spend over an unbounded-preceding frame.
+    */
+  val w01Windows: GraftQuery = GraftQuery(
+    "w01_running_windows",
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    COALESCE(date_diff('day', lag(o_orderdate) OVER w, o_orderdate), -1) AS gap_days,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT * FROM ranked ORDER BY o_custkey, rn LIMIT 2000""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"),
+          lit(-1L)).as("gap_days"),
+        sum(col("o_totalprice").cast("decimal(28,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_spend"))
+      .orderBy("o_custkey", "rn").limit(2000)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    a02Pivot, a03RelShare, a05Describe, a06Profile, a07Histogram,
+    a08Correlation, a10CondCounts, a13RowTotals, j02TimeAlign, w01Windows)
+}

@@ -17,21 +17,7 @@ import org.apache.spark.sql.functions._
   *  - every result carries an unambiguous ORDER BY.
   */
 object RelationalQueries {
-
-  /** Top-N by stable key plus full-cardinality audit column (A11-style
-    * count audit, SURVEY §2.5 A11 / Preprocessor.py:13-21). The count is
-    * broadcast-joined so no data moves to one partition.
-    */
-  private def topNWithTotal(df: DataFrame, n: Int, key: Column*): DataFrame = {
-    val total = df.agg(count(lit(1)).as("total_rows"))
-    df.orderBy(key: _*).limit(n).crossJoin(broadcast(total))
-  }
-  private def sqlTopNWithTotal(base: String, proj: String, order: String, n: Int): String =
-    s"""WITH base AS ($base),
-       |top_n AS (SELECT * FROM base ORDER BY $order LIMIT $n)
-       |SELECT $proj, t.total_rows
-       |FROM top_n CROSS JOIN (SELECT COUNT(*) AS total_rows FROM base) t
-       |ORDER BY $order""".stripMargin
+  import Dsl.{topNWithTotal, sqlTopNWithTotal}
 
   // ---------------------------------------------------------------- flagship
   /** Flagship pricing-summary aggregation: P4 arithmetic derive + A1-style

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-level operators from SURVEY.md §2.2–§2.3 not covered by
+  * RelationalQueries: composite-key dedup, global sort, per-row top-k,
+  * union, sorted-unique collect, and JSON field extraction.
+  */
+object RowOpsQueries {
+
+  /** D2 — dedup by composite key, deterministic first-by-stable-order pick
+    * (ref: InstagramFeedScraper.py:220 drop_duplicates(["id","shortcode"])).
+    */
+  val d02DedupComposite: GraftQuery = GraftQuery(
+    "d02_dedup_composite",
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+      |         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |                                     l_quantity, l_extendedprice) AS rn
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+      |FROM ranked WHERE rn = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** D4 — global sort by timestamp (ref: InstagramPostScraper.py:383);
+    * bounded output makes Spark plan it as TakeOrderedAndProject (heap
+    * top-N per partition, no full sort shuffle).
+    */
+  val d04SortByTime: GraftQuery = GraftQuery(
+    "d04_sort_by_time",
+    """SELECT event_id, ts, event_type FROM events
+      |ORDER BY ts, event_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "event_type")
+      .orderBy("ts", "event_id").limit(1000)
+  }
+
+  /** D5 — per-row top-k (k=5) of a score vector with rank + argmax
+    * semantics (ref: ImageLabeler.py:151-157 top-5 class probs).
+    * Relational formulation: posexplode → per-key ranked window → k best;
+    * identical shape in the DuckDB oracle via unnest + generate_subscripts.
+    */
+  val d05TopKPerRow: GraftQuery = GraftQuery(
+    "d05_topk_per_row",
+    """WITH flat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim_idx,
+      |         unnest(embedding) AS val
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, dim_idx, val,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY val DESC, dim_idx) AS rank
+      |  FROM flat)
+      |SELECT vec_id, rank, dim_idx, val FROM ranked WHERE rank <= 5
+      |ORDER BY vec_id, rank""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("vec_id").orderBy(desc("val"), asc("dim_idx"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim_idx", "val")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("vec_id", "rank", "dim_idx", "val")
+      .orderBy("vec_id", "rank")
+  }
+
+  /** D8 — union/concat of heterogeneous inputs into one schema (ref:
+    * stages.py:82-84 pd.concat across search terms), aggregated per source
+    * to keep the gate result small while checking full cardinality.
+    */
+  val d08Union: GraftQuery = GraftQuery(
+    "d08_union",
+    """WITH u AS (
+      |  SELECT 'lineitem_returned' AS src, l_orderkey AS key, l_extendedprice AS val
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT 'orders_open' AS src, o_orderkey AS key, o_totalprice AS val
+      |  FROM orders WHERE o_orderstatus = 'O')
+      |SELECT src, COUNT(*) AS n, CAST(SUM(CAST(val AS DECIMAL(28,4))) AS DOUBLE) AS sum_val
+      |FROM u GROUP BY src ORDER BY src""".stripMargin) { (spark, dir) =>
+    val a = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(lit("lineitem_returned").as("src"), col("l_orderkey").as("key"),
+        col("l_extendedprice").as("val"))
+    val b = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select(lit("orders_open").as("src"), col("o_orderkey").as("key"),
+        col("o_totalprice").as("val"))
+    a.unionByName(b)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("val")).as("sum_val"))
+      .orderBy("src")
+  }
+
+  /** D9 — sorted-unique values per group (ref: ExploratoryAnalysis.py:40-43
+    * per-column unique list): collect_set + array_sort.
+    */
+  val d09SortedUnique: GraftQuery = GraftQuery(
+    "d09_sorted_unique",
+    """SELECT source, list_sort(list(DISTINCT lang)) AS langs, COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(array_sort(collect_set(col("lang"))).as("langs"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** P7 — nested/JSON field extraction (ref: Preprocessor.py:45-51
+    * statistics.actual.favoriteCount): parse the JSON props column, pull a
+    * typed field, aggregate on it.
+    */
+  val p07JsonExtract: GraftQuery = GraftQuery(
+    "p07_json_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"), col("value"))
+      .groupBy("k_mod")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("k_mod")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
+    d09SortedUnique, p07JsonExtract)
+}
