@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     graft.queries.RelationalQueries.all ++
       graft.queries.AnalyticsQueries.all ++
-      graft.queries.RowOpsQueries.all
+      graft.queries.RowOpsQueries.all ++
+      graft.queries.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
