@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * first-pick dedup, MinHash+LSH near-dup candidate generation with exact
+  * Jaccard verification, and SimHash with banded Hamming search.
+  *
+  * Design for 100 TB:
+  *  - signatures/shingles are computed with array-level Catalyst HOFs
+  *    (`transform`/`aggregate`) — one narrow projection, no shuffle, full
+  *    codegen, embarrassingly parallel;
+  *  - candidate generation is an equi-join on (band_id, band_key) — the
+  *    only shuffle, keyed so Spark hash-partitions buckets across the
+  *    cluster; AQE's skew-join split handles hot buckets;
+  *  - verification touches only candidate pairs (LSH output), never the
+  *    full O(n²) pair space.
+  *
+  * All hash math is integer-only mod 1e9+7 (every intermediate < 2^63 in
+  * both Spark and DuckDB), so the oracle reproduces results bit-exactly.
+  */
+object Dedup {
+  val P: Long = TextFunctions.HashP
+
+  /** Deterministic MinHash permutation constants (fixed LCG seed, so the
+    * Spark plan and the SQL oracle embed identical literals).
+    */
+  def permConstants(n: Int): Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { // xorshift64 — deterministic, well-mixed
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }
+    (0 until n).map { _ =>
+      val a = Math.floorMod(next(), P - 1) + 1
+      val b = Math.floorMod(next(), P)
+      (a, b)
+    }
+  }
+
+  /** Per-token rolling hashes of a text column: `array<long>`. */
+  def tokenHashes(text: Column): Column =
+    transform(TextFunctions.tokens(text), t => TextFunctions.rollingHash(t))
+  def sqlTokenHashes(textE: String): String =
+    s"[${TextFunctions.sqlRollingHash("t")} for t in ${TextFunctions.sqlTokens(textE)}]"
+
+  /** Distinct k-shingle hashes, folding k consecutive token hashes
+    * (h = fold(h*31 + tokHash) mod P). The unit set for Jaccard/MinHash.
+    */
+  def shingleHashes(tokHashes: Column, k: Int): Column = {
+    val sh = transform(sequence(lit(1), size(tokHashes) - (k - 1)), i =>
+      (0 until k).foldLeft(lit(0L): Column)((acc, j) =>
+        (acc * TextFunctions.HashMul + element_at(tokHashes, i + lit(j))) % P))
+    when(size(tokHashes) < k, array().cast("array<long>")).otherwise(array_distinct(sh))
+  }
+  def sqlShingleHashes(hsE: String, k: Int): String = {
+    val fold = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"(($acc) * ${TextFunctions.HashMul} + $hsE[i + $j]) % $P")
+    s"CASE WHEN len($hsE) < $k THEN [] ELSE " +
+      s"list_distinct([$fold for i in range(1, len($hsE) - ${k - 2})]) END"
+  }
+
+  /** One MinHash signature value: min over the shingle set of the permuted
+    * hash (a*s + b) mod P; empty set → sentinel P.
+    */
+  def minHashSig(shs: Column, a: Long, b: Long): Column =
+    coalesce(array_min(transform(shs, s => (lit(a) * s + lit(b)) % P)), lit(P))
+  def sqlMinHashSig(shsE: String, a: Long, b: Long): String =
+    s"COALESCE(list_min([($a * s + $b) % $P for s in $shsE]), $P)"
+
+  /** LSH near-dup pipeline: docs(id, text) → verified candidate pairs
+    * (id_a, id_b, jaccard). `bands` bands of `rowsPerBand`=2 signatures;
+    * a pair is a candidate iff some band's signature pair collides.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
+    require(numPerms == bands * 2, "2 rows per band")
+    val perms = permConstants(numPerms)
+    val withShs = docs.select(
+      col(idCol).as("id"),
+      shingleHashes(tokenHashes(col(textCol)), shingleK).as("shs"))
+    val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+      minHashSig(col("shs"), a, b).as(s"sig_$i")
+    }
+    val withSigs = withShs.select(col("id") +: col("shs") +: sigs: _*)
+    val bandKeys = (0 until bands).map(bd =>
+      (col(s"sig_${2 * bd}") * P + col(s"sig_${2 * bd + 1}")).as(s"band_$bd"))
+    val banded = withSigs
+      .select(col("id") +: bandKeys: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
+        .as(Seq("band_id", "band_key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = withShs.select(col("id"), col("shs"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("shs_a"), col("shs_b")).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two distinct-element arrays, via
+    * |A∩B| / (|A| + |B| − |A∩B|) — one intersect, no union materialized.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+  def sqlJaccard(aE: String, bE: String): String = {
+    val inter = s"len(list_filter($aE, x -> list_contains($bE, x)))"
+    s"(CAST($inter AS DOUBLE) / (len($aE) + len($bE) - $inter))"
+  }
+
+  /** SimHash over the token-hash multiset: bit b of the fingerprint is set
+    * iff the ±1 contributions of all token hashes' bit b sum positive.
+    */
+  def simHash(tokHashes: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      val bitSum = aggregate(tokHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  def sqlSimHash(hsE: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"CASE WHEN list_sum([((h >> $b) & 1) * 2 - 1 for h in $hsE]) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Banded Hamming candidate pairs over SimHash fingerprints: pairs that
+    * agree on at least one `chunkBits`-bit chunk, with exact Hamming
+    * distance. Same join-shape scale story as LSH.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int, chunkBits: Int): DataFrame = {
+    val nChunks = bits / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sims = docs.select(col(idCol).as("id"),
+      simHash(tokenHashes(col(textCol)), bits).as("sim"))
+    val chunked = sims.select(col("id"), col("sim"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk_id", "chunk_key")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
+      .distinct()
+  }
+
+  /** Exact dedup keeping the first row per key by a stable order (ref:
+    * Preprocessor.py:161-167 drop_duplicates; deterministic row_number
+    * variant per SURVEY §4).
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication query suite over `documents`/`events`: exact dedup,
+  * MinHash+LSH near-dup with exact Jaccard verification, SimHash banded
+  * Hamming pairs, and n-gram Jaccard similarity. Each oracle rebuilds the
+  * identical integer/double pipeline in DuckDB SQL.
+  */
+object DedupQueries {
+  private val P = Dedup.P
+
+  /** Exact dedup with duplicate-cardinality audit (ref:
+    * Preprocessor.py:161-167): events deduped by props, keeping the first
+    * event_id, with the group size carried.
+    */
+  val x01ExactDedup: GraftQuery = GraftQuery(
+    "x01_exact_dedup",
+    """WITH ranked AS (
+      |  SELECT props, event_id,
+      |         row_number() OVER (PARTITION BY props ORDER BY event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY props) AS n_dups
+      |  FROM events)
+      |SELECT props, event_id AS first_event_id, n_dups
+      |FROM ranked WHERE rn = 1 ORDER BY props""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("props")
+    Tables.events(spark, dir)
+      .select(col("props"), col("event_id"),
+        row_number().over(w.orderBy("event_id")).as("rn"),
+        count(lit(1)).over(w).as("n_dups"))
+      .filter(col("rn") === 1)
+      .select(col("props"), col("event_id").as("first_event_id"), col("n_dups"))
+      .orderBy("props")
+  }
+
+  /** Exact content-dedup summary on the order-independent sorted-token
+    * fingerprint — the hash-groupBy dedup primitive at corpus scale.
+    */
+  val x02DedupSummary: GraftQuery = GraftQuery(
+    "x02_dedup_summary", {
+      val fpE = TextFunctions.sqlRollingHash(
+        s"array_to_string(list_sort(${TextFunctions.sqlTokens("text")}), ' ')")
+      s"""WITH fp AS (SELECT $fpE AS fps FROM documents)
+         |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fps) AS n_unique,
+         |       COUNT(*) - COUNT(DISTINCT fps) AS n_dups
+         |FROM fp""".stripMargin
+    }) { (spark, dir) =>
+    val fp = TextFunctions.rollingHash(
+      array_join(array_sort(TextFunctions.tokens(col("text"))), " "))
+    Tables.documents(spark, dir)
+      .select(fp.as("fps"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fps")).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+  }
+
+  private val ShingleK = 2
+  private val NumPerms = 16
+  private val Bands = 8
+
+  /** M1 — MinHash + LSH near-duplicate detection: shingle → 16 minhash
+    * sigs → 8 banded buckets → candidate join → exact-Jaccard verify;
+    * top-100 pairs plus the candidate-count audit.
+    */
+  val m01MinHashLsh: GraftQuery = GraftQuery(
+    "m01_minhash_lsh", {
+      val perms = Dedup.permConstants(NumPerms)
+      val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
+      }
+      val bandSelects = (0 until Bands).map(b =>
+        s"SELECT id, $b AS band_id, sig_${2 * b} * $P + sig_${2 * b + 1} AS band_key FROM sigs")
+      s"""WITH docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents),
+         |sigs AS (SELECT id, ${sigCols.mkString(", ")} FROM docs),
+         |banded AS (${bandSelects.mkString("\nUNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id),
+         |verified AS (
+         |  SELECT id_a, id_b, ${Dedup.sqlJaccard("a.shs", "b.shs")} AS jaccard
+         |  FROM cand JOIN docs a ON cand.id_a = a.id JOIN docs b ON cand.id_b = b.id),
+         |top AS (SELECT * FROM verified ORDER BY jaccard DESC, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, jaccard, t.n_candidates
+         |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM verified) t
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = Dedup.nearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleK, NumPerms, Bands)
+    val total = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.orderBy(desc("jaccard"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(desc("jaccard"), asc("id_a"), asc("id_b"))
+  }
+
+  private val SimBits = 32
+  private val ChunkBits = 8
+
+  /** S1 — SimHash near-dup: 32-bit fingerprint from token-hash bit votes,
+    * 8-bit banded chunk join for candidates, exact Hamming distance;
+    * top-100 closest pairs plus candidate-count audit.
+    */
+  val s01SimHash: GraftQuery = GraftQuery(
+    "s01_simhash_pairs", {
+      val hsE = Dedup.sqlTokenHashes("text")
+      val chunkSelects = (0 until SimBits / ChunkBits).map(c =>
+        s"SELECT id, sim, $c AS chunk_id, (sim >> ${c * ChunkBits}) & ${(1L << ChunkBits) - 1} AS chunk_key FROM sims")
+      s"""WITH hs AS (SELECT doc_id AS id, $hsE AS hs FROM documents),
+         |sims AS (SELECT id, ${Dedup.sqlSimHash("hs", SimBits)} AS sim FROM hs),
+         |chunked AS (${chunkSelects.mkString("\nUNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         |         CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+         |  FROM chunked x JOIN chunked y
+         |    ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key AND x.id < y.id),
+         |top AS (SELECT * FROM cand ORDER BY hamming, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, hamming, t.n_candidates
+         |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM cand) t
+         |ORDER BY hamming, id_a, id_b""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = Dedup.simHashPairs(
+      Tables.documents(spark, dir), "doc_id", "text", SimBits, ChunkBits)
+    val total = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+  }
+
+  /** G1 — n-gram (word-bigram) Jaccard similarity over a deterministic
+    * pair set (consecutive doc ids) — the exact-similarity scalar the LSH
+    * pipelines approximate.
+    */
+  val g01NgramJaccard: GraftQuery = GraftQuery(
+    "g01_ngram_jaccard", {
+      val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
+      s"""WITH docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       ${Dedup.sqlJaccard("a.shs", "b.shs")} AS jaccard
+         |FROM docs a JOIN docs b ON b.id = a.id + 1
+         |ORDER BY a.id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id").as("id"),
+      Dedup.shingleHashes(Dedup.tokenHashes(col("text")), ShingleK).as("shs"))
+    docs.as("a").join(docs.as("b"), col("b.id") === col("a.id") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Dedup.jaccard(col("a.shs"), col("b.shs")).as("jaccard"))
+      .orderBy("id_a")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    x01ExactDedup, x02DedupSummary, m01MinHashLsh, s01SimHash, g01NgramJaccard)
+}
