@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, plus
+  * random-hyperplane LSH bucketing and an IVF (inverted-file) variant as
+  * the scale paths.
+  *
+  * Determinism: floating dot products are order-sensitive, so every sum
+  * here is fixed-point — each elementwise product is floored to a 1e-15
+  * grid as a BIGINT and summed in integer space (64 dims × 2.5e14 max
+  * magnitude ≪ 2^63). Integer addition is associative, so Spark and the
+  * DuckDB oracle agree bit-for-bit; the final cosine assembles the same
+  * IEEE double expression in both engines.
+  *
+  * Scale design (100 TB):
+  *  - per-vector work (fixed-point conversion, norms, bucket signs) is
+  *    one codegen'd projection, no shuffle;
+  *  - brute-force KNN broadcasts the (small) query set and scans vectors
+  *    once; the per-query top-k window partitions by query id;
+  *  - LSH/IVF replace the full scan with an equi-join on bucket/cluster
+  *    id — the standard sub-linear probe shape, AQE handles skew.
+  */
+object Similarity {
+  val DotScale = 1e15
+  val SignScale = 1e9
+
+  /** Fixed-point dot product of two float-array columns: Σ floor(aᵢ·bᵢ·1e15)
+    * as BIGINT (exact, order-independent).
+    */
+  def dotFixed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor(x.cast("double") * y.cast("double") * lit(DotScale))),
+      lit(0L), _ + _)
+  def sqlDotFixed(aE: String, bE: String): String =
+    s"CAST(list_sum([CAST(floor(CAST($aE[i] AS DOUBLE) * CAST($bE[i] AS DOUBLE) * ${DotScale.toLong}.0) AS BIGINT) " +
+      s"for i in range(1, len($aE) + 1)]) AS BIGINT)"
+
+  /** Cosine from fixed-point parts — identical double arithmetic in both
+    * engines: (dot/1e15) / (sqrt(na/1e15)·sqrt(nb/1e15)).
+    */
+  def cosineFromFixed(dotF: Column, naF: Column, nbF: Column): Column =
+    (dotF.cast("double") / DotScale) /
+      (sqrt(naF.cast("double") / DotScale) * sqrt(nbF.cast("double") / DotScale))
+  def sqlCosineFromFixed(dotE: String, naE: String, nbE: String): String =
+    s"((CAST($dotE AS DOUBLE) / ${DotScale.toLong}.0) / " +
+      s"(sqrt(CAST($naE AS DOUBLE) / ${DotScale.toLong}.0) * sqrt(CAST($nbE AS DOUBLE) / ${DotScale.toLong}.0)))"
+
+  /** Vectors with their fixed-point self-dot (squared norm) precomputed —
+    * norms are per-vector, so they're computed once, not per pair.
+    */
+  def withNormFixed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      dotFixed(col(embCol), col(embCol)).as("norm_f"))
+
+  /** Brute-force exact cosine top-k: queries × vectors scan, per-query
+    * ranked window. `queries` should be small (broadcast side).
+    */
+  def knnBrute(vectors: DataFrame, idCol: String, embCol: String,
+               queryPred: Column, k: Int): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+    val q = v.filter(queryPred)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"), col("norm_f").as("q_norm"))
+    val scored = v.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane r, dim d): bit 15 of
+    * an LCG step of n = r·dims + d — pure integer math, portable to SQL.
+    */
+  def hyperplaneSign(r: Int, d: Int, dims: Int): Int = {
+    val n = r.toLong * dims + d
+    val g = Math.floorMod(n * 1103515245L + 12345L, 2147483648L)
+    if (((g >> 15) & 1L) == 1L) 1 else -1
+  }
+
+  /** Random-hyperplane LSH bucket id (one sign bit per plane) over the
+    * 1e-9-grid fixed-point embedding — integer dot, exact both engines.
+    */
+  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
+    val vfix = transform(emb, x => floor(x.cast("double") * lit(SignScale)))
+    (0 until planes).map { r =>
+      val signs = array((0 until dims).map(d => lit(hyperplaneSign(r, d, dims).toLong)): _*)
+      val dot = aggregate(zip_with(vfix, signs, _ * _), lit(0L), _ + _)
+      when(dot > 0, lit(1L << r)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+  /** SQL twin of the per-element fixed-point grid (hoist into a CTE once,
+    * then feed the column name to [[sqlLshBucketFromVfix]]).
+    */
+  def sqlVfix(embE: String): String =
+    s"[CAST(floor(CAST(x AS DOUBLE) * ${SignScale.toLong}.0) AS BIGINT) for x in $embE]"
+  def sqlLshBucketFromVfix(vfixE: String, planes: Int, dims: Int): String =
+    (0 until planes).map { r =>
+      val signs = (0 until dims).map(d => hyperplaneSign(r, d, dims)).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum([$vfixE[i] * ($signs)[i] for i in range(1, $dims + 1)]) > 0 THEN ${1L << r} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
+  def knnLsh(vectors: DataFrame, idCol: String, embCol: String,
+             queryPred: Column, k: Int, planes: Int, dims: Int): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("emb"), planes, dims))
+    val q = v.filter(queryPred)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("norm_f").as("q_norm"), col("bucket").as("q_bucket"))
+    val scored = v.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+          .as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
+  /** IVF top-k: assign every vector to its nearest centroid (given
+    * centroid set), probe the `nprobe` nearest centroids per query, and
+    * search only vectors in those clusters.
+    */
+  def knnIvf(vectors: DataFrame, idCol: String, embCol: String,
+             centroidPred: Column, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+    val cent = v.filter(centroidPred)
+      .select(col("id").as("c_id"), col("emb").as("c_emb"), col("norm_f").as("c_norm"))
+    val affinity = v.crossJoin(broadcast(cent))
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id"),
+        cosineFromFixed(dotFixed(col("emb"), col("c_emb")), col("norm_f"), col("c_norm"))
+          .as("c_cos"))
+    val wAssign = Window.partitionBy("id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = affinity.withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id").as("cluster"))
+    val probes = affinity.filter(queryPred)
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("norm_f").as("q_norm"), col("c_id").as("cluster"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cluster") === probes("cluster") && col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+          .as("cosine"))
+      .distinct() // a neighbor can sit in two probed clusters
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
+  /** Brute-force near-dup pairs: all i<j cosines (the LSH/IVF paths above
+    * are the sub-quadratic alternative at scale).
+    */
+  def cosinePairs(vectors: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineFromFixed(dotFixed(col("a.emb"), col("b.emb")),
+          col("a.norm_f"), col("b.norm_f")).as("cosine"))
+  }
+}

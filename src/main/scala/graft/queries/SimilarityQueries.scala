@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search query suite over `embeddings`: exact brute-force
+  * cosine KNN, random-hyperplane LSH, IVF probing, and brute-force
+  * near-dup pairs. Oracles rebuild the same fixed-point integer sums and
+  * double assembly in DuckDB (see Similarity for the determinism model).
+  */
+object SimilarityQueries {
+  private val Dims = 64
+  private val K = 10
+  private val Planes = 6
+  private val NumQueries = 5     // query set: vec_id < 5
+  private val NumCentroids = 8   // IVF centroid set: vec_id < 8
+  private val NProbe = 2
+
+  private def sqlCos(aE: String, naE: String, bE: String, nbE: String): String =
+    Similarity.sqlCosineFromFixed(Similarity.sqlDotFixed(aE, bE), naE, nbE)
+
+  private val sqlV =
+    s"SELECT vec_id AS id, embedding AS emb, ${Similarity.sqlDotFixed("embedding", "embedding")} AS norm_f FROM embeddings"
+
+  /** E1 — exact brute-force cosine top-k for a small query set. */
+  val e01KnnBrute: GraftQuery = GraftQuery(
+    "e01_knn_brute",
+    s"""WITH v AS ($sqlV),
+       |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM v WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+       |  FROM q CROSS JOIN v WHERE v.id != q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnBrute(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .orderBy("q_id", "rank")
+  }
+
+  /** E2 — LSH-bucketed approximate top-k (sub-linear probe shape). */
+  val e02KnnLsh: GraftQuery = GraftQuery(
+    "e02_knn_lsh",
+    s"""WITH v0 AS ($sqlV),
+       |vf AS (SELECT id, emb, norm_f, ${Similarity.sqlVfix("emb")} AS vfix FROM v0),
+       |v AS (SELECT id, emb, norm_f,
+       |             ${Similarity.sqlLshBucketFromVfix("vfix", Planes, Dims)} AS bucket FROM vf),
+       |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm, bucket AS q_bucket
+       |      FROM v WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+       |  FROM q JOIN v ON v.bucket = q.q_bucket AND v.id != q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumQueries, K, Planes, Dims)
+      .orderBy("q_id", "rank")
+  }
+
+  /** E3 — IVF top-k: nearest-centroid assignment, nprobe=2 cluster probe. */
+  val e03KnnIvf: GraftQuery = GraftQuery(
+    "e03_knn_ivf",
+    s"""WITH v AS ($sqlV),
+       |cent AS (SELECT id AS c_id, emb AS c_emb, norm_f AS c_norm FROM v WHERE id < $NumCentroids),
+       |aff AS (
+       |  SELECT v.id, v.emb, v.norm_f, c_id,
+       |         ${sqlCos("v.emb", "v.norm_f", "c_emb", "c_norm")} AS c_cos
+       |  FROM v CROSS JOIN cent),
+       |ranked_aff AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c_cos DESC, c_id) AS crn FROM aff),
+       |assigned AS (SELECT id, emb, norm_f, c_id AS cluster FROM ranked_aff WHERE crn = 1),
+       |probes AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm, c_id AS cluster
+       |           FROM ranked_aff WHERE id < $NumQueries AND crn <= $NProbe),
+       |scored AS (
+       |  SELECT DISTINCT q_id, a.id AS n_id,
+       |         ${sqlCos("q_emb", "q_norm", "a.emb", "a.norm_f")} AS cosine
+       |  FROM assigned a JOIN probes p ON a.cluster = p.cluster AND a.id != p.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnIvf(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumCentroids, col("id") < NumQueries, K, NProbe)
+      .orderBy("q_id", "rank")
+  }
+
+  /** E4 — brute-force cosine near-dup pairs: top-100 of all i<j pairs with
+    * the full pair-count audit (LSH/IVF are the sub-quadratic path).
+    */
+  val e04CosinePairs: GraftQuery = GraftQuery(
+    "e04_cosine_pairs",
+    s"""WITH v AS ($sqlV),
+       |scored AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         ${sqlCos("a.emb", "a.norm_f", "b.emb", "b.norm_f")} AS cosine
+       |  FROM v a JOIN v b ON a.id < b.id),
+       |top AS (SELECT * FROM scored ORDER BY cosine DESC, id_a, id_b LIMIT 100)
+       |SELECT id_a, id_b, cosine, t.n_pairs
+       |FROM top CROSS JOIN (SELECT COUNT(*) AS n_pairs FROM scored) t
+       |ORDER BY cosine DESC, id_a, id_b""".stripMargin) { (spark, dir) =>
+    val pairs = Similarity.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    pairs.orderBy(desc("cosine"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs)
+}
