@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.schema.Schemas
+import org.apache.spark.sql.functions._
+
+/** Unit invariants for the text / dedup / similarity primitives. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollingHash matches the hand-computed fold and handles empty strings") {
+    val out = Seq("abc", "", "a").toDF("s")
+      .select(TextFunctions.rollingHash($"s").as("h")).as[Long].collect()
+    // 'a'=97; ((97*31+98)*31+99) mod p = 96354
+    assert(out.toSeq == Seq(96354L, 0L, 97L))
+  }
+
+  test("shingles produces k-grams and empty below k") {
+    val out = Seq("a b c d", "a b").toDF("s")
+      .select(TextFunctions.shingles(TextFunctions.tokens($"s"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq())
+  }
+
+  test("jaccard is 1 for identical sets, 0 for disjoint, exact for partial") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val out = df.select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect()
+    assert(out(0) == 1.0 && out(1) == 0.0 && out(2) == 0.5)
+  }
+
+  test("minhash signature of identical shingle sets is identical") {
+    val docs = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "p q r s")).toDF("id", "text")
+    val shs = docs.select($"id",
+      Dedup.shingleHashes(Dedup.tokenHashes($"text"), 2).as("shs"))
+    val (a, b) = Dedup.permConstants(4).head match { case p => p }
+    val sigs = shs.select($"id", Dedup.minHashSig($"shs", a, b).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash of identical token multisets is identical") {
+    val df = Seq((1L, "x y x"), (2L, "x y x"), (3L, "entirely different words here")).toDF("id", "t")
+    val sims = df.select($"id", Dedup.simHash(Dedup.tokenHashes($"t"), 32).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
+  test("dedupFirst keeps exactly the first row per key by the given order") {
+    val df = Seq((1L, "k1", 5.0), (2L, "k1", 1.0), (3L, "k2", 2.0)).toDF("id", "k", "v")
+    val out = Dedup.dedupFirst(df, Seq("k"), Seq($"v")).select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L)) // k1 → id2 (lowest v)
+  }
+
+  test("fixed-point cosine: identical vectors ≈ 1, orthogonal = 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f), Seq(0.5f, 0.5f))).toDF("id", "a", "b")
+    val out = df.select($"id",
+      Similarity.cosineFromFixed(
+        Similarity.dotFixed($"a", $"b"),
+        Similarity.dotFixed($"a", $"a"),
+        Similarity.dotFixed($"b", $"b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) - 1.0) < 1e-12)
+  }
+
+  test("knnBrute ranks the exact nearest neighbors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.8f, 0.3f))).toDF("vid", "emb")
+    val out = Similarity.knnBrute(vecs, "vid", "emb", col("id") === 0L, 2)
+      .select("rank", "n_id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 1L) // closest to (1,0) is (0.9,0.1)
+    assert(out(2) == 3L)
+  }
+
+  test("ReprList codec round-trips single-quoted python reprs") {
+    val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
+      .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
+    assert(out(0) == Seq("#a", "#b"))
+    assert(out(1) == Seq())
+    assert(out(2) == Seq())
+  }
+}
