@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Micro-batch behavior of the streaming operators via MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+
+  test("windowedTypeCounts aggregates per tumbling window and type") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(mem.toDF(), "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("wtc").outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(30), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wtc")
+        .select("bucket", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops repeated event_ids across batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(9), 1, "click", 1.0), Event(3, ts(10), 2, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L)) // second event_id=1 dropped
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the event-time gap") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // base offset 1000s: ts=0 would equal the initial epoch-0 watermark
+      // and be dropped as late
+      mem.addData(
+        Event(1, ts(1000), 7, "click", 1.0),
+        Event(2, ts(1020), 7, "view", 2.0),
+        Event(3, ts(1040), 7, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").isEmpty) // session still open
+      // far-future event advances the watermark past 1040s + gap → timeout fires
+      mem.addData(Event(9, ts(4600), 8, "click", 0.5))
+      q.processAllAvailable()
+      val s = spark.table("sess")
+        .select("user_id", "n_events", "total_value", "duration_sec")
+        .as[(Long, Long, Double, Long)].collect()
+      assert(s.toSeq == Seq((7L, 3L, 6.0, 40L)))
+    } finally q.stop()
+  }
+}
