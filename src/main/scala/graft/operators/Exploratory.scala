@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** The exploratory-analysis fan-out (ref: ExploratoryAnalysis.py:54-110 /
+  * SURVEY.md §3 entry-point 3): one cached scan, independent aggregate
+  * jobs off it. Each result is a small aggregate frame — the *data*
+  * behind the reference's plots (plot rendering is out of engine scope,
+  * SURVEY §2.1 S12).
+  */
+object Exploratory {
+
+  /** A5-style numeric summary: count/mean/std/min/max per numeric column
+    * (one aggregation pass; exact quantiles live in the gate query
+    * a05_describe, approx variants belong at 100 TB).
+    */
+  def summary(df: DataFrame): DataFrame = {
+    val nums = numericCols(df)
+    nums.map { c =>
+      df.agg(
+        count(col(c)).as("cnt"),
+        avg(col(c)).as("mean"),
+        stddev(col(c)).as("std"),
+        min(col(c)).cast("double").as("min_v"),
+        max(col(c)).cast("double").as("max_v"))
+        .select(lit(c).as("column"), col("cnt"), col("mean"), col("std"),
+          col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** A6 — per-column profile: non-null / missing / distinct counts (ref:
+    * ExploratoryAnalysis.py:34-44). `approxDistinct` is the 100 TB path.
+    */
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame =
+    df.columns.toSeq.map { c =>
+      val nd = if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
+      df.agg(
+        count(col(c)).as("non_null"),
+        (count(lit(1)) - count(col(c))).as("missing"),
+        nd.as("n_distinct"))
+        .select(lit(c).as("column"), col("non_null"), col("missing"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+
+  /** A1 — post counts per time grain (ref: plotting.py:50-67 Grouper;
+    * grain ∈ week/month/quarter/year). `date_trunc` labels period *start*
+    * — the period-end labels pandas uses are `bucket + interval` if ever
+    * needed for golden parity (SURVEY §2.5 A1 note).
+    */
+  def timeCounts(df: DataFrame, tsCol: String, grain: String): DataFrame =
+    df.groupBy(date_trunc(grain, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** A4 — hashtag frequency list (ref: ExploratoryAnalysis.py:88-89). */
+  def hashtagFreqs(df: DataFrame, tagCol: String = "hashtags"): DataFrame =
+    df.select(explode(col(tagCol)).as("hashtag"))
+      .groupBy("hashtag").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("hashtag"))
+
+  /** A7 — fixed-bin histogram over the column's own min/max (ref:
+    * ExploratoryAnalysis.py:91-99).
+    */
+  def histogram(df: DataFrame, c: String, bins: Int = 30): DataFrame = {
+    val s = df.agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+    df.crossJoin(broadcast(s))
+      .select(least(
+        floor((col(c) - col("lo")) / ((col("hi") - col("lo")) / bins)).cast("long"),
+        lit(bins - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** A8 — pairwise Pearson correlation in one decimal-sum pass (long
+    * format; ref: plotting.py:14-21).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    def s(c: String) = s"s_$c"; def ss(c: String) = s"ss_$c"
+    def sp(a: String, b: String) = s"sp_${a}_$b"
+    val sumCols =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(col(c).cast("decimal(38,8)")).as(s(c))) ++
+        cols.map(c => sum((col(c) * col(c)).cast("decimal(38,8)")).as(ss(c))) ++
+        pairs.map { case (a, b) => sum((col(a) * col(b)).cast("decimal(38,8)")).as(sp(a, b)) }
+    val sums = df.agg(sumCols.head, sumCols.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    sums.select(explode(array(pairs.map { case (a, b) =>
+      // zero-variance columns → NaN, like pandas corr (ANSI would error)
+      val den = sqrt(col("n") * d(ss(a)) - d(s(a)) * d(s(a))) *
+        sqrt(col("n") * d(ss(b)) - d(s(b)) * d(s(b)))
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        when(den === 0.0, lit(Double.NaN))
+          .otherwise((col("n") * d(sp(a, b)) - d(s(a)) * d(s(b))) / den).as("corr"))
+    }: _*)).as("r")).select("r.*")
+  }
+
+  /** A9 — category count (ref: ExploratoryAnalysis.py:106-108). */
+  def categoryCount(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("n")).orderBy(col(c))
+
+  private def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+  /** The full fan-out over a posts-preprocessed frame: cache once, run
+    * every aggregate off the cached plan.
+    */
+  def analyze(df: DataFrame): Map[String, DataFrame] = {
+    val cached = df.cache()
+    val nums = numericCols(cached).filter(c => !Set("id", "year", "month", "day")(c))
+    Map(
+      "summary" -> summary(cached.select(nums.map(col): _*)),
+      "profile" -> profile(cached),
+      "posts_per_week" -> timeCounts(cached, "timestamp", "week"),
+      "posts_per_month" -> timeCounts(cached, "timestamp", "month"),
+      "posts_per_quarter" -> timeCounts(cached, "timestamp", "quarter"),
+      "posts_per_year" -> timeCounts(cached, "timestamp", "year"),
+      "hashtag_freqs" -> hashtagFreqs(cached),
+      "hist_likes" -> histogram(cached, "likes"),
+      "hist_comment_count" -> histogram(cached, "comment_count"),
+      "correlation" -> corrMatrix(cached, nums),
+      "comments_disabled_count" -> categoryCount(cached, "comments_disabled"))
+  }
+}

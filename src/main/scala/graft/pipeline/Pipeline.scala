@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.io.CsvIo
+import graft.operators.{Exploratory, Preprocess}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Config-driven stage orchestrator (ref: orchestrator.py:28-65 /
+  * SURVEY.md §3 entry-point 1): a JSON stage list — `name,
+  * implementation, input, output, enabled, params` (readme.md:46-55) —
+  * executed in order with input-existence guards, `skip_if_exists`
+  * memoization, and a per-stage timing summary with time share.
+  *
+  * Unlike the reference, a stage is one lazy Spark plan materialized only
+  * at its declared output; there is no per-step CSV round-trip.
+  */
+object Pipeline {
+
+  final case class StageConfig(
+      name: String,
+      implementation: String,
+      input: String,
+      output: String,
+      enabled: Boolean,
+      params: JsonNode)
+
+  final case class PipelineConfig(datasetName: String, stages: Seq[StageConfig])
+
+  /** One pipeline stage: input path → output path under a root dir. */
+  trait Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit
+  }
+
+  // ------------------------------------------------------- param helpers
+  private def optNode(params: JsonNode, key: String): Option[JsonNode] =
+    Option(params).flatMap(p => Option(p.get(key))).filterNot(_.isNull)
+  def pBool(params: JsonNode, key: String, dflt: Boolean): Boolean =
+    optNode(params, key).map(_.asBoolean).getOrElse(dflt)
+  def pInt(params: JsonNode, key: String, dflt: Int): Int =
+    optNode(params, key).map(_.asInt).getOrElse(dflt)
+  def pSeq(params: JsonNode, key: String): Seq[String] =
+    optNode(params, key).map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+  def pIntSeq(params: JsonNode, key: String): Seq[Int] =
+    optNode(params, key).map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil)
+
+  /** The Preprocessor stage (ref: stages.py:88-92, config keys from
+    * config/test.json:24-36).
+    */
+  object PreprocessorStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      val yr = pIntSeq(params, "year_filter") match {
+        case Seq(lo, hi) => Some((lo, hi))
+        case _ => None
+      }
+      val cfg = Preprocess.Config(
+        datasetName = datasetName,
+        removeDuplicates = pBool(params, "remove_duplicates", dflt = true),
+        imagesOnly = pBool(params, "images_only", dflt = true),
+        yearFilter = yr,
+        lowercaseHashtags = pBool(params, "lowercase_hashtags", dflt = true),
+        hashtagInclude = pSeq(params, "hashtag_filter_include"),
+        hashtagExclude = pSeq(params, "hashtag_filter_exclude"),
+        maxImagesPerYear = pInt(params, "max_images_per_year", -1))
+      CsvIo.writeCsv(Preprocess.run(CsvIo.readPosts(spark, in), cfg), out)
+    }
+  }
+
+  /** The exploratory-analysis stage (ref: stages.py:102-106): one scan,
+    * aggregate fan-out, each result a CSV under the output dir.
+    */
+  object ExploratoryAnalysisStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      val df = CsvIo.readPreprocessed(spark, in)
+      Exploratory.analyze(df).foreach { case (name, result) =>
+        CsvIo.writeCsv(result, s"$out/$name")
+      }
+    }
+  }
+
+  val registry: Map[String, Stage] = Map(
+    "PreprocessorStage" -> PreprocessorStage,
+    "ExploratoryanalysisStage" -> ExploratoryAnalysisStage,
+    "ExploratoryAnalysisStage" -> ExploratoryAnalysisStage)
+
+  final case class StageResult(stage: String, status: String, seconds: Double)
+
+  def loadConfig(path: String): PipelineConfig = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(Files.readString(Paths.get(path)))
+    val stages = Option(root.get("stages")).map(_.elements.asScala.toSeq).getOrElse(Nil)
+      .map { s =>
+        StageConfig(
+          name = s.get("name").asText,
+          implementation = s.get("implementation").asText,
+          input = s.get("input").asText,
+          output = s.get("output").asText,
+          enabled = Option(s.get("enabled")).forall(_.asBoolean),
+          params = s.get("params"))
+      }
+    PipelineConfig(
+      datasetName = Option(root.get("dataset_name")).map(_.asText).getOrElse(""),
+      stages = stages)
+  }
+
+  private def outputExists(path: String): Boolean = {
+    val p = Paths.get(path)
+    Files.exists(p) && (!Files.isDirectory(p) ||
+      Files.exists(p.resolve("_SUCCESS")) || Files.list(p).findAny.isPresent)
+  }
+
+  /** Run the stage list (ref: orchestrator.py:28-57): dispatch by
+    * implementation name, guard on input existence, skip if the output
+    * already exists, time each stage; returns the summary frame with the
+    * reference's time-share column (orchestrator.py:59-65).
+    */
+  def run(spark: SparkSession, rootDir: String, cfg: PipelineConfig,
+          skipIfExists: Boolean = true): DataFrame = {
+    val results = cfg.stages.map { st =>
+      val in = s"$rootDir/${st.input}"
+      val out = s"$rootDir/${st.output}"
+      if (!st.enabled) StageResult(st.name, "disabled", 0.0)
+      else if (!registry.contains(st.implementation)) StageResult(st.name, "unknown_impl", 0.0)
+      else if (st.input.nonEmpty && !Files.exists(Paths.get(in))) StageResult(st.name, "missing_input", 0.0)
+      else if (skipIfExists && outputExists(out)) StageResult(st.name, "skipped", 0.0)
+      else {
+        val t0 = System.nanoTime()
+        registry(st.implementation).run(spark, in, out, st.params, cfg.datasetName)
+        StageResult(st.name, "ok", (System.nanoTime() - t0) / 1e9)
+      }
+    }
+    import spark.implicits._
+    val total = math.max(results.map(_.seconds).sum, 1e-9)
+    results.toDF()
+      .withColumn("time_pct", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("seconds") / total * 100, 1))
+  }
+}

@@ -72,6 +72,37 @@ object Schemas {
     "comment_count", "comments_disabled", "caption", "hashtags", "mentions",
     "image", "thumbnail_src", "scrape_image")
 
+  /** Typed schema of [[postsPreprocessedColumns]]. */
+  val postsPreprocessed: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("city", StringType),
+    StructField("building", StringType),
+    StructField("year", IntegerType),
+    StructField("month", IntegerType),
+    StructField("day", IntegerType),
+    StructField("timestamp", TimestampType),
+    StructField("owner_id", LongType),
+    StructField("shortcode", StringType),
+    StructField("post_url", StringType),
+    StructField("type", StringType),
+    StructField("is_video", BooleanType),
+    StructField("interactions", LongType),
+    StructField("likes", LongType),
+    StructField("comment_count", LongType),
+    StructField("comments_disabled", BooleanType),
+    StructField("caption", StringType),
+    StructField("hashtags", ArrayType(StringType)),
+    StructField("mentions", ArrayType(StringType)),
+    StructField("image", StringType),
+    StructField("thumbnail_src", StringType),
+    StructField("scrape_image", BooleanType)))
+
+  /** CSV-facing variant of [[postsPreprocessed]]. */
+  val postsPreprocessedCsv: StructType = StructType(postsPreprocessed.map {
+    case f if Set("hashtags", "mentions")(f.name) => f.copy(dataType = StringType)
+    case f => f
+  })
+
   /** `post_comments` — 8 cols (ref: InstagramPostScraper.py:263-267). */
   val postComments: StructType = StructType(Seq(
     StructField("post_id", LongType),

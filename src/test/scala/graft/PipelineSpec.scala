@@ -1,0 +1,91 @@
+package graft
+
+import graft.io.CsvIo
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+/** End-to-end config-driven pipeline over a reference-shaped posts CSV
+  * (the test.json dummy-pipeline analog, readme.md:13-30).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(root: String): Unit = {
+    val posts = Seq(
+      (1L, "aaa", false, Timestamp.valueOf("2015-03-01 10:00:00"), 10L, 2L, "['#Golf']"),
+      (2L, "bbb", true, Timestamp.valueOf("2016-05-01 10:00:00"), 30L, 4L, "['#rain']"),
+      (3L, "ccc", false, Timestamp.valueOf("2016-06-01 10:00:00"), 40L, 5L, "[]"))
+      .toDF("id", "shortcode", "is_video", "timestamp", "likes", "comment_count", "hashtags")
+      .withColumn("post_url", concat(lit("u/"), col("shortcode")))
+      .withColumn("type", lit("GraphImage"))
+      .withColumn("comments_disabled", lit(false))
+      .withColumn("search_mode", lit("hashtag"))
+      .withColumn("search_term", lit("golf"))
+      .withColumn("caption", lit("c"))
+      .withColumn("display_url", lit("d"))
+      .withColumn("owner_id", lit(9L))
+      .withColumn("mentions", lit("[]"))
+      .withColumn("thumbnail_src", lit("t"))
+      // the file contract is positional: canonical column order
+      .select(graft.schema.Schemas.postsCsv.fieldNames.map(col).toSeq: _*)
+    posts.coalesce(1).write.option("header", "true").csv(s"$root/posts.csv")
+  }
+
+  private val configJson =
+    """{
+      |  "dataset_name": "Lens_Louvre",
+      |  "stages": [
+      |    {"name": "Preprocessing", "implementation": "PreprocessorStage",
+      |     "input": "posts.csv", "output": "posts_preprocessed.csv", "enabled": true,
+      |     "params": {"remove_duplicates": true, "images_only": true,
+      |                "year_filter": [2010, 2020], "hashtag_filter_include": [],
+      |                "hashtag_filter_exclude": [], "max_images_per_year": -1,
+      |                "lowercase_hashtags": true}},
+      |    {"name": "Disabled stage", "implementation": "PreprocessorStage",
+      |     "input": "posts.csv", "output": "never.csv", "enabled": false, "params": {}},
+      |    {"name": "Exploratory Analysis", "implementation": "ExploratoryanalysisStage",
+      |     "input": "posts_preprocessed.csv", "output": "analysis", "enabled": true,
+      |     "params": {}}
+      |  ]
+      |}""".stripMargin
+
+  test("pipeline runs stages in order, skips disabled, memoizes outputs") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    writeFixture(root)
+    Files.writeString(Paths.get(s"$root/config.json"), configJson)
+    val cfg = Pipeline.loadConfig(s"$root/config.json")
+
+    val summary = Pipeline.run(spark, root, cfg)
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(summary("Preprocessing") == "ok")
+    assert(summary("Disabled stage") == "disabled")
+    assert(summary("Exploratory Analysis") == "ok")
+
+    // preprocessed output: video dropped, 21+id columns, lowercased tags
+    val raw = spark.read.option("header", "true").csv(s"$root/posts_preprocessed.csv")
+    assert(raw.count() == 2) // id2 is a video
+    assert(raw.columns.toSeq == graft.schema.Schemas.postsPreprocessedColumns)
+    assert(raw.filter(col("id") === "1").head().getAs[String]("hashtags") == """["#golf"]""")
+
+    // analysis fan-out wrote aggregate CSVs
+    assert(Files.exists(Paths.get(s"$root/analysis/posts_per_month")))
+    assert(Files.exists(Paths.get(s"$root/analysis/hashtag_freqs")))
+
+    // re-run: everything memoized
+    val again = Pipeline.run(spark, root, cfg)
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(again("Preprocessing") == "skipped")
+    assert(again("Exploratory Analysis") == "skipped")
+  }
+
+  test("missing input is reported, not fatal") {
+    val root = Files.createTempDirectory("graft-pipe2").toString
+    Files.writeString(Paths.get(s"$root/config.json"), configJson)
+    val cfg = Pipeline.loadConfig(s"$root/config.json")
+    val summary = Pipeline.run(spark, root, cfg)
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(summary("Preprocessing") == "missing_input")
+  }
+}
