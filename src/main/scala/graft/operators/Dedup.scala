@@ -70,6 +70,21 @@ object Dedup {
   def sqlMinHashSig(shsE: String, a: Long, b: Long): String =
     s"COALESCE(list_min([($a * s + $b) % $P for s in $shsE]), $P)"
 
+  /** Docs → (id, shs) with each intermediate (tokens, token hashes,
+    * shingle set) materialized as its own projection. CRITICAL for
+    * performance: inlining `tokenHashes` inside `shingleHashes` makes
+    * every `element_at` re-evaluate the whole token-hash transform —
+    * O(len²·chars) per row; separate projections bind the arrays to
+    * attributes, each computed once (CollapseProject keeps expensive
+    * multi-referenced expressions un-inlined).
+    */
+  def withShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), transform(col("__toks"), t => TextFunctions.rollingHash(t)).as("__th"))
+      .select(col("id"), shingleHashes(col("__th"), shingleK).as("shs"))
+
   /** LSH near-dup pipeline: docs(id, text) → verified candidate pairs
     * (id_a, id_b, jaccard). `bands` bands of `rowsPerBand`=2 signatures;
     * a pair is a candidate iff some band's signature pair collides.
@@ -78,9 +93,7 @@ object Dedup {
                    shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms == bands * 2, "2 rows per band")
     val perms = permConstants(numPerms)
-    val withShs = docs.select(
-      col(idCol).as("id"),
-      shingleHashes(tokenHashes(col(textCol)), shingleK).as("shs"))
+    val withShs = withShingleHashes(docs, idCol, textCol, shingleK)
     val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
       minHashSig(col("shs"), a, b).as(s"sig_$i")
     }
@@ -138,8 +151,11 @@ object Dedup {
                    bits: Int, chunkBits: Int): DataFrame = {
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    val sims = docs.select(col(idCol).as("id"),
-      simHash(tokenHashes(col(textCol)), bits).as("sim"))
+    // token hashes bound to an attribute first — see withShingleHashes note
+    val sims = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), transform(col("__toks"), t => TextFunctions.rollingHash(t)).as("__th"))
+      .select(col("id"), simHash(col("__th"), bits).as("sim"))
     val chunked = sims.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))

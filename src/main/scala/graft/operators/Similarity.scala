@@ -35,6 +35,16 @@ object Similarity {
     aggregate(
       zip_with(a, b, (x, y) => floor(x.cast("double") * y.cast("double") * lit(DotScale))),
       lit(0L), _ + _)
+
+  /** [[dotFixed]] unrolled for a known dimension. Measured SLOWER than
+    * the fused zip_with/aggregate loop at dims=64 (the wide expression
+    * tree drops out of whole-stage codegen), so the operators default to
+    * the generic path (dims = -1); kept for small-dims cases.
+    */
+  def dotFixedUnrolled(a: Column, b: Column, dims: Int): Column =
+    (0 until dims).map { i =>
+      floor(a.getItem(i).cast("double") * b.getItem(i).cast("double") * lit(DotScale))
+    }.reduce(_ + _)
   def sqlDotFixed(aE: String, bE: String): String =
     s"CAST(list_sum([CAST(floor(CAST($aE[i] AS DOUBLE) * CAST($bE[i] AS DOUBLE) * ${DotScale.toLong}.0) AS BIGINT) " +
       s"for i in range(1, len($aE) + 1)]) AS BIGINT)"
@@ -52,21 +62,26 @@ object Similarity {
   /** Vectors with their fixed-point self-dot (squared norm) precomputed —
     * norms are per-vector, so they're computed once, not per pair.
     */
-  def withNormFixed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  def withNormFixed(df: DataFrame, idCol: String, embCol: String,
+                    dims: Int = -1): DataFrame =
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      dotFixed(col(embCol), col(embCol)).as("norm_f"))
+      dotF(col(embCol), col(embCol), dims).as("norm_f"))
+
+  /** Unrolled fast path when the dimension is statically known. */
+  private def dotF(a: Column, b: Column, dims: Int): Column =
+    if (dims > 0) dotFixedUnrolled(a, b, dims) else dotFixed(a, b)
 
   /** Brute-force exact cosine top-k: queries × vectors scan, per-query
     * ranked window. `queries` should be small (broadcast side).
     */
   def knnBrute(vectors: DataFrame, idCol: String, embCol: String,
-               queryPred: Column, k: Int): DataFrame = {
-    val v = withNormFixed(vectors, idCol, embCol)
+               queryPred: Column, k: Int, dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
     val q = v.filter(queryPred)
       .select(col("id").as("q_id"), col("emb").as("q_emb"), col("norm_f").as("q_norm"))
     val scored = v.join(broadcast(q), col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("n_id"),
-        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+        cosineFromFixed(dotF(col("q_emb"), col("emb"), dims), col("q_norm"), col("norm_f"))
           .as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -108,7 +123,7 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
   def knnLsh(vectors: DataFrame, idCol: String, embCol: String,
              queryPred: Column, k: Int, planes: Int, dims: Int): DataFrame = {
-    val v = withNormFixed(vectors, idCol, embCol)
+    val v = withNormFixed(vectors, idCol, embCol, dims)
       .withColumn("bucket", lshBucket(col("emb"), planes, dims))
     val q = v.filter(queryPred)
       .select(col("id").as("q_id"), col("emb").as("q_emb"),
@@ -116,7 +131,7 @@ object Similarity {
     val scored = v.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("n_id"),
-        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+        cosineFromFixed(dotF(col("q_emb"), col("emb"), dims), col("q_norm"), col("norm_f"))
           .as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -129,13 +144,14 @@ object Similarity {
     * search only vectors in those clusters.
     */
   def knnIvf(vectors: DataFrame, idCol: String, embCol: String,
-             centroidPred: Column, queryPred: Column, k: Int, nprobe: Int): DataFrame = {
-    val v = withNormFixed(vectors, idCol, embCol)
+             centroidPred: Column, queryPred: Column, k: Int, nprobe: Int,
+             dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
     val cent = v.filter(centroidPred)
       .select(col("id").as("c_id"), col("emb").as("c_emb"), col("norm_f").as("c_norm"))
     val affinity = v.crossJoin(broadcast(cent))
       .select(col("id"), col("emb"), col("norm_f"), col("c_id"),
-        cosineFromFixed(dotFixed(col("emb"), col("c_emb")), col("norm_f"), col("c_norm"))
+        cosineFromFixed(dotF(col("emb"), col("c_emb"), dims), col("norm_f"), col("c_norm"))
           .as("c_cos"))
     val wAssign = Window.partitionBy("id").orderBy(desc("c_cos"), asc("c_id"))
     val assigned = affinity.withColumn("crn", row_number().over(wAssign))
@@ -149,7 +165,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes),
         assigned("cluster") === probes("cluster") && col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("n_id"),
-        cosineFromFixed(dotFixed(col("q_emb"), col("emb")), col("q_norm"), col("norm_f"))
+        cosineFromFixed(dotF(col("q_emb"), col("emb"), dims), col("q_norm"), col("norm_f"))
           .as("cosine"))
       .distinct() // a neighbor can sit in two probed clusters
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
@@ -161,11 +177,12 @@ object Similarity {
   /** Brute-force near-dup pairs: all i<j cosines (the LSH/IVF paths above
     * are the sub-quadratic alternative at scale).
     */
-  def cosinePairs(vectors: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val v = withNormFixed(vectors, idCol, embCol)
+  def cosinePairs(vectors: DataFrame, idCol: String, embCol: String,
+                  dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineFromFixed(dotFixed(col("a.emb"), col("b.emb")),
+        cosineFromFixed(dotF(col("a.emb"), col("b.emb"), dims),
           col("a.norm_f"), col("b.norm_f")).as("cosine"))
   }
 }

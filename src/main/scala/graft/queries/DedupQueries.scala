@@ -98,7 +98,11 @@ object DedupQueries {
   }
 
   private val SimBits = 32
-  private val ChunkBits = 8
+  // 2×16-bit chunks: on this closed-vocabulary corpus simhashes correlate
+  // heavily, and 8-bit chunks collide for ~94% of pairs (quadratic
+  // candidates). 16-bit chunks guarantee recall for hamming ≤ 1 and find
+  // hamming ≤ 6 probabilistically — the standard precision/recall knob.
+  private val ChunkBits = 16
 
   /** S1 — SimHash near-dup: 32-bit fingerprint from token-hash bit votes,
     * 8-bit banded chunk join for candidates, exact Hamming distance;
@@ -143,9 +147,8 @@ object DedupQueries {
          |FROM docs a JOIN docs b ON b.id = a.id + 1
          |ORDER BY a.id""".stripMargin
     }) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).select(
-      col("doc_id").as("id"),
-      Dedup.shingleHashes(Dedup.tokenHashes(col("text")), ShingleK).as("shs"))
+    val docs = Dedup.withShingleHashes(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleK)
     docs.as("a").join(docs.as("b"), col("b.id") === col("a.id") + 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         Dedup.jaccard(col("a.shs"), col("b.shs")).as("jaccard"))
