@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`). Injects the engine's native
+  * functions into every new session — the standard deployment path for
+  * custom Catalyst pieces (SURVEY §4: custom work is function-level; no
+  * custom Rule/Strategy is needed for parity, so none is installed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits over the real testdata: the properties that keep
+  * these operators viable at 100 TB — predicate pushdown to the parquet
+  * scan, column pruning, broadcast joins for dims, top-N as
+  * TakeOrderedAndProject, no accidental cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("equality filter pushes down to the parquet scan (p09)") {
+    val plan = planOf("p09_eq_filter")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("year-range scan prunes columns to the projection (p10)") {
+    val plan = planOf("p10_year_range")
+    assert(plan.contains("o_orderkey") && plan.contains("o_orderdate"))
+    assert(!plan.contains("o_totalprice")) // unread column never scanned
+  }
+
+  test("flagship aggregation reads only the six needed lineitem columns (q01)") {
+    val plan = planOf("q01_pricing_summary")
+    assert(!plan.contains("l_shipdate") && !plan.contains("l_partkey"))
+  }
+
+  test("dimension joins broadcast, never sort-merge (j01)") {
+    val plan = planOf("j01_dim_join")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("anti-join stays a hash join (j03)") {
+    val plan = planOf("j03_anti_join")
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bounded sorts plan as TakeOrderedAndProject, not global sort (d04)") {
+    val plan = planOf("d04_sort_by_time")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("LSH candidate generation is an equi-join on band keys, no cartesian (m01)") {
+    val plan = planOf("m01_minhash_lsh")
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop join is the 1-row audit-count cross join;
+    // the pair-candidate join itself must be a hash equi-join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"))
+  }
+
+  test("windowed sessionization produces a single shuffle per window chain (st01)") {
+    val plan = planOf("st01_sessionize")
+    // lag + running sum share one (user_id) partitioning: exactly one
+    // exchange below the final aggregate's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, plan:\n$plan")
+  }
+}
