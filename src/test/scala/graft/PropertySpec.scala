@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, Preprocess}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import scala.util.Random
+
+/** Algebraic properties over seeded-random data (SURVEY §5d): dedup
+  * idempotence, filter commutativity, union-count additivity, sample-cap
+  * invariant, Jaccard bounds/symmetry, and the MinHash union law.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812)
+
+  private def randomDf(n: Int): DataFrame =
+    (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(5), rnd.nextDouble() * 100)
+    }.toDF("id", "k", "cat", "v")
+
+  test("dedupFirst is idempotent and keeps one row per key") {
+    val df = randomDf(500)
+    val once = Dedup.dedupFirst(df, Seq("k"), Seq($"id"))
+    val twice = Dedup.dedupFirst(once, Seq("k"), Seq($"id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.groupBy("k").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("conjunctive filters commute") {
+    val df = randomDf(500)
+    val ab = df.filter($"v" > 30).filter($"cat" =!= 2).collect().toSet
+    val ba = df.filter($"cat" =!= 2).filter($"v" > 30).collect().toSet
+    assert(ab == ba)
+  }
+
+  test("union count is additive") {
+    val a = randomDf(300)
+    val b = randomDf(211)
+    assert(a.unionByName(b).count() == a.count() + b.count())
+  }
+
+  test("per-year sample cap invariant: ∀year, selected ≤ n and = min(n, group)") {
+    val n = 7
+    val df = (1 to 400).map { i =>
+      (i.toLong, Timestamp.valueOf(s"${2010 + rnd.nextInt(5)}-03-01 10:00:00"))
+    }.toDF("id", "timestamp").withColumn("scrape_image", lit(true))
+    val out = Preprocess.selectNImagesPerYear(df, n)
+    val byYear = out.groupBy(year($"timestamp").as("y"))
+      .agg(count(lit(1)).as("total"),
+        sum(when($"scrape_image", 1L).otherwise(0L)).as("sel"))
+      .as[(Int, Long, Long)].collect()
+    byYear.foreach { case (_, total, sel) =>
+      assert(sel == math.min(n.toLong, total))
+    }
+    assert(out.count() == 400) // flags, never drops
+  }
+
+  test("jaccard is symmetric and bounded in [0, 1]") {
+    val sets = (1 to 100).map { i =>
+      (i.toLong, (1 to rnd.nextInt(20) + 1).map(_ => rnd.nextInt(30).toLong).distinct)
+    }.toDF("id", "s")
+    val pairs = sets.as("a").crossJoin(sets.as("b")).limit(2000)
+      .select(Dedup.jaccard($"a.s", $"b.s").as("jab"),
+        Dedup.jaccard($"b.s", $"a.s").as("jba"))
+    assert(pairs.filter($"jab" =!= $"jba").isEmpty)
+    assert(pairs.filter($"jab" < 0 || $"jab" > 1).isEmpty)
+  }
+
+  test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
+    val (a, b) = Dedup.permConstants(2)(1)
+    val df = (1 to 200).map { i =>
+      val xs = (1 to rnd.nextInt(15) + 1).map(_ => rnd.nextInt(1000).toLong).distinct
+      val ys = (1 to rnd.nextInt(15) + 1).map(_ => rnd.nextInt(1000).toLong).distinct
+      (xs, ys)
+    }.toDF("xs", "ys")
+    val checked = df.select(
+      Dedup.minHashSig(array_union($"xs", $"ys"), a, b).as("su"),
+      least(Dedup.minHashSig($"xs", a, b), Dedup.minHashSig($"ys", a, b)).as("mn"))
+    assert(checked.filter($"su" =!= $"mn").isEmpty)
+  }
+}
