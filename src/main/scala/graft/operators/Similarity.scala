@@ -174,6 +174,22 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** Sub-quadratic near-dup pairs: candidates share an LSH bucket, exact
+    * cosine on candidates only — the scale path [[cosinePairs]] baselines.
+    * The bucket equi-join is the single shuffle; candidate volume is
+    * tuned by `planes`.
+    */
+  def lshPairs(vectors: DataFrame, idCol: String, embCol: String,
+               planes: Int, dims: Int): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+      .withColumn("bucket", lshBucket(col("emb"), planes, dims))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineFromFixed(dotFixed(col("a.emb"), col("b.emb")),
+          col("a.norm_f"), col("b.norm_f")).as("cosine"))
+  }
+
   /** Brute-force near-dup pairs: all i<j cosines (the LSH/IVF paths above
     * are the sub-quadratic alternative at scale).
     */

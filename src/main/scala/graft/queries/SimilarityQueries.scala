@@ -109,5 +109,30 @@ object SimilarityQueries {
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
   }
 
-  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs)
+  /** E5 — LSH-bucketed near-dup pairs: the sub-quadratic scale path for
+    * e04 (candidates share a bucket; exact cosine on candidates only).
+    */
+  val e05LshPairs: GraftQuery = GraftQuery(
+    "e05_lsh_pairs",
+    s"""WITH v0 AS ($sqlV),
+       |vf AS (SELECT id, emb, norm_f, ${Similarity.sqlVfix("emb")} AS vfix FROM v0),
+       |v AS (SELECT id, emb, norm_f,
+       |             ${Similarity.sqlLshBucketFromVfix("vfix", Planes, Dims)} AS bucket FROM vf),
+       |scored AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         ${sqlCos("a.emb", "a.norm_f", "b.emb", "b.norm_f")} AS cosine
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id),
+       |top AS (SELECT * FROM scored ORDER BY cosine DESC, id_a, id_b LIMIT 100)
+       |SELECT id_a, id_b, cosine, t.n_candidates
+       |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM scored) t
+       |ORDER BY cosine DESC, id_a, id_b""".stripMargin) { (spark, dir) =>
+    val pairs = Similarity.lshPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Planes, Dims)
+    val total = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.orderBy(desc("cosine"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e05LshPairs)
 }

@@ -110,5 +110,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint)
+  /** Corpus rollup: predicted-language distribution per source with mean
+    * quality inputs — the per-dataset profile a curation pipeline keys
+    * filtering decisions on.
+    */
+  val t05LangDist: GraftQuery = GraftQuery(
+    "t05_lang_dist", {
+      val scoreE = langMarkers.map { case (lang, ms) => lang -> sqlLangScore(sqlTokens("text"), ms) }
+      s"""WITH det AS (
+         |  SELECT source, ${sqlLangPick(scoreE, "text")} AS lang_pred,
+         |         len(${sqlTokens("text")}) AS n_tokens
+         |  FROM documents)
+         |SELECT source, lang_pred, COUNT(*) AS n_docs,
+         |       CAST(SUM(CAST(n_tokens AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_tokens
+         |FROM det GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin
+    }) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toks, ms) }
+    Tables.documents(spark, dir)
+      .select(col("source"), langPick(scores, col("text")).as("lang_pred"),
+        size(toks).as("n_tokens"))
+      .groupBy("source", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens").cast("decimal(28,4)")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("source", "lang_pred")
+  }
+
+  val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint, t05LangDist)
 }
