@@ -313,7 +313,27 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn").limit(2000)
   }
 
+  /** A14 — rollup totals over (year, month): the grouping-sets capability
+    * the reference lacks (SURVEY §2.5 "absences" — free in Spark, added
+    * as an intentional upgrade). Null grouping keys mark subtotal rows
+    * identically in both engines.
+    */
+  val a14Rollup: GraftQuery = GraftQuery(
+    "a14_rollup",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mth,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+      |ORDER BY yr NULLS FIRST, mth NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mth"),
+        col("o_totalprice"))
+      .rollup("yr", "mth")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("mth"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a02Pivot, a03RelShare, a05Describe, a06Profile, a07Histogram,
-    a08Correlation, a10CondCounts, a13RowTotals, j02TimeAlign, w01Windows)
+    a08Correlation, a10CondCounts, a13RowTotals, a14Rollup, j02TimeAlign, w01Windows)
 }
