@@ -158,6 +158,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** S10 — binary sink: write a (image, content) frame as one file per
+    * row under `dir` (ref: ImageAnonymizer.py:44-51 in-place jpeg
+    * writes). Executor-side `foreachPartition`, no driver collect; on a
+    * cluster `dir` is the mounted object store.
+    */
+  def writeImages(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select("image", "content").foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r => // positional: foreachPartition rows carry no schema
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0)),
+            r.getAs[Array[Byte]](1))
+        }
+    }
+  }
+
   /** Tiny scene-hierarchy dimension (the Places365 indoor/outdoor sheet
     * analog, ImageLabeler.py:121-124) for [[joinSceneDim]].
     */

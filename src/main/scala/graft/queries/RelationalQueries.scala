@@ -49,6 +49,36 @@ object RelationalQueries {
 
   private def $c(name: String): Column = col(name)
 
+  /** Second flagship: revenue by nation — the canonical multi-join shape
+    * (fact×fact×3 broadcast dims) AQE + broadcast thresholds must get
+    * right at scale.
+    */
+  val q02RevenueByNation: GraftQuery = GraftQuery(
+    "q02_revenue_by_nation",
+    """SELECT n.n_name AS nation,
+      |  CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1995
+      |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1995),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("nation"))
+  }
+
   // ------------------------------------------------------------- projections
   /** P1 — derived filename `{id}_{code}.jpg` (ref: Preprocessor.py:138). */
   val p01DeriveImage: GraftQuery = GraftQuery(
@@ -224,7 +254,7 @@ object RelationalQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    q01PricingSummary, p01DeriveImage, p03DateParts, p04ArithDerive,
-    p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
+    q01PricingSummary, q02RevenueByNation, p01DeriveImage, p03DateParts,
+    p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
     j01DimJoin, j03AntiJoin, j04SemiJoin, a01TimeBucket)
 }

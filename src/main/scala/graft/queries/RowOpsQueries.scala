@@ -127,7 +127,32 @@ object RowOpsQueries {
       .orderBy("k_mod")
   }
 
+  /** K1 — exact per-group top-k via the custom typed Aggregator
+    * (graft.functions.TopKAggregator): k-bounded buffers, map-side
+    * combinable — vs. the window alternative that shuffles every row.
+    * Oracle is the equivalent ranked window.
+    */
+  val k01TopKAggregator: GraftQuery = GraftQuery(
+    "k01_topk_aggregator",
+    """WITH ranked AS (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS rank
+      |  FROM events)
+      |SELECT event_type, rank, event_id, value FROM ranked WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin) { (spark, dir) =>
+    import graft.functions.{ScoredId, TopKAggregator}
+    val topk = udaf(new TopKAggregator(3), org.apache.spark.sql.Encoders.product[ScoredId])
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col("event_type"), (col("rank0") + 1).cast("long").as("rank"),
+        col("s.id").as("event_id"), col("s.score").as("value"))
+      .orderBy("event_type", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
-    d09SortedUnique, p07JsonExtract)
+    d09SortedUnique, p07JsonExtract, k01TopKAggregator)
 }

@@ -70,6 +70,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!(r sameElements orig))
   }
 
+  test("writeImages round-trips anonymized binaries through the sink") {
+    val imgs = Multimodal.readImages(spark, imageDir)
+    val anon = Multimodal.anonymizeImages(imgs, model)
+    val outDir = Files.createTempDirectory("graft-img-out").toString
+    Multimodal.writeImages(anon, outDir)
+    val back = Multimodal.readImages(spark, outDir)
+    assert(back.count() == imgs.count())
+    val a = anon.filter($"image" === "img_4.jpg").head().getAs[Array[Byte]]("content")
+    val b = back.filter($"image" === "img_4.jpg").head().getAs[Array[Byte]]("content")
+    assert(a sameElements b)
+  }
+
   test("detectLanguage scores marker families with empty sentinel") {
     val df = Seq(
       (1L, "data row column table join"), // datish 4/5
