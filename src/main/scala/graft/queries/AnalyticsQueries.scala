@@ -313,6 +313,40 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn").limit(2000)
   }
 
+  /** A1w — week-grain time buckets with the PANDAS labeling convention:
+    * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
+    * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
+    * flags. bucket_end = date_trunc('week', ts) + 6 days, identical in
+    * both engines.
+    */
+  val a01wWeekEnd: GraftQuery = GraftQuery(
+    "a01w_week_period_end",
+    """SELECT date_trunc('week', ts) + INTERVAL 6 DAY AS week_ending, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy((date_trunc("week", col("ts")) + expr("INTERVAL 6 DAY")).as("week_ending"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("week_ending")
+  }
+
+  /** A6b — the 100 TB profile: approx_count_distinct instead of exact
+    * (SURVEY §2.5 flagged upgrade). HLL sketches differ across engines,
+    * so this query is intentionally unchecked (driver rows-only check);
+    * a06_profile is the exact, oracle-checked twin.
+    */
+  val a06bProfileApprox: GraftQuery = GraftQuery.unchecked(
+    "a06b_profile_approx") { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    cols.map { c =>
+      ev.agg(
+        count(col(c)).as("non_null"),
+        approx_count_distinct(col(c)).as("approx_distinct"))
+        .select(lit(c).as("col_name"), col("non_null"), col("approx_distinct"))
+    }.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   /** A14 — rollup totals over (year, month): the grouping-sets capability
     * the reference lacks (SURVEY §2.5 "absences" — free in Spark, added
     * as an intentional upgrade). Null grouping keys mark subtotal rows
@@ -334,6 +368,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    a02Pivot, a03RelShare, a05Describe, a06Profile, a07Histogram,
-    a08Correlation, a10CondCounts, a13RowTotals, a14Rollup, j02TimeAlign, w01Windows)
+    a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a06Profile, a06bProfileApprox,
+    a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
+    j02TimeAlign, w01Windows)
 }
