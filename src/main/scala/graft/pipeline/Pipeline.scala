@@ -82,10 +82,53 @@ object Pipeline {
     }
   }
 
+  /** Training-data text profiling over a documents parquet
+    * (doc_id, text, …): token stats + language ID + quality + fingerprint
+    * per document, one codegen'd projection.
+    */
+  object TextAnalysisStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      import graft.functions.TextFunctions._
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(in)
+      val toksCol = tokens(col("text"))
+      val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toksCol, ms) }
+      df.withColumn("n_tokens", size(toksCol))
+        .withColumn("n_distinct", size(array_distinct(toksCol)))
+        .withColumn("lang_pred", langPick(scores, col("text")))
+        .withColumn("quality",
+          size(array_distinct(toksCol)).cast("double") / greatest(size(toksCol), lit(1)))
+        .withColumn("fingerprint", rollingHash(col("text")))
+        .write.mode("overwrite").parquet(out)
+    }
+  }
+
+  /** Near-dup detection stage: MinHash+LSH candidate pairs with exact
+    * Jaccard over a documents parquet; pairs above the configured
+    * threshold land in the output.
+    */
+  object DedupStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      import org.apache.spark.sql.functions.col
+      val threshold = optNode(params, "threshold").map(_.asDouble).getOrElse(0.5)
+      graft.operators.Dedup.nearDupPairs(
+          spark.read.parquet(in), "doc_id", "text",
+          shingleK = pInt(params, "shingle_k", 2),
+          numPerms = pInt(params, "num_perms", 16),
+          bands = pInt(params, "bands", 8))
+        .filter(col("jaccard") >= threshold)
+        .write.mode("overwrite").parquet(out)
+    }
+  }
+
   val registry: Map[String, Stage] = Map(
     "PreprocessorStage" -> PreprocessorStage,
     "ExploratoryanalysisStage" -> ExploratoryAnalysisStage,
-    "ExploratoryAnalysisStage" -> ExploratoryAnalysisStage)
+    "ExploratoryAnalysisStage" -> ExploratoryAnalysisStage,
+    "TextAnalysisStage" -> TextAnalysisStage,
+    "DedupStage" -> DedupStage)
 
   final case class StageResult(stage: String, status: String, seconds: Double)
 

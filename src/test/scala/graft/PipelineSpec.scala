@@ -80,6 +80,34 @@ class PipelineSpec extends SparkSpec {
     assert(again("Exploratory Analysis") == "skipped")
   }
 
+  test("training-data stages run over a documents parquet") {
+    val root = Files.createTempDirectory("graft-pipe3").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.parquet(s"$root/documents")
+    val cfgJson =
+      """{"dataset_name": "t", "stages": [
+        |  {"name": "Text", "implementation": "TextAnalysisStage",
+        |   "input": "documents", "output": "text_stats", "enabled": true, "params": {}},
+        |  {"name": "Dedup", "implementation": "DedupStage",
+        |   "input": "documents", "output": "dup_pairs", "enabled": true,
+        |   "params": {"threshold": 0.9}}
+        |]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfgJson)
+    val summary = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(summary("Text") == "ok" && summary("Dedup") == "ok")
+    val stats = spark.read.parquet(s"$root/text_stats")
+    assert(stats.columns.contains("fingerprint") && stats.count() == 3)
+    // identical texts share a fingerprint
+    assert(stats.select("fingerprint").distinct().count() == 2)
+    val pairs = spark.read.parquet(s"$root/dup_pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L))) // the exact dup, jaccard 1.0
+  }
+
   test("missing input is reported, not fatal") {
     val root = Files.createTempDirectory("graft-pipe2").toString
     Files.writeString(Paths.get(s"$root/config.json"), configJson)
