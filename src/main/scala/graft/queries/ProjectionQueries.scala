@@ -166,7 +166,34 @@ object ProjectionQueries {
       .orderBy("l_orderkey", "pos")
   }
 
+  /** F1 — scalar-function surface sweep (SURVEY §2.7): printf-style
+    * formatting, padding, substring/slice, array_join, trim/length — the
+    * string toolbox the reference touches, in one oracle-checked pass.
+    */
+  val f01ScalarSurface: GraftQuery = GraftQuery(
+    "f01_scalar_surface",
+    """SELECT doc_id,
+      |  printf('%s_%03d.jpg', source, CAST(doc_id % 100 AS INT)) AS fname,
+      |  rpad(source, 8, '.') AS padded,
+      |  substring(text, 1, 12) AS head12,
+      |  upper(substring(source, 2, 3)) AS mid_upper,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '|') AS first3,
+      |  len(trim(text)) AS trimmed_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        format_string("%s_%03d.jpg", col("source"), (col("doc_id") % 100).cast("int")).as("fname"),
+        rpad(col("source"), 8, ".").as("padded"),
+        substring(col("text"), 1, 12).as("head12"),
+        upper(substring(col("source"), 2, 3)).as("mid_upper"),
+        array_join(slice(split(col("text"), " "), 1, 3), "|").as("first3"),
+        length(trim(col("text"))).as("trimmed_len"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     p08RegexExtract, p11ArrayInclude, p12ArrayExclude, p13ContainsAny,
-    p19TransformArray, d03GroupSample, a04ExplodeCount, j05NestRoundtrip)
+    p19TransformArray, d03GroupSample, a04ExplodeCount, j05NestRoundtrip,
+    f01ScalarSurface)
 }
