@@ -3,6 +3,7 @@ package graft
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 /** Micro-batch behavior of the streaming operators via MemoryStream. */
@@ -43,6 +44,31 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L)) // second event_id=1 dropped
+    } finally q.stop()
+  }
+
+  test("file-source micro-batch equals the batch plan (readStream over testdata)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source needs a directory; testdata is one file
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(src, dirP.resolve("events.parquet"))
+    val dir = dirP.toString
+    val schema = spark.read.parquet(dir).schema
+    val rebuild = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = EventStreams.windowedTypeCounts(
+      rebuild(spark.readStream.schema(schema).parquet(dir)), "1 hour", "1 day")
+    val q = streamed.writeStream.format("memory").queryName("filewtc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      val stream = spark.table("filewtc").collect().toSet
+      val batch = EventStreams.windowedTypeCounts(
+        rebuild(spark.read.parquet(dir)), "1 hour", "1 day").collect().toSet
+      assert(stream == batch)
+      assert(stream.nonEmpty)
     } finally q.stop()
   }
 
