@@ -124,6 +124,16 @@ class PostExtractSpec extends SparkSpec {
     assert(out.select("image").as[String].collect().toSet == Set("21_pqr.jpg", "402_c2.jpg"))
   }
 
+  test("JSON sink round-trips post_metadata (S8)") {
+    val out = PostExtract.flattenPosts(postsDf, "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/meta"
+    out.write.json(dir)
+    val back = spark.read.schema(out.schema).json(dir)
+    assert(back.count() == out.count())
+    val r = back.filter($"id" === 21L).head()
+    assert(r.getSeq[String](r.fieldIndex("comments_flat")) == Seq("parent1", "reply1", "parent2"))
+  }
+
   test("ctPostsTable flattens CrowdTangle statistics/account structs") {
     val ct =
       """{"account": {"name": "N", "handle": "h", "subscriberCount": 10, "platformId": "p1"},
