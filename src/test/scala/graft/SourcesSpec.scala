@@ -17,6 +17,47 @@ class SourcesSpec extends SparkSpec {
     chunks.sliding(2).foreach { case Seq(a, b) => assert(a._3 == b._2); case _ => }
   }
 
+  test("FeedPager pages through cursors with retries and lands scannable JSON") {
+    import graft.sources.FeedPager
+    val dir = java.nio.file.Files.createTempDirectory("graft-feed").toString
+    var calls = 0
+    // 3 pages; every first attempt per cursor fails (retry needed)
+    def fetch(cursor: Option[String]): Either[String, FeedPager.Page] = {
+      calls += 1
+      if (calls % 2 == 1) Left("transient")
+      else {
+        val n = cursor.map(_.drop(1).toInt).getOrElse(0)
+        val post = s"""{"id": ${100 + n}, "shortcode": "sc$n", "is_video": false,
+          | "likes": $n, "comments": 1, "comments_disabled": false,
+          | "description": "d", "hashtags": [], "mentions": [],
+          | "display_url": "u", "thumbnail_src": "t",
+          | "owner": {"id": 7}, "taken_at_timestamp": ${1500000000 + n}}"""
+          .stripMargin.replace("\n", " ")
+        val next = if (n >= 2) None else Some(s"c${n + 1}")
+        Right(FeedPager.Page(s"""{"collector": [$post]}""", next))
+      }
+    }
+    val st = FeedPager.run(dir, FeedPager.initialState, maxPages = 10, maxTries = 3)(fetch)
+    assert(st.exhausted && st.pagesFetched == 3)
+    assert(st.cursors == Vector("c1", "c2"))
+    // the landing dir is one schema'd scan away from the posts table
+    val posts = graft.operators.PostExtract.postsTable(
+      graft.operators.PostExtract.readFeedResponses(spark, dir), "hashtag", "x")
+    assert(posts.count() == 3)
+    // resume-from-state is a no-op when exhausted
+    val again = FeedPager.run(dir, st, maxPages = 10, maxTries = 3)(fetch)
+    assert(again == st)
+  }
+
+  test("FeedPager aborts resumably when the retry budget is exhausted") {
+    import graft.sources.FeedPager
+    val dir = java.nio.file.Files.createTempDirectory("graft-feed2").toString
+    val st = FeedPager.run(dir, FeedPager.initialState, maxPages = 5, maxTries = 2) {
+      _ => Left("down")
+    }
+    assert(!st.exhausted && st.pagesFetched == 0 && st.cursors.isEmpty)
+  }
+
   test("remaining resumes at the persisted chunk cursor") {
     val chunks = ScrapeChunks.dateChunks(spark, "2021-01-01", "2021-03-01", 7)
     val rem = ScrapeChunks.remaining(chunks, currentChunk = 3)
