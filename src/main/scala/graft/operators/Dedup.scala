@@ -160,13 +160,20 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk_id", "chunk_key")))
+    // a pair agreeing on several chunks would surface once per chunk;
+    // keeping only the FIRST matching chunk (checkable from the sims
+    // alone) dedups without a distinct() shuffle over the candidates
+    val noEarlierMatch = (0 until nChunks).map { c =>
+      col("x.chunk_id") <= c ||
+        shiftright(col("x.sim"), c * chunkBits).bitwiseAND(lit(mask)) =!=
+          shiftright(col("y.sim"), c * chunkBits).bitwiseAND(lit(mask))
+    }.reduce(_ && _)
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
           col("x.chunk_key") === col("y.chunk_key") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") && noEarlierMatch)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
-      .distinct()
   }
 
   /** Exact dedup keeping the first row per key by a stable order (ref:
