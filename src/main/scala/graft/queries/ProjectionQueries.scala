@@ -19,13 +19,15 @@ object ProjectionQueries {
     */
   val p08RegexExtract: GraftQuery = GraftQuery(
     "p08_regex_extract",
-    """SELECT doc_id, regexp_extract_all(text, '\b(s\w+)\b', 1) AS s_words,
+    """SELECT doc_id, to_json(regexp_extract_all(text, '\b(s\w+)\b', 1)) AS s_words,
       |       len(regexp_extract_all(text, '\b(s\w+)\b', 1)) AS n_s_words
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // List result serialized via to_json on both sides: the driver's pandas
+    // checker cannot sort/hash raw array cells (same fix as d09/p19).
     val pat = "\\b(s\\w+)\\b"
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(pat), lit(1)).as("s_words"),
+        to_json(regexp_extract_all(col("text"), lit(pat), lit(1))).as("s_words"),
         size(regexp_extract_all(col("text"), lit(pat), lit(1))).as("n_s_words"))
       .orderBy("doc_id")
   }
@@ -88,11 +90,12 @@ object ProjectionQueries {
   val p19TransformArray: GraftQuery = GraftQuery(
     "p19_transform_array",
     s"""SELECT doc_id,
-       |  list_transform(list_slice(${TextFunctions.sqlTokens("text")}, 1, 3), t -> upper(t)) AS head_upper
+       |  to_json(list_transform(list_slice(${TextFunctions.sqlTokens("text")}, 1, 3), t -> upper(t))) AS head_upper
        |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // List result serialized via to_json on both sides (same fix as d09/p08).
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        transform(slice(TextFunctions.tokens(col("text")), 1, 3), t => upper(t)).as("head_upper"))
+        to_json(transform(slice(TextFunctions.tokens(col("text")), 1, 3), t => upper(t))).as("head_upper"))
       .orderBy("doc_id")
   }
 

@@ -201,16 +201,21 @@ object RelationalQueries {
   }
 
   /** J3/P14 — left-anti membership: customers with no orders (ref:
-    * InstagramImageScraper.py:157-160 undone-set anti-join).
+    * InstagramImageScraper.py:157-160 undone-set anti-join). The oracle
+    * filters NULL o_custkey explicitly: SQL NOT IN yields no rows if the
+    * subquery contains a NULL, while left_anti treats nulls as non-matching
+    * — parity must not depend on the generator never emitting NULL keys.
     */
   val j03AntiJoin: GraftQuery = GraftQuery(
     "j03_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL)
       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
     Tables.customer(spark, dir)
       .join(
-        Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1995),
+        Tables.orders(spark, dir)
+          .filter(year(col("o_orderdate")) === 1995 && col("o_custkey").isNotNull),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")

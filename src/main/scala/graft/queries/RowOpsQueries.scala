@@ -98,15 +98,22 @@ object RowOpsQueries {
   }
 
   /** D9 — sorted-unique values per group (ref: ExploratoryAnalysis.py:40-43
-    * per-column unique list): collect_set + array_sort.
+    * per-column unique list): collect_set + array_sort. The list result is
+    * serialized with to_json on BOTH sides so the driver's pandas checker
+    * can sort/hash it (raw array cells crash its sort_values), and NULL
+    * langs are excluded explicitly on both sides — collect_set drops nulls
+    * while DuckDB's list(DISTINCT) keeps them, so parity must not depend
+    * on the data never containing NULL.
     */
   val d09SortedUnique: GraftQuery = GraftQuery(
     "d09_sorted_unique",
-    """SELECT source, list_sort(list(DISTINCT lang)) AS langs, COUNT(*) AS n_docs
+    """SELECT source,
+      |       to_json(list_sort(list(DISTINCT lang) FILTER (WHERE lang IS NOT NULL))) AS langs,
+      |       COUNT(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .groupBy("source")
-      .agg(array_sort(collect_set(col("lang"))).as("langs"), count(lit(1)).as("n_docs"))
+      .agg(to_json(array_sort(collect_set(col("lang")))).as("langs"), count(lit(1)).as("n_docs"))
       .orderBy("source")
   }
 
