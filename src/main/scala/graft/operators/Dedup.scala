@@ -93,7 +93,15 @@ object Dedup {
                    shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms == bands * 2, "2 rows per band")
     val perms = permConstants(numPerms)
+    // The shingle frame feeds BOTH sides of the band self-join AND both
+    // sides of the verification join; without materialization Spark plans
+    // the tokenize→shingle subtree once per consumer (4×). A broadcast-hash
+    // self-join cannot reuse exchanges (one side has no exchange at all),
+    // so persist explicitly. MEMORY_AND_DISK: narrow frame (id + hash
+    // arrays), spills instead of OOM at scale; Spark's ContextCleaner
+    // unpersists it once the query's RDDs are unreferenced.
     val withShs = withShingleHashes(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
       minHashSig(col("shs"), a, b).as(s"sig_$i")
     }
@@ -104,6 +112,8 @@ object Dedup {
       .select(col("id") +: bandKeys: _*)
       .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
         .as(Seq("band_id", "band_key")))
+      // both self-join sides read this; (id, band_id, band_key) is 24 B/row
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
@@ -160,6 +170,10 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk_id", "chunk_key")))
+      // materialize the fingerprint once: the per-bit aggregate HOFs are
+      // the expensive part, and both self-join sides consume this frame
+      // (broadcast self-joins plan the subtree twice otherwise)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a pair agreeing on several chunks would surface once per chunk;
     // keeping only the FIRST matching chunk (checkable from the sims
     // alone) dedups without a distinct() shuffle over the candidates

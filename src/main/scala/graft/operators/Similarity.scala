@@ -181,8 +181,11 @@ object Similarity {
     */
   def lshPairs(vectors: DataFrame, idCol: String, embCol: String,
                planes: Int, dims: Int): DataFrame = {
+    // norm + bucket signatures feed both self-join sides; a broadcast
+    // self-join cannot reuse exchanges, so materialize them once
     val v = withNormFixed(vectors, idCol, embCol)
       .withColumn("bucket", lshBucket(col("emb"), planes, dims))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -206,11 +209,21 @@ object Similarity {
     * At 100 TB you never brute-force all pairs (that's [[lshPairs]]);
     * when you do want the exact baseline on a sample, the broadcast
     * bound is the sample size (vectors must fit an executor), the
-    * compute parallelizes over row-slices.
+    * compute parallelizes over row-slices. `maxVectors` ENFORCES that
+    * bound: the collect fails fast (with a pointer to the scale path)
+    * instead of OOMing the driver when handed a full table. The probe is
+    * a limit(max+1).count() — it stops scanning after max+1 rows, never
+    * a full count.
     */
-  def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+  def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,
+                      maxVectors: Int = 1000000): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val probe = vectors.select(col(idCol)).limit(maxVectors + 1).count()
+    require(probe <= maxVectors,
+      s"cosinePairsTopK is a driver-side all-pairs kernel bounded to $maxVectors vectors; " +
+        s"input exceeds it — sample the input or use Similarity.lshPairs (bucketed, " +
+        s"distributed) for near-dup pairs at scale")
     val vecs = vectors.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(vecs)

@@ -84,6 +84,17 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == 3L)
   }
 
+  test("cosinePairsTopK fails fast above the driver-collect bound") {
+    val vecs = (0L until 10L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("vid", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsTopK(vecs, "vid", "emb", k = 3, maxVectors = 5)
+    }
+    assert(e.getMessage.contains("lshPairs"))
+    // within the bound it still computes the exact answer
+    val ok = Similarity.cosinePairsTopK(vecs, "vid", "emb", k = 3, maxVectors = 10)
+    assert(ok.count() == 3)
+  }
+
   test("ReprList codec round-trips single-quoted python reprs") {
     val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
       .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
