@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -21,12 +20,15 @@ import org.apache.spark.sql.types._
   *  - failures (the reference's B/W-image skip, ImageLabeler.py:142-146)
   *    surface as null outputs filterable downstream, never task failures.
   *
-  * The actual decode/inference backend is pluggable ([[VisionModel]]).
-  * No image library ships in this environment, so [[StubVisionModel]] is
-  * a clearly-marked deterministic fake computing every output from a
-  * rolling hash of the bytes — the Spark plumbing (schema, partitioning,
-  * batching, failure semantics) is real and tested; swapping in an
-  * ONNX/DJL backend changes only the trait implementation.
+  * The decode/inference backend is pluggable ([[VisionModel]]).
+  * [[ImageIoVisionModel]] is the default: it REALLY decodes images with
+  * JVM-native `javax.imageio` (no native deps) and computes every output
+  * from actual pixels — a deterministic linear scene model over pooled
+  * gray statistics (standing in for resnet50-places365), grid-pooled
+  * descriptors (standing in for the 2048-d DIR vectors), and the
+  * reference's exact block-mean face-pixelation arithmetic. Only the
+  * DNN weights are synthetic; swapping in an ONNX/DJL backend changes
+  * nothing but the trait implementation.
   */
 object Multimodal {
 
@@ -50,43 +52,150 @@ object Multimodal {
     def dim: Int
   }
 
-  /** Deterministic fake backend — STUB standing in for a real decode +
-    * DNN (resnet50-places365 / Resnet101-AP-GeM in the reference). Every
-    * output derives from a byte-level rolling hash, so results are
-    * reproducible across runs/partitionings. Inputs whose hash ≡ 0
-    * (mod 17) simulate the reference's undecodable-image skip.
+  /** Real JVM-native vision backend over `javax.imageio`:
+    *
+    *  - `label` — decode, reject single-band (B/W) images exactly like the
+    *    reference's 3-channel transform RuntimeError skip
+    *    (ImageLabeler.py:141-146), pool gray means over a `grid`×`grid`
+    *    spatial grid, and run a deterministic linear classifier + softmax
+    *    over them → top-5 (label, prob) sorted desc + argmax category
+    *    (ImageLabeler.py:149-160). The weights are a fixed LCG (no DNN
+    *    ships here) but the features are REAL pixels.
+    *  - `embed` — grid-pooled mean-gray descriptor scaled to [0,1)
+    *    (DIRAdapter.py:20-47's fixed-dim vector, dim = grid²).
+    *  - `anonymize` — decode, take the detected face box (the SSD detector
+    *    does not ship, so detection is a deterministic centered box at
+    *    half the frame), and apply the reference's exact pixelation
+    *    arithmetic (anonymize_face.py:44-70): `blocks`×`blocks` linspace
+    *    boundaries, each block filled with its truncated per-channel mean;
+    *    re-encoded as lossless PNG. Undecodable input passes through.
+    *
+    * All outputs derive from decoded pixels only — deterministic across
+    * runs, partitionings, and (for PNG/BMP inputs) platforms.
     */
-  final case class StubVisionModel(numLabels: Int = 8, dim0: Int = 16) extends VisionModel {
-    private def byteHash(bs: Array[Byte]): Long = {
-      var h = 0L
-      var i = 0
-      while (i < bs.length) {
-        h = (h * TextFunctions.HashMul + (bs(i) & 0xff)) % TextFunctions.HashP
-        i += 1
+  final case class ImageIoVisionModel(numLabels: Int = 8, grid: Int = 4,
+                                      blocks: Int = 3) extends VisionModel {
+    import java.awt.image.BufferedImage
+
+    def dim: Int = grid * grid
+
+    private def decode(content: Array[Byte]): Option[BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+
+    /** Mirror of the reference's B/W skip: its 3-channel normalize throws
+      * on single-band images and the row is dropped (ImageLabeler.py:141-146).
+      */
+    private def decodeColor(content: Array[Byte]): Option[BufferedImage] =
+      decode(content).filter(_.getColorModel.getNumComponents >= 3)
+
+    /** Integer gray sums (r+g+b per pixel) per g×g grid cell, row-major,
+      * with numpy-linspace-style truncated boundaries: cell (bx,by) spans
+      * x ∈ [bx·w/g, (bx+1)·w/g). Also returns per-cell pixel counts.
+      * Integer-exact, so an SQL oracle can reproduce it bit-for-bit.
+      */
+    def grayBlockSums(img: BufferedImage, g: Int): (Array[Long], Array[Long]) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val xs = Array.tabulate(g + 1)(i => i * w / g)
+      val ys = Array.tabulate(g + 1)(i => i * h / g)
+      val sums = new Array[Long](g * g)
+      val counts = new Array[Long](g * g)
+      for (by <- 0 until g; bx <- 0 until g) {
+        val c = by * g + bx
+        var y = ys(by)
+        while (y < ys(by + 1)) {
+          var x = xs(bx)
+          while (x < xs(bx + 1)) {
+            val rgb = img.getRGB(x, y)
+            sums(c) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
       }
-      h
+      (sums, counts)
     }
-    def dim: Int = dim0
-    def label(content: Array[Byte]): Option[Seq[(String, Double)]] = {
-      val h = byteHash(content)
-      if (h % 17 == 0) None // simulated decode failure
-      else Some((0 until 5).map { k =>
-        val hk = (h * 31 + k) % 1000
-        (s"scene_${(h + k) % numLabels}", (1000 - hk).toDouble / 5000.0)
-      }.sortBy(-_._2))
+
+    /** Decoded block sums for external (oracle-checked) consumers; None on
+      * undecodable or single-band input.
+      */
+    def grayBlockSums(content: Array[Byte], g: Int): Option[Array[Long]] =
+      decodeColor(content).map(img => grayBlockSums(img, g)._1)
+
+    /** Decoded (width, height, row-major g×g block gray sums) — the
+      * integer statistics the oracle-checked image gate query compares.
+      */
+    def decodeStats(content: Array[Byte], g: Int): Option[(Int, Int, Array[Long])] =
+      decodeColor(content).map(img => (img.getWidth, img.getHeight, grayBlockSums(img, g)._1))
+
+    /** Fixed LCG weight for (class k, cell c) in [-0.5, 0.5). */
+    private def weight(k: Int, c: Int): Double = {
+      val n = k.toLong * 7919L + c.toLong * 104729L
+      val g = Math.floorMod(n * 1103515245L + 12345L, 1024L)
+      (g - 512L).toDouble / 1024.0
     }
-    def embed(content: Array[Byte]): Option[Array[Float]] = {
-      val h = byteHash(content)
-      if (h % 17 == 0) None
-      else Some(Array.tabulate(dim0)(d => (((h * 31 + d) % 1997).toFloat / 1997.0f) - 0.5f))
-    }
-    def anonymize(content: Array[Byte]): Array[Byte] = {
-      val out = content.clone()
-      // "pixelate": zero every 4th byte past a header — deterministic marker
-      var i = 8
-      while (i < out.length) { out(i) = 0; i += 4 }
-      out
-    }
+
+    def label(content: Array[Byte]): Option[Seq[(String, Double)]] =
+      decodeColor(content).map { img =>
+        val (sums, counts) = grayBlockSums(img, grid)
+        val feats = sums.indices.map(c =>
+          if (counts(c) == 0) 0.0 else sums(c).toDouble / (counts(c) * 768.0))
+        val logits = (0 until numLabels).map { k =>
+          feats.indices.map(c => weight(k, c) * feats(c)).sum * 8.0
+        }
+        val mx = logits.max
+        val exps = logits.map(l => math.exp(l - mx))
+        val z = exps.sum
+        (0 until numLabels).map(k => (s"scene_$k", exps(k) / z))
+          .sortBy { case (l, p) => (-p, l) }
+          .take(5)
+      }
+
+    def embed(content: Array[Byte]): Option[Array[Float]] =
+      decodeColor(content).map { img =>
+        val (sums, counts) = grayBlockSums(img, grid)
+        Array.tabulate(dim)(c =>
+          if (counts(c) == 0) 0.0f else (sums(c).toDouble / (counts(c) * 768.0)).toFloat)
+      }
+
+    def anonymize(content: Array[Byte]): Array[Byte] =
+      decode(content) match {
+        case None => content // undecodable input passes through unchanged
+        case Some(img0) =>
+          // normalize to INT_RGB so setRGB/getRGB round-trip exactly
+          val img = new BufferedImage(img0.getWidth, img0.getHeight,
+            BufferedImage.TYPE_INT_RGB)
+          img.getGraphics.drawImage(img0, 0, 0, null)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // "detected" face ROI: centered box at half the frame
+          val (sx, sy, ex, ey) = (w / 4, h / 4, w / 4 + w / 2, h / 4 + h / 2)
+          val (fw, fh) = (ex - sx, ey - sy)
+          if (fw > 0 && fh > 0) {
+            // anonymize_face.py:47-49 linspace block boundaries (truncated)
+            val xs = (0 to blocks).map(i => i * fw / blocks)
+            val ys = (0 to blocks).map(i => i * fh / blocks)
+            for (bi <- 1 to blocks; bj <- 1 to blocks) {
+              val (x0, x1, y0, y1) = (xs(bj - 1), xs(bj), ys(bi - 1), ys(bi))
+              var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+              for (y <- y0 until y1; x <- x0 until x1) {
+                val rgb = img.getRGB(sx + x, sy + y)
+                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+                n += 1
+              }
+              if (n > 0) {
+                // cv2.mean + int(): truncated per-channel means fill the block
+                val fill = (((rs / n).toInt & 0xff) << 16) |
+                  (((gs / n).toInt & 0xff) << 8) | ((bs / n).toInt & 0xff)
+                for (y <- y0 until y1; x <- x0 until x1)
+                  img.setRGB(sx + x, sy + y, fill)
+              }
+            }
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos) // lossless, deterministic
+          bos.toByteArray
+      }
   }
 
   val predictionsType: DataType =
@@ -173,6 +282,30 @@ object Multimodal {
             r.getAs[Array[Byte]](1))
         }
     }
+  }
+
+  /** Deterministic synthetic test image for an id: dimensions and every
+    * channel are integer-closed functions of (id, x, y), so an SQL oracle
+    * can recompute any pooled pixel statistic exactly — while the Spark
+    * side goes through a REAL PNG encode + [[ImageIoVisionModel]] decode,
+    * proving the decode path end-to-end.
+    *   w = 16 + id%13, h = 12 + id%11
+    *   r = (7x+11y+13·id)%256, g = (3x+5y+17·id)%256, b = (13x+7y+19·id)%256
+    */
+  def syntheticImage(id: Long): Array[Byte] = {
+    val w = (16 + id % 13).toInt
+    val h = (12 + id % 11).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = Math.floorMod(7L * x + 11L * y + 13L * id, 256L).toInt
+      val g = Math.floorMod(3L * x + 5L * y + 17L * id, 256L).toInt
+      val b = Math.floorMod(13L * x + 7L * y + 19L * id, 256L).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Tiny scene-hierarchy dimension (the Places365 indoor/outdoor sheet

@@ -10,39 +10,57 @@ import java.nio.file.{Files, Paths}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Real encoded images: six PNGs rendered by syntheticImage, one
+    * grayscale PNG (the reference's B/W-skip case), one corrupt file.
+    */
   private lazy val imageDir: String = {
     val dir = Files.createTempDirectory("graft-img")
-    // fake "images": deterministic byte blobs keyed by filename
     (1 to 6).foreach { i =>
-      val bytes = Array.tabulate[Byte](64 + i)(j => ((i * 37 + j * 11) % 251).toByte)
-      Files.write(dir.resolve(s"img_$i.jpg"), bytes)
+      Files.write(dir.resolve(s"img_$i.png"), Multimodal.syntheticImage(i.toLong))
     }
+    val bw = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bw, "png", bos)
+    Files.write(dir.resolve("bw.png"), bos.toByteArray)
+    Files.write(dir.resolve("corrupt.jpg"), Array.tabulate[Byte](40)(j => (j * 7).toByte))
     dir.toString
   }
 
-  private val model = Multimodal.StubVisionModel()
+  private val model = Multimodal.ImageIoVisionModel()
+
+  private def constImage(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   test("binaryFile ingest exposes (image, length, content)") {
     val df = Multimodal.readImages(spark, imageDir)
     assert(df.columns.toSeq == Seq("image", "length", "content"))
-    assert(df.count() == 6)
-    val r = df.filter($"image" === "img_3.jpg").head()
-    assert(r.getAs[Long]("length") == 67L)
-    assert(r.getAs[Array[Byte]]("content").length == 67)
+    assert(df.count() == 8)
+    val r = df.filter($"image" === "img_3.png").head()
+    assert(r.getAs[Long]("length") ==
+      r.getAs[Array[Byte]]("content").length.toLong)
   }
 
-  test("labelImages is deterministic, batched, with top-5 + argmax and scene join") {
+  test("labelImages decodes real pixels: top-5 + argmax, B/W and corrupt rows skipped") {
     val imgs = Multimodal.readImages(spark, imageDir)
     val labels = Multimodal.labelImages(imgs, model, batchSize = 2)
     val out = Multimodal.joinSceneDim(labels, Multimodal.sceneDim(spark))
-    val rows = out.collect()
-    assert(rows.nonEmpty)
-    val r = out.filter($"image" === "img_1.jpg").head()
+    // grayscale and corrupt inputs dropped with the reference's skip
+    // semantics, never task failures
+    assert(labels.count() == 6)
+    assert(labels.filter($"image".isin("bw.png", "corrupt.jpg")).count() == 0)
+    val r = out.filter($"image" === "img_1.png").head()
     val preds = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("predictions"))
     assert(preds.length == 5)
-    // predictions sorted by prob desc; argmax category equals head label
     val probs = preds.map(_.getAs[Double]("prob"))
     assert(probs == probs.sortBy(-1 * _))
+    assert(probs.sum > 0.5 && probs.sum <= 1.0 + 1e-12) // softmax mass
     assert(r.getAs[String]("category") == preds.head.getAs[String]("label"))
     assert(Set("indoor", "outdoor")(r.getAs[String]("environment")))
     // determinism across runs and partitionings
@@ -52,22 +70,41 @@ class MultimodalSpec extends SparkSpec {
     assert(again == first)
   }
 
-  test("embedImages yields fixed-dim float vectors; failures are skipped not fatal") {
+  test("embedImages pools real pixels into fixed-dim vectors") {
     val imgs = Multimodal.readImages(spark, imageDir)
     val emb = Multimodal.embedImages(imgs, model)
+    assert(emb.count() == 6) // bw + corrupt skipped
     val dims = emb.select(size($"embedding")).as[Int].collect()
     assert(dims.forall(_ == model.dim))
-    assert(emb.count() <= 6) // hash%17==0 rows (if any) silently skipped
+    // constant-color image ⇒ every pooled cell is exactly (r+g+b)/768
+    val const = Seq(("c.png", constImage(8, 8, 10, 20, 30))).toDF("image", "content")
+    val v = Multimodal.embedImages(const, model).head().getSeq[Float](1)
+    assert(v.forall(_ == 60.0f / 768.0f))
   }
 
-  test("anonymizeImages rewrites bytes deterministically and preserves length") {
-    val imgs = Multimodal.readImages(spark, imageDir)
-    val anon = Multimodal.anonymizeImages(imgs, model)
-    val r = anon.filter($"image" === "img_2.jpg").head().getAs[Array[Byte]]("content")
-    val orig = imgs.filter($"image" === "img_2.jpg").head().getAs[Array[Byte]]("content")
-    assert(r.length == orig.length)
-    assert(r(8) == 0 && r(12) == 0)      // pixelation marker applied
-    assert(!(r sameElements orig))
+  test("anonymizeImages applies the reference's block-mean pixelation to the face box") {
+    // 40×40, left half black, right half white; face box x,y ∈ [10,30)
+    val img = new java.awt.image.BufferedImage(40, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 40)
+      img.setRGB(x, y, if (x < 20) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("split.png", bos.toByteArray)).toDF("image", "content")
+    val outBytes = Multimodal.anonymizeImages(df, model).head().getAs[Array[Byte]]("content")
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    // outside the face box: untouched
+    assert((out.getRGB(5, 5) & 0xffffff) == 0x000000)
+    assert((out.getRGB(35, 5) & 0xffffff) == 0xffffff)
+    // middle block column (linspace [6,13) + box offset 10 → x∈[16,23)):
+    // 4 black + 3 white columns → truncated mean 255*18/42 = 109 per channel
+    assert((out.getRGB(17, 12) & 0xffffff) == 0x6d6d6d)
+    // first block column all black, last all white — mean-fill preserves them
+    assert((out.getRGB(11, 12) & 0xffffff) == 0x000000)
+    assert((out.getRGB(26, 12) & 0xffffff) == 0xffffff)
+    // corrupt input passes through unchanged
+    val garbage = Array.tabulate[Byte](16)(_.toByte)
+    assert(model.anonymize(garbage) sameElements garbage)
   }
 
   test("writeImages round-trips anonymized binaries through the sink") {
@@ -77,8 +114,8 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.writeImages(anon, outDir)
     val back = Multimodal.readImages(spark, outDir)
     assert(back.count() == imgs.count())
-    val a = anon.filter($"image" === "img_4.jpg").head().getAs[Array[Byte]]("content")
-    val b = back.filter($"image" === "img_4.jpg").head().getAs[Array[Byte]]("content")
+    val a = anon.filter($"image" === "img_4.png").head().getAs[Array[Byte]]("content")
+    val b = back.filter($"image" === "img_4.png").head().getAs[Array[Byte]]("content")
     assert(a sameElements b)
   }
 
