@@ -15,10 +15,18 @@ object CsvIo {
 
   /** Read a `posts` CSV (feed-scrape output shape, Preprocessor.py:107):
     * declared schema — no inference job — then decode list columns.
+    *
+    * The real feed output has multi-line quoted captions and RFC-4180
+    * doubled quotes (pandas' to_csv defaults), so multiLine + quote-escape
+    * are required for parity. multiLine makes a CSV file non-splittable;
+    * acceptable because CSV exists only at declared edges — intermediates
+    * are Parquet.
     */
   def readPosts(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
       .schema(Schemas.postsCsv)
       .csv(path)
       .withColumn("hashtags", Schemas.ReprList.decode(col("hashtags")))
@@ -28,6 +36,8 @@ object CsvIo {
   def readPreprocessed(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
       .schema(Schemas.postsPreprocessedCsv)
       .csv(path)
       .withColumn("hashtags", Schemas.ReprList.decode(col("hashtags")))
@@ -45,6 +55,11 @@ object CsvIo {
       }
     }
     val out = if (singleFile) encoded.coalesce(1) else encoded
-    out.write.mode("overwrite").option("header", "true").csv(path)
+    out.write.mode("overwrite")
+      .option("header", "true")
+      // RFC-4180 quote doubling (pandas to_csv convention) — must mirror
+      // the readers' escape setting or embedded quotes break the round-trip
+      .option("escape", "\"")
+      .csv(path)
   }
 }

@@ -64,7 +64,9 @@ class PipelineSpec extends SparkSpec {
     assert(summary("Exploratory Analysis") == "ok")
 
     // preprocessed output: video dropped, 21+id columns, lowercased tags
-    val raw = spark.read.option("header", "true").csv(s"$root/posts_preprocessed.csv")
+    val raw = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$root/posts_preprocessed.csv")
     assert(raw.count() == 2) // id2 is a video
     assert(raw.columns.toSeq == graft.schema.Schemas.postsPreprocessedColumns)
     assert(raw.filter(col("id") === "1").head().getAs[String]("hashtags") == """["#golf"]""")
