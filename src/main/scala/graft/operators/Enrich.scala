@@ -42,11 +42,13 @@ object Enrich {
   }
 
   /** Deterministic offline translator: token-wise dictionary with
-    * pass-through for unknown words.
+    * pass-through for unknown words. split limit -1 keeps trailing empty
+    * tokens so output stays bit-identical to the SQL oracle's
+    * string_split/array_to_string round-trip.
     */
   final case class DictTranslator(dict: Map[String, String]) extends Translator {
     def translate(text: String, targetLang: String): String =
-      text.split(" ").map(t => dict.getOrElse(t, t)).mkString(" ")
+      text.split(" ", -1).map(t => dict.getOrElse(t, t)).mkString(" ")
   }
 
   /** U2 — conditional translation (Translator.py:96-128): translate only
@@ -89,5 +91,133 @@ object Enrich {
       .withColumn("lang_score", lit(null).cast("double"))
     translateColumn(todo, textCol, outCol, targetLang, translator, minScore)
       .unionByName(kept)
+  }
+
+  /** Executor-JVM-wide concurrency limiter: the external translation
+    * service sees at most `permits` in-flight calls per executor no matter
+    * how many task threads run there (the reference's single-threaded
+    * rate-limited client, Translator.py:116-136, generalized to a
+    * parallel executor).
+    */
+  object TranslationLimiter {
+    @volatile private var sem: java.util.concurrent.Semaphore = _
+    def get(permits: Int): java.util.concurrent.Semaphore = {
+      if (sem == null) synchronized {
+        if (sem == null) sem = new java.util.concurrent.Semaphore(permits)
+      }
+      sem
+    }
+    /** Test hook: drop the JVM-wide instance so a new permit count applies. */
+    def reset(): Unit = synchronized { sem = null }
+  }
+
+  /** State-row codec for the translation checkpoint files: one
+    * URL-encoded TSV line per (key, translation) — binary-safe for
+    * arbitrary caption text, no CSV quoting pitfalls, readable with a
+    * plain text scan.
+    */
+  private object StateCodec {
+    def enc(k: String, v: String): String =
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" + java.net.URLEncoder.encode(v, "UTF-8")
+    def dec(line: String): (String, String) = {
+      val i = line.indexOf('\t')
+      (java.net.URLDecoder.decode(line.substring(0, i), "UTF-8"),
+        java.net.URLDecoder.decode(line.substring(i + 1), "UTF-8"))
+    }
+  }
+
+  /** Completed (key, translation) pairs from a translation state dir;
+    * empty frame if nothing checkpointed yet. Duplicate keys (a task that
+    * died between flush and completion re-translates its tail on the next
+    * run) collapse deterministically to the min translation.
+    */
+  def readTranslationState(spark: org.apache.spark.sql.SparkSession,
+                           stateDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(stateDir)
+    val hasState = java.nio.file.Files.isDirectory(dir) && {
+      val s = java.nio.file.Files.list(dir)
+      try s.anyMatch(p => p.toString.endsWith(".state")) finally s.close()
+    }
+    if (!hasState) Seq.empty[(String, String)].toDF("__k", "__v")
+    else spark.read.textFile(s"$stateDir/*.state")
+      .map(StateCodec.dec)
+      .toDF("__k", "__v")
+      .groupBy("__k").agg(min("__v").as("__v"))
+  }
+
+  /** U2 production executor — the reference's checkpoint-every-100-rows
+    * translation loop (Translator.py:121-144) at executor grain:
+    *
+    *  - resume: input is anti-joined against the state dir, so completed
+    *    keys are NEVER re-translated across runs;
+    *  - detection runs as a codegen'd column BEFORE foreachPartition —
+    *    executors only ever pay the external call;
+    *  - each partition buffers finished rows and flushes every
+    *    `checkpointEvery` to its own uniquely-named file (write tmp →
+    *    atomic rename), so a mid-run kill loses at most one in-flight
+    *    batch per partition and concurrent partitions never contend;
+    *  - the external call sits inside an executor-wide semaphore
+    *    ([[TranslationLimiter]]) — bounded concurrency against the
+    *    rate-limited service;
+    *  - target-language high-confidence and empty rows short-circuit to
+    *    identity without touching the service (Translator.py:128-130).
+    *
+    * Returns input with `outCol` joined from the state (null = still
+    * untranslated, e.g. the run was killed — re-running resumes).
+    * State files live on whatever shared filesystem `stateDir` points to;
+    * at cluster scale that is the mounted object store, same as the
+    * reference's CSV checkpoint on shared disk.
+    */
+  def runTranslationJob(input: DataFrame, stateDir: String, keyCol: String,
+                        textCol: String, outCol: String, targetLang: String,
+                        translator: Translator, minScore: Double = 0.9,
+                        maxConcurrentPerExecutor: Int = 4,
+                        checkpointEvery: Int = 100): DataFrame = {
+    val spark = input.sparkSession
+    val det = detectLanguage(col("__t")) // over the projected (null-normalized) text
+    val pending = input
+      .select(col(keyCol).cast("string").as("__k"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .join(readTranslationState(spark, stateDir), Seq("__k"), "left_anti")
+      .withColumn("__lang", det.getField("lang"))
+      .withColumn("__score", det.getField("score"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    pending.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sem = TranslationLimiter.get(maxConcurrentPerExecutor)
+      val batch = scala.collection.mutable.ArrayBuffer.empty[String]
+      var batchIdx = 0
+      def flush(): Unit = if (batch.nonEmpty) {
+        val dir = java.nio.file.Paths.get(stateDir)
+        val id = s"part-$pid-$batchIdx-${java.util.UUID.randomUUID()}"
+        val tmp = dir.resolve(s"$id.tmp")
+        java.nio.file.Files.write(tmp,
+          batch.mkString("", "\n", "\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, dir.resolve(s"$id.state"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        batch.clear()
+        batchIdx += 1
+      }
+      rows.foreach { r =>
+        val (k, t, lang, score) =
+          (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
+        val out =
+          if (lang == "empty") ""
+          else if (lang == targetLang && score > minScore) t
+          else {
+            sem.acquire()
+            try translator.translate(t, targetLang) finally sem.release()
+          }
+        batch += StateCodec.enc(k, out)
+        if (batch.size >= checkpointEvery) flush()
+      }
+      flush()
+    }
+    input.join(
+      readTranslationState(spark, stateDir)
+        .select(col("__k"), col("__v").as(outCol)),
+      input(keyCol).cast("string") === col("__k"), "left_outer")
+      .drop("__k")
   }
 }
