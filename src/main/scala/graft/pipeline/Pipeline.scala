@@ -152,8 +152,12 @@ object Pipeline {
 
   private def outputExists(path: String): Boolean = {
     val p = Paths.get(path)
+    def nonEmptyDir: Boolean = {
+      val s = Files.list(p) // stream holds an fd — must close
+      try s.findAny.isPresent finally s.close()
+    }
     Files.exists(p) && (!Files.isDirectory(p) ||
-      Files.exists(p.resolve("_SUCCESS")) || Files.list(p).findAny.isPresent)
+      Files.exists(p.resolve("_SUCCESS")) || nonEmptyDir)
   }
 
   /** Run the stage list (ref: orchestrator.py:28-57): dispatch by

@@ -29,4 +29,24 @@ class BucketingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
   }
+
+  test("b01 gate query joins the bucketed layout without shuffling either side") {
+    val df = SparkEntry.queries("b01_bucketed_join")(spark, "/root/testdata/sf0.001")
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the merge-hinted join:\n$plan")
+    // a shuffled join would repartition on the join keys — neither may appear
+    // (the only exchanges allowed are the post-join groupBy/orderBy ones)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan must use the bucketed layout:\n$plan")
+    // faster-path sanity: bucketed result equals the plain shuffled twin
+    val plain = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .count()
+    assert(df.as[(String, Long, Double)].collect().map(_._2).sum == plain)
+  }
 }
