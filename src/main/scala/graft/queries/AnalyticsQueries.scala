@@ -367,8 +367,51 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("yr"), asc_nulls_first("mth"))
   }
 
+  /** A15 — time-axis label formatting (ref: plotting.py:29-47
+    * get_timeseries_labels): the strftime conventions per grouping
+    * frequency — Y "%Y", M "%Y %b", D "%Y %b %d", W "%Y %b %W" — applied
+    * to pandas-Grouper week-END buckets (weeks end Sunday). Python's %W
+    * (Monday-first week-of-year, zero-padded, week 0 before the first
+    * Monday) has no Spark pattern letter, so it is computed as
+    * floor((dayofyear − mondayWeekday + 6) / 7) — validated against
+    * strftime across 1992-1999 — while the DuckDB oracle uses %W
+    * natively.
+    */
+  val a15PlotLabels: GraftQuery = GraftQuery(
+    "a15_plot_labels",
+    """WITH w AS (
+      |  SELECT o_orderdate + INTERVAL ((7 - isodow(o_orderdate)) % 7) DAY AS wend,
+      |         COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(wend AS DATE) AS week_end,
+      |       strftime(wend, '%Y') AS label_y,
+      |       strftime(wend, '%Y %b') AS label_m,
+      |       strftime(wend, '%Y %b %d') AS label_d,
+      |       strftime(wend, '%Y %b %W') AS label_w,
+      |       n
+      |FROM w ORDER BY week_end""".stripMargin) { (spark, dir) =>
+    // Sunday ≥ d: next_day is strictly-after, so anchor at d−1
+    val wend = next_day(date_sub(col("o_orderdate"), 1), "Sun")
+    val mondayWd = (dayofweek(col("week_end")) + 5) % 7 // Mon=0..Sun=6
+    val weekNum = floor((dayofyear(col("week_end")) - mondayWd + 6) / 7)
+    Tables.orders(spark, dir)
+      .groupBy(wend.as("week_end"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        // timestamp, not date: the oracle's DATE arrives as datetime64 and
+        // the checker compares types after pandas conversion
+        col("week_end").cast("timestamp").as("week_end"),
+        date_format(col("week_end"), "yyyy").as("label_y"),
+        date_format(col("week_end"), "yyyy MMM").as("label_m"),
+        date_format(col("week_end"), "yyyy MMM dd").as("label_d"),
+        concat(date_format(col("week_end"), "yyyy MMM "),
+          lpad(weekNum.cast("string"), 2, "0")).as("label_w"),
+        col("n"))
+      .orderBy("week_end")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
-    j02TimeAlign, w01Windows)
+    a15PlotLabels, j02TimeAlign, w01Windows)
 }

@@ -64,4 +64,33 @@ class SourcesSpec extends SparkSpec {
     assert(rem.count() == chunks.count() - 3)
     assert(rem.select("chunk_id").as[Int].collect().min == 3)
   }
+
+  test("Probe.hitCount injects count=0 and falls back to 0 on missing field") {
+    import graft.sources.Probe
+    var seen: Map[String, String] = Map.empty
+    val n = Probe.hitCount("/posts/search", Map("searchTerm" -> "castle")) {
+      (url, params) =>
+        seen = params
+        assert(url == "https://api.crowdtangle.com/posts/search")
+        Right("""{"result": {"hitCount": 417}}""")
+    }
+    assert(n == Right(417L))
+    assert(seen("count") == "0" && seen("searchTerm") == "castle")
+    // reference one_query.py:49-51: absent hitCount reads as 0
+    val zero = Probe.hitCount("/posts", Map.empty)((_, _) => Right("""{"result": {}}"""))
+    assert(zero == Right(0L))
+    // transport failure propagates as Left, never throws
+    val err = Probe.hitCount("/posts", Map.empty)((_, _) => Left("HTTP 404"))
+    assert(err == Left("HTTP 404"))
+  }
+
+  test("Probe.getPost addresses the post by URL path and returns the result subtree") {
+    import graft.sources.Probe
+    val out = Probe.getPost("12345_678") { (url, params) =>
+      assert(url == "https://api.crowdtangle.com/post/12345_678")
+      assert(params.isEmpty)
+      Right("""{"result": {"id": "12345_678", "likes": 7}}""")
+    }
+    assert(out == Right("""{"id":"12345_678","likes":7}"""))
+  }
 }
