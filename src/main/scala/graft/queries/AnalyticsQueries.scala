@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *    oracle parity — flagged per SURVEY §2.5);
   *  - describe() exact quantiles are per-metric single-partition sorts;
   *    production path is `percentile_approx`, the oracle needs exactness;
-  *  - correlation is one map-side-combinable pass of decimal sums (no
-  *    per-pair shuffles).
+  *  - correlation is one map-side-combinable pass of fixed-point long
+  *    sums (no per-pair shuffles, no BigDecimal in the hot loop).
   */
 object AnalyticsQueries {
 
@@ -172,41 +172,64 @@ object AnalyticsQueries {
 
   /** A8 — pairwise Pearson correlation matrix over numeric columns (ref:
     * plotting.py:14-21, ExploratoryAnalysis.py:101-104). One aggregation
-    * pass of exact decimal sums; r assembled in deterministic double math.
-    * No per-pair shuffles — map-side combinable at any scale.
+    * pass, no per-pair shuffles — map-side combinable at any scale.
+    *
+    * Determinism without decimal sums: every statistic is a per-row
+    * integer floor(expr·1e8) (the double product is IEEE-identical in
+    * both engines, so its floor is too). Summing those int64s directly
+    * would overflow (max term ~1.2e18), so each is split into 32-bit
+    * halves summed as plain longs — the codegen fast path, ~10× cheaper
+    * than BigDecimal sums — and reassembled in double at the end with an
+    * expression both engines evaluate identically. Bound: N·(hi half ≤
+    * 2.8e8) must stay < 2^63 ⇒ good to ~3e10 rows at these magnitudes;
+    * beyond that, widen the split or drop the grid to 1e6.
     */
   val a08Correlation: GraftQuery = {
     val colsN = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairs = for { i <- colsN.indices; j <- colsN.indices if i < j } yield (colsN(i), colsN(j))
+    val Scale = "100000000.0" // 1e8 fixed-point grid
+    val Half = 4294967296.0   // 2^32
     def s(c: String) = s"s_$c"
     def ss(c: String) = s"ss_$c"
     def sp(a: String, b: String) = s"sp_${a}_$b"
-    val sumSql =
-      colsN.map(c => s"SUM(CAST($c AS DECIMAL(38,8))) AS ${s(c)}") ++
-        colsN.map(c => s"SUM(CAST($c * $c AS DECIMAL(38,8))) AS ${ss(c)}") ++
-        pairs.map { case (a, b) => s"SUM(CAST($a * $b AS DECIMAL(38,8))) AS ${sp(a, b)}" }
+    // (name, per-row double expression) for every needed statistic
+    val stats: Seq[(String, String)] =
+      colsN.map(c => s(c) -> c) ++
+        colsN.map(c => ss(c) -> s"$c * $c") ++
+        pairs.map { case (a, b) => sp(a, b) -> s"$a * $b" }
+    val sumSql = stats.flatMap { case (n, e) =>
+      val v = s"CAST(floor(($e) * $Scale) AS BIGINT)"
+      Seq(s"SUM($v >> 32) AS ${n}_hi", s"SUM($v & 4294967295) AS ${n}_lo")
+    }
+    def dvalSql(n: String) =
+      s"((CAST(${n}_hi AS DOUBLE) * $Half + CAST(${n}_lo AS DOUBLE)) / $Scale)"
     def corrSql(a: String, b: String) =
-      s"""(n * CAST(${sp(a, b)} AS DOUBLE) - CAST(${s(a)} AS DOUBLE) * CAST(${s(b)} AS DOUBLE)) /
-         | (sqrt(n * CAST(${ss(a)} AS DOUBLE) - CAST(${s(a)} AS DOUBLE) * CAST(${s(a)} AS DOUBLE)) *
-         |  sqrt(n * CAST(${ss(b)} AS DOUBLE) - CAST(${s(b)} AS DOUBLE) * CAST(${s(b)} AS DOUBLE)))""".stripMargin
+      s"""(n * ${dvalSql(sp(a, b))} - ${dvalSql(s(a))} * ${dvalSql(s(b))}) /
+         | (sqrt(n * ${dvalSql(ss(a))} - ${dvalSql(s(a))} * ${dvalSql(s(a))}) *
+         |  sqrt(n * ${dvalSql(ss(b))} - ${dvalSql(s(b))} * ${dvalSql(s(b))}))""".stripMargin
     val oracle =
       s"""WITH sums AS (SELECT COUNT(*) AS n, ${sumSql.mkString(", ")} FROM lineitem)
          |SELECT * FROM (
          |${pairs.map { case (a, b) => s"SELECT '$a' AS col_x, '$b' AS col_y, ${corrSql(a, b)} AS corr FROM sums" }.mkString("\nUNION ALL\n")}
          |) ORDER BY col_x, col_y""".stripMargin
     GraftQuery("a08_correlation", oracle) { (spark, dir) =>
-      val sumCols =
-        Seq(count(lit(1)).as("n")) ++
-          colsN.map(c => sum(col(c).cast("decimal(38,8)")).as(s(c))) ++
-          colsN.map(c => sum((col(c) * col(c)).cast("decimal(38,8)")).as(ss(c))) ++
-          pairs.map { case (a, b) => sum((col(a) * col(b)).cast("decimal(38,8)")).as(sp(a, b)) }
-      val sums = Tables.lineitem(spark, dir).agg(sumCols.head, sumCols.tail: _*)
-      def corrCol(a: String, b: String): Column = {
-        def d(c: String) = col(c).cast("double")
-        (col("n") * d(sp(a, b)) - d(s(a)) * d(s(b))) /
-          (sqrt(col("n") * d(ss(a)) - d(s(a)) * d(s(a))) *
-            sqrt(col("n") * d(ss(b)) - d(s(b)) * d(s(b))))
+      def rowVal(e: Column): Column = floor(e * Scale.toDouble).cast("long")
+      val statCols: Seq[(String, Column)] =
+        colsN.map(c => s(c) -> col(c)) ++
+          colsN.map(c => ss(c) -> col(c) * col(c)) ++
+          pairs.map { case (a, b) => sp(a, b) -> col(a) * col(b) }
+      val sumCols = Seq(count(lit(1)).as("n")) ++ statCols.flatMap { case (n, e) =>
+        val v = rowVal(e)
+        Seq(sum(shiftright(v, 32)).as(s"${n}_hi"),
+          sum(v.bitwiseAND(lit(4294967295L))).as(s"${n}_lo"))
       }
+      val sums = Tables.lineitem(spark, dir).agg(sumCols.head, sumCols.tail: _*)
+      def dval(n: String): Column =
+        (col(s"${n}_hi").cast("double") * Half + col(s"${n}_lo").cast("double")) / Scale.toDouble
+      def corrCol(a: String, b: String): Column =
+        (col("n") * dval(sp(a, b)) - dval(s(a)) * dval(s(b))) /
+          (sqrt(col("n") * dval(ss(a)) - dval(s(a)) * dval(s(a))) *
+            sqrt(col("n") * dval(ss(b)) - dval(s(b)) * dval(s(b))))
       sums.select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("col_x"), lit(b).as("col_y"), corrCol(a, b).as("corr"))
       }: _*)).as("r")).select("r.*").orderBy("col_x", "col_y")
