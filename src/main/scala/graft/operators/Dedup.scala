@@ -141,6 +141,9 @@ object Dedup {
 
   /** SimHash over the token-hash multiset: bit b of the fingerprint is set
     * iff the ±1 contributions of all token hashes' bit b sum positive.
+    * Reference formulation — one aggregate pass per bit; the pipeline path
+    * is [[withSimHash]], which produces identical fingerprints in 16
+    * passes.
     */
   def simHash(tokHashes: Column, bits: Int): Column =
     (0 until bits).map { b =>
@@ -148,6 +151,37 @@ object Dedup {
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** 0x0001000100010001 — four parallel 16-bit popcount lanes per long. */
+  private val LaneMask = 281479271743489L
+
+  /** Lane-packed SimHash pipeline: docs → (id, sim). Each of 16 packed
+    * array passes accumulates bit-counts for bits {j, j+16, j+32, j+48}
+    * in four 16-bit counter lanes of one long (capacity 65535 tokens/row —
+    * far above any caption/document), so a 64-bit fingerprint costs 16
+    * aggregate passes instead of 64. The packs are bound to attributes
+    * between projections (multi-referenced HOF results must be columns —
+    * see [[withShingleHashes]]); the fingerprint assembles from counters:
+    * bit b set iff 2·count_b > n ⟺ Σ(±1) > 0, bit-identical to
+    * [[simHash]] so the SQL oracle keeps the reference formulation.
+    */
+  def withSimHash(docs: DataFrame, idCol: String, textCol: String,
+                  bits: Int): DataFrame = {
+    require(bits <= 64)
+    val packCols = (0 until 16).map { j =>
+      aggregate(col("__th"), lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(LaneMask))).as(s"__p$j")
+    }
+    val sim = (0 until bits).map { b =>
+      val c = shiftright(col(s"__p${b % 16}"), 16 * (b / 16)).bitwiseAND(lit(0xffffL))
+      when(c * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), transform(col("__toks"), t => TextFunctions.rollingHash(t)).as("__th"))
+      .select(col("id") +: size(col("__th")).as("__n") +: packCols: _*)
+      .select(col("id"), sim.as("sim"))
+  }
   def sqlSimHash(hsE: String, bits: Int): String =
     (0 until bits).map { b =>
       s"CASE WHEN list_sum([((h >> $b) & 1) * 2 - 1 for h in $hsE]) > 0 THEN ${1L << b} ELSE 0 END"
@@ -161,11 +195,7 @@ object Dedup {
                    bits: Int, chunkBits: Int): DataFrame = {
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    // token hashes bound to an attribute first — see withShingleHashes note
-    val sims = docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), transform(col("__toks"), t => TextFunctions.rollingHash(t)).as("__th"))
-      .select(col("id"), simHash(col("__th"), bits).as("sim"))
+    val sims = withSimHash(docs, idCol, textCol, bits)
     val chunked = sims.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
@@ -198,4 +228,20 @@ object Dedup {
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+
+  /** [[dedupFirst]] as a map-side-combinable aggregate: min over the
+    * lexicographic (order ++ payload) struct per key. Same first-row
+    * semantics when the order prefix is a total order within each key, but
+    * the plan is partial-agg → shuffle of one struct per key → final agg —
+    * no full-table sort, and the shuffle carries |keys| rows, not |rows|.
+    * Prefer this at scale whenever the kept row's columns are known
+    * up-front; the window variant remains for arbitrary-payload frames.
+    */
+  def dedupFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                    payload: Seq[String]): DataFrame = {
+    val kept = min(struct(order :+ struct(payload.map(col): _*).as("__row"): _*))
+    df.groupBy(keys.map(col): _*)
+      .agg(kept.as("__first"))
+      .select(keys.map(col) ++ payload.map(p => col(s"__first.__row.$p").as(p)): _*)
+  }
 }

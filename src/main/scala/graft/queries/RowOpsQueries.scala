@@ -12,6 +12,11 @@ object RowOpsQueries {
 
   /** D2 — dedup by composite key, deterministic first-by-stable-order pick
     * (ref: InstagramFeedScraper.py:220 drop_duplicates(["id","shortcode"])).
+    * Spark side uses the aggregate form (Dedup.dedupFirstAgg): min over
+    * the lexicographic order struct per key — partial aggregation instead
+    * of a full-table window sort, so the shuffle carries one row per key.
+    * The oracle keeps the rn=1 window formulation; both pick the same row
+    * because the order prefix is total within each key.
     */
   val d02DedupComposite: GraftQuery = GraftQuery(
     "d02_dedup_composite",
@@ -23,11 +28,12 @@ object RowOpsQueries {
       |  FROM lineitem)
       |SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
       |FROM ranked WHERE rn = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy("l_returnflag", "l_linestatus")
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
-    Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    graft.operators.Dedup.dedupFirstAgg(
+      Tables.lineitem(spark, dir),
+      keys = Seq("l_returnflag", "l_linestatus"),
+      order = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice").map(col),
+      payload = Seq("l_orderkey", "l_linenumber"))
       .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
       .orderBy("l_returnflag", "l_linestatus")
   }

@@ -52,10 +52,38 @@ class OpsSpec extends SparkSpec {
     assert(sims(1L) != sims(3L))
   }
 
+  test("lane-packed simhash equals the per-bit reference formulation") {
+    val df = Seq(
+      (1L, "x y x"), (2L, "entirely different words here"), (3L, ""),
+      (4L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (5L, "repeat repeat repeat distinct")).toDF("id", "t")
+    for (bits <- Seq(16, 32, 64)) {
+      val ref = df.select($"id", Dedup.simHash(Dedup.tokenHashes($"t"), bits).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val packed = Dedup.withSimHash(df, "id", "t", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(packed == ref, s"bits=$bits")
+    }
+  }
+
   test("dedupFirst keeps exactly the first row per key by the given order") {
     val df = Seq((1L, "k1", 5.0), (2L, "k1", 1.0), (3L, "k2", 2.0)).toDF("id", "k", "v")
     val out = Dedup.dedupFirst(df, Seq("k"), Seq($"v")).select("id").as[Long].collect().toSet
     assert(out == Set(2L, 3L)) // k1 → id2 (lowest v)
+  }
+
+  test("dedupFirstAgg picks the same rows as the window variant, without a sort") {
+    val df = Seq(
+      (1L, "k1", 5.0, "a"), (2L, "k1", 1.0, "b"), (3L, "k2", 2.0, "c"),
+      (4L, "k1", 1.0, "d"), (5L, "k2", 9.0, "e")).toDF("id", "k", "v", "p")
+    val windowed = Dedup.dedupFirst(df, Seq("k"), Seq($"v", $"id"))
+      .select("k", "id", "p").as[(String, Long, String)].collect().toSet
+    val agged = Dedup.dedupFirstAgg(df, Seq("k"), Seq($"v", $"id"), Seq("id", "p"))
+      .select("k", "id", "p").as[(String, Long, String)].collect().toSet
+    assert(agged == windowed)
+    val plan = Dedup.dedupFirstAgg(df, Seq("k"), Seq($"v", $"id"), Seq("id", "p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"aggregate variant must not plan a window:\n$plan")
   }
 
   test("fixed-point cosine: identical vectors ≈ 1, orthogonal = 0") {
