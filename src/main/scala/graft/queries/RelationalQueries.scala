@@ -162,10 +162,13 @@ object RelationalQueries {
       |ORDER BY l_orderkey LIMIT 2000""".stripMargin) { (spark, dir) =>
     // (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
     // tie-break extends over every projected column for a deterministic pick.
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_quantity"))
-    Tables.lineitem(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // Aggregate form (Dedup.dedupFirstAgg): partial agg + one-row-per-key
+    // shuffle instead of a full-table window sort; oracle keeps rn=1.
+    graft.operators.Dedup.dedupFirstAgg(
+      Tables.lineitem(spark, dir),
+      keys = Seq("l_orderkey"),
+      order = Seq(col("l_linenumber"), col("l_quantity")),
+      payload = Seq("l_linenumber", "l_quantity"))
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey").limit(2000)
   }
