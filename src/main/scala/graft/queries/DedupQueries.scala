@@ -155,6 +155,24 @@ object DedupQueries {
       .orderBy("id_a")
   }
 
+  /** X3 — salted two-phase aggregation (operators/Skew.saltedAggregate):
+    * the hot-key mitigation is salt-invariant, so the oracle is the plain
+    * GROUP BY — any divergence means the two-phase merge lost rows or
+    * precision. (The salt derives from partition-dependent ids on the
+    * Spark side; correctness must not depend on it, and this query is the
+    * proof.)
+    */
+  val x03SaltedAgg: GraftQuery = GraftQuery(
+    "x03_salted_agg",
+    """SELECT event_type AS key, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    graft.operators.Skew.saltedAggregate(
+      Tables.events(spark, dir), col("event_type"), col("value"), saltBuckets = 8)
+      .orderBy("key")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    x01ExactDedup, x02DedupSummary, m01MinHashLsh, s01SimHash, g01NgramJaccard)
+    x01ExactDedup, x02DedupSummary, x03SaltedAgg, m01MinHashLsh, s01SimHash,
+    g01NgramJaccard)
 }
