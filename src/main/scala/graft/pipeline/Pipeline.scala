@@ -2,7 +2,7 @@ package graft.pipeline
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.io.CsvIo
-import graft.operators.{Exploratory, Preprocess}
+import graft.operators.{Enrich, Exploratory, Preprocess}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -82,6 +82,31 @@ object Pipeline {
     }
   }
 
+  /** The translation stage (ref: stages.py Translation entry,
+    * Translator.py:50-65): translates `target_column` into
+    * `target_language` through the checkpointed production executor
+    * ([[Enrich.runTranslationJob]]) — the state dir sits next to the
+    * output, so an interrupted stage resumes without re-translating, the
+    * reference's read-last-checkpoint semantics (:52-61). The output CSV
+    * carries the reference's `<column>_<language>` translation column.
+    * The offline translator is the deterministic dictionary (params key
+    * `dictionary`); a service-backed impl drops into the same call.
+    */
+  object TranslatorStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      val colName = optNode(params, "target_column").map(_.asText).getOrElse("caption")
+      val lang = optNode(params, "target_language").map(_.asText).getOrElse("en")
+      val dict = optNode(params, "dictionary").map { node =>
+        node.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
+      val translated = Enrich.runTranslationJob(
+        CsvIo.readPreprocessed(spark, in), s"$out.state", "id",
+        colName, s"${colName}_$lang", lang, Enrich.DictTranslator(dict))
+      CsvIo.writeCsv(translated, out)
+    }
+  }
+
   /** Training-data text profiling over a documents parquet
     * (doc_id, text, …): token stats + language ID + quality + fingerprint
     * per document, one codegen'd projection.
@@ -127,6 +152,7 @@ object Pipeline {
     "PreprocessorStage" -> PreprocessorStage,
     "ExploratoryanalysisStage" -> ExploratoryAnalysisStage,
     "ExploratoryAnalysisStage" -> ExploratoryAnalysisStage,
+    "TranslatorStage" -> TranslatorStage,
     "TextAnalysisStage" -> TextAnalysisStage,
     "DedupStage" -> DedupStage)
 

@@ -47,7 +47,11 @@ class PipelineSpec extends SparkSpec {
       |     "input": "posts.csv", "output": "never.csv", "enabled": false, "params": {}},
       |    {"name": "Exploratory Analysis", "implementation": "ExploratoryanalysisStage",
       |     "input": "posts_preprocessed.csv", "output": "analysis", "enabled": true,
-      |     "params": {}}
+      |     "params": {}},
+      |    {"name": "Translation", "implementation": "TranslatorStage",
+      |     "input": "posts_preprocessed.csv", "output": "posts_translated.csv", "enabled": true,
+      |     "params": {"target_column": "caption", "target_language": "en",
+      |                "dictionary": {"c": "see"}}}
       |  ]
       |}""".stripMargin
 
@@ -75,11 +79,21 @@ class PipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$root/analysis/posts_per_month")))
     assert(Files.exists(Paths.get(s"$root/analysis/hashtag_freqs")))
 
+    // translation stage wrote the <column>_<language> column through the
+    // checkpointed executor ("c" is no detected family → dict applies)
+    assert(summary("Translation") == "ok")
+    val trans = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$root/posts_translated.csv")
+    assert(trans.columns.contains("caption_en"))
+    assert(trans.select("caption_en").as[String].collect().forall(_ == "see"))
+
     // re-run: everything memoized
     val again = Pipeline.run(spark, root, cfg)
       .select("stage", "status").as[(String, String)].collect().toMap
     assert(again("Preprocessing") == "skipped")
     assert(again("Exploratory Analysis") == "skipped")
+    assert(again("Translation") == "skipped")
   }
 
   test("training-data stages run over a documents parquet") {
