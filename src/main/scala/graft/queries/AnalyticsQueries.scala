@@ -390,6 +390,29 @@ object AnalyticsQueries {
       .orderBy(asc_nulls_first("yr"), asc_nulls_first("mth"))
   }
 
+  /** A16 — full CUBE over (event_type, year): every grouping-set
+    * combination, including the cross-margins that ROLLUP cannot express
+    * (same intentional upgrade as A14; GROUPING() disambiguates genuine
+    * NULL keys from subtotal markers in both engines).
+    */
+  val a16Cube: GraftQuery = GraftQuery(
+    "a16_cube",
+    """SELECT event_type, CAST(year(ts) AS INT) AS yr,
+      |       GROUPING(event_type) + 2 * GROUPING(year(ts)) AS gset,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY CUBE (event_type, year(ts))
+      |ORDER BY gset, event_type NULLS FIRST, yr NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("event_type"), year(col("ts")).as("yr"), col("value"))
+      .cube("event_type", "yr")
+      .agg(
+        (grouping(col("event_type")) + lit(2) * grouping(col("yr"))).cast("int").as("gset"),
+        count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      .select("event_type", "yr", "gset", "n", "sum_value")
+      .orderBy(asc("gset"), asc_nulls_first("event_type"), asc_nulls_first("yr"))
+  }
+
   /** A15 — time-axis label formatting (ref: plotting.py:29-47
     * get_timeseries_labels): the strftime conventions per grouping
     * frequency — Y "%Y", M "%Y %b", D "%Y %b %d", W "%Y %b %W" — applied
@@ -436,5 +459,5 @@ object AnalyticsQueries {
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
-    a15PlotLabels, j02TimeAlign, w01Windows)
+    a15PlotLabels, a16Cube, j02TimeAlign, w01Windows)
 }
