@@ -139,6 +139,64 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** Lloyd-trained IVF centroids: k-means over cosine affinity. Seeds are
+    * the k lowest-id vectors (deterministic); each round broadcasts the
+    * current centroids, assigns every vector to its argmax-cosine centroid
+    * (the same affinity shape [[knnIvf]] probes), and recomputes each
+    * centroid as the per-dimension mean of its members via exact decimal
+    * sums, so the result is independent of partitioning/order. Centroids
+    * collect to the driver between rounds — k×dims floats, the model
+    * state a real IVF index ships — which also resets lineage per round.
+    * Empty clusters keep their previous centroid. Returns (c_id, c_emb)
+    * for [[knnIvfTrained]].
+    */
+  def trainIvfCentroids(vectors: DataFrame, idCol: String, embCol: String,
+                        k: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = withNormFixed(vectors, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centLocal: Seq[(Long, Seq[Float])] = v.orderBy("id").limit(k)
+      .select(col("emb")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (e, i) => (i.toLong, e.toSeq) }.toSeq
+    for (_ <- 0 until iters) {
+      val cent = centLocal.toDF("c_id", "c_emb")
+        .select(col("c_id"), col("c_emb"),
+          dotFixed(col("c_emb"), col("c_emb")).as("c_norm"))
+      val wAssign = Window.partitionBy("id").orderBy(desc("c_cos"), asc("c_id"))
+      val assigned = v.crossJoin(broadcast(cent))
+        .select(col("id"), col("emb"), col("c_id"),
+          cosineFromFixed(dotFixed(col("emb"), col("c_emb")),
+            col("norm_f"), col("c_norm")).as("c_cos"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+      val means = assigned
+        .select(col("c_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy("c_id", "dim")
+        .agg((sum(col("x").cast("decimal(28,8)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+        .as[(Long, Seq[Float])].collect().toMap
+      centLocal = centLocal.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    v.unpersist()
+    centLocal.toDF("c_id", "c_emb")
+  }
+
+  /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)
+    * — e.g. [[trainIvfCentroids]] output.
+    */
+  def knnIvfTrained(vectors: DataFrame, idCol: String, embCol: String,
+                    centroids: DataFrame, queryPred: Column, k: Int,
+                    nprobe: Int, dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
+    val cent = centroids.select(col("c_id"), col("c_emb"),
+      dotF(col("c_emb"), col("c_emb"), dims).as("c_norm"))
+    ivfSearch(v, cent, queryPred, k, nprobe, dims)
+  }
+
   /** IVF top-k: assign every vector to its nearest centroid (given
     * centroid set), probe the `nprobe` nearest centroids per query, and
     * search only vectors in those clusters.
@@ -149,6 +207,11 @@ object Similarity {
     val v = withNormFixed(vectors, idCol, embCol, dims)
     val cent = v.filter(centroidPred)
       .select(col("id").as("c_id"), col("emb").as("c_emb"), col("norm_f").as("c_norm"))
+    ivfSearch(v, cent, queryPred, k, nprobe, dims)
+  }
+
+  private def ivfSearch(v: DataFrame, cent: DataFrame, queryPred: Column,
+                        k: Int, nprobe: Int, dims: Int): DataFrame = {
     val affinity = v.crossJoin(broadcast(cent))
       .select(col("id"), col("emb"), col("norm_f"), col("c_id"),
         cosineFromFixed(dotF(col("emb"), col("c_emb"), dims), col("norm_f"), col("c_norm"))

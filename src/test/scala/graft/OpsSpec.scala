@@ -112,6 +112,33 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == 3L)
   }
 
+  test("trainIvfCentroids converges on separated clusters; trained search stays in-cluster") {
+    // three clusters hugging orthogonal axes, 8 vectors each
+    val vecs = (0 until 24).map { i =>
+      val axis = i % 3
+      val jitter = 0.05f * (i / 3)
+      val e = Array.fill(3)(jitter)
+      e(axis) = 1.0f
+      (i.toLong, e.toSeq)
+    }.toDF("vid", "emb")
+    val cent = Similarity.trainIvfCentroids(vecs, "vid", "emb", k = 3, iters = 3)
+    val cmap = cent.as[(Long, Seq[Float])].collect().toMap
+    assert(cmap.size == 3)
+    // each trained centroid is dominated by exactly one axis, and the
+    // three centroids cover all three axes
+    val axes = cmap.values.map(e => e.indexOf(e.max)).toSet
+    assert(axes == Set(0, 1, 2))
+    // deterministic: retraining yields identical centroids
+    val again = Similarity.trainIvfCentroids(vecs.repartition(5), "vid", "emb", 3, 3)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(again == cmap)
+    // trained-centroid search: neighbors of vector 0 (axis 0) are axis-0
+    val out = Similarity.knnIvfTrained(vecs, "vid", "emb", cent,
+      col("id") === 0L, k = 3, nprobe = 1)
+    val ids = out.select("n_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(_ % 3 == 0))
+  }
+
   test("cosinePairsTopK fails fast above the driver-collect bound") {
     val vecs = (0L until 10L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("vid", "emb")
     val e = intercept[IllegalArgumentException] {
