@@ -68,6 +68,29 @@ class PropertySpec extends SparkSpec {
     assert(pairs.filter($"jab" < 0 || $"jab" > 1).isEmpty)
   }
 
+  test("dedupFirstAgg ≡ dedupFirst on random frames with duplicate order keys") {
+    val df = (1 to 600).map { i =>
+      // coarse v so order-key ties are common — the tie-break must agree
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(4).toDouble, s"p${rnd.nextInt(9)}")
+    }.toDF("id", "k", "v", "p")
+    val windowed = Dedup.dedupFirst(df, Seq("k"), Seq($"v", $"p", $"id"))
+      .select("k", "id", "v", "p").collect().toSet
+    val agged = Dedup.dedupFirstAgg(df, Seq("k"), Seq($"v", $"p", $"id"), Seq("id", "v", "p"))
+      .select("k", "id", "v", "p").collect().toSet
+    assert(agged == windowed)
+  }
+
+  test("lane-packed simhash ≡ per-bit simhash on random token streams") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "data", "row")
+    val df = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("id", "t")
+    val ref = df.select($"id", Dedup.simHash(Dedup.tokenHashes($"t"), 64).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val packed = Dedup.withSimHash(df, "id", "t", 64).as[(Long, Long)].collect().toMap
+    assert(packed == ref)
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
