@@ -98,16 +98,34 @@ object Similarity {
     if (((g >> 15) & 1L) == 1L) 1 else -1
   }
 
-  /** Random-hyperplane LSH bucket id (one sign bit per plane) over the
-    * 1e-9-grid fixed-point embedding — integer dot, exact both engines.
+  /** Random-hyperplane LSH bucket id (one sign bit per plane) over a
+    * PRE-BOUND 1e-9-grid fixed-point embedding column — integer dot,
+    * exact both engines. `vfix` must be an attribute (see [[withVfix]]):
+    * the expression references it once per plane, and an inlined
+    * transform would be re-evaluated `planes` times (the HOF-inlining
+    * trap).
     */
-  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
-    val vfix = transform(emb, x => floor(x.cast("double") * lit(SignScale)))
+  def lshBucketFromVfix(vfix: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { r =>
       val signs = array((0 until dims).map(d => lit(hyperplaneSign(r, d, dims).toLong)): _*)
       val dot = aggregate(zip_with(vfix, signs, _ * _), lit(0L), _ + _)
       when(dot > 0, lit(1L << r)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Bind the fixed-point grid to an attribute, then derive the bucket in
+    * a separate projection.
+    */
+  def withBucket(df: DataFrame, embCol: String, planes: Int, dims: Int): DataFrame =
+    df.withColumn("__vfix", transform(col(embCol), x => floor(x.cast("double") * lit(SignScale))))
+      .withColumn("bucket", lshBucketFromVfix(col("__vfix"), planes, dims))
+      .drop("__vfix")
+
+  /** Single-column form kept for expression-level callers; computes the
+    * grid inline, so prefer [[withBucket]] on DataFrames.
+    */
+  def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
+    val vfix = transform(emb, x => floor(x.cast("double") * lit(SignScale)))
+    lshBucketFromVfix(vfix, planes, dims)
   }
   /** SQL twin of the per-element fixed-point grid (hoist into a CTE once,
     * then feed the column name to [[sqlLshBucketFromVfix]]).
@@ -123,8 +141,7 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
   def knnLsh(vectors: DataFrame, idCol: String, embCol: String,
              queryPred: Column, k: Int, planes: Int, dims: Int): DataFrame = {
-    val v = withNormFixed(vectors, idCol, embCol, dims)
-      .withColumn("bucket", lshBucket(col("emb"), planes, dims))
+    val v = withBucket(withNormFixed(vectors, idCol, embCol, dims), "emb", planes, dims)
     val q = v.filter(queryPred)
       .select(col("id").as("q_id"), col("emb").as("q_emb"),
         col("norm_f").as("q_norm"), col("bucket").as("q_bucket"))
@@ -246,8 +263,7 @@ object Similarity {
                planes: Int, dims: Int): DataFrame = {
     // norm + bucket signatures feed both self-join sides; a broadcast
     // self-join cannot reuse exchanges, so materialize them once
-    val v = withNormFixed(vectors, idCol, embCol)
-      .withColumn("bucket", lshBucket(col("emb"), planes, dims))
+    val v = withBucket(withNormFixed(vectors, idCol, embCol), "emb", planes, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
