@@ -125,11 +125,13 @@ object TextQueries {
          |       CAST(SUM(CAST(n_tokens AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_tokens
          |FROM det GROUP BY source, lang_pred ORDER BY source, lang_pred""".stripMargin
     }) { (spark, dir) =>
-    val toks = tokens(col("text"))
-    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(toks, ms) }
+    // token array bound to an attribute first (multi-referenced-HOF rule:
+    // 4 langScore filters + size all read it)
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(col("__toks"), ms) }
     Tables.documents(spark, dir)
+      .select(col("source"), col("text"), tokens(col("text")).as("__toks"))
       .select(col("source"), langPick(scores, col("text")).as("lang_pred"),
-        size(toks).as("n_tokens"))
+        size(col("__toks")).as("n_tokens"))
       .groupBy("source", "lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("n_tokens").cast("decimal(28,4)")).cast("double") / count(lit(1))).as("avg_tokens"))
