@@ -31,11 +31,19 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming dedup bounded by the watermark — the scrape-overlap dedup
-    * (InstagramFeedScraper.py:220) under continuous ingestion.
+  /** Streaming dedup with watermark-bounded STATE — the scrape-overlap
+    * dedup (InstagramFeedScraper.py:220) under continuous ingestion.
+    * dropDuplicatesWithinWatermark evicts seen-key state once the
+    * watermark passes it; plain dropDuplicates on a non-time key would
+    * hold every key ever seen and grow without bound on an infinite
+    * stream. (Batch frames fall back to plain dropDuplicates — the
+    * watermark API is streaming-only.)
     */
   def dedupWithinWatermark(events: DataFrame, watermarkDelay: String): DataFrame =
-    events.withWatermark("ts", watermarkDelay).dropDuplicates("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   final case class SessionState(nEvents: Long, totalValue: Double,
                                 startMs: Long, lastMs: Long)
