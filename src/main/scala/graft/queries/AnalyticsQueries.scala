@@ -127,6 +127,33 @@ object AnalyticsQueries {
       .orderBy("metric")
   }
 
+  /** A5b — the 100 TB production twin of [[a05Describe]]: one map-side
+    * combinable pass with percentile_approx sketches instead of exact
+    * rank windows, plain IEEE mean/std instead of decimal rebuilds.
+    * Intentionally unchecked (like a06b): sketch results are
+    * engine-specific by design; the driver records rows-only.
+    */
+  val a05bDescribeApprox: GraftQuery = GraftQuery.unchecked(
+    "a05b_describe_approx") { (spark, dir) =>
+    val long = Tables.lineitem(spark, dir).select(explode(array(
+      struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
+      struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
+    )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
+    long.groupBy("metric")
+      .agg(
+        count(lit(1)).as("cnt"),
+        avg("value").as("mean"),
+        stddev_samp(col("value")).as("std"),
+        min("value").as("min_v"),
+        percentile_approx(col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"),
+        max("value").as("max_v"))
+      .select(col("metric"), col("cnt"), col("mean"), col("std"), col("min_v"),
+        col("q")(0).as("q1"), col("q")(1).as("median"), col("q")(2).as("q3"),
+        col("max_v"))
+      .orderBy("metric")
+  }
+
   /** A6 — per-column profile: non-null / null / distinct counts (ref:
     * ExploratoryAnalysis.py:34-44). Exact distinct for the oracle; the
     * 100 TB path is approx_count_distinct.
@@ -457,7 +484,8 @@ object AnalyticsQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a06Profile, a06bProfileApprox,
+    a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
+    a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, j02TimeAlign, w01Windows)
 }
