@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.ProjectionQueries.all ++
+      graft.queries.PreprocessQueries.all ++
       graft.queries.StreamingQueries.all ++
       graft.queries.EnrichQueries.all ++
       graft.queries.MultimodalQueries.all ++

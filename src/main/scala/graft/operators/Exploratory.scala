@@ -100,7 +100,7 @@ object Exploratory {
   def categoryCount(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c)).agg(count(lit(1)).as("n")).orderBy(col(c))
 
-  private def numericCols(df: DataFrame): Seq[String] =
+  def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
 
   /** The full fan-out over a posts-preprocessed frame: cache once, run
