@@ -79,5 +79,51 @@ object StreamingQueries {
       .orderBy("bucket")
   }
 
-  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow)
+  /** SM1 — the REAL streaming engine under the gate: a file-source
+    * `readStream` over the events parquet, event-time tumbling-window
+    * aggregation, `Trigger.AvailableNow` (process everything, then stop),
+    * complete-mode memory sink. The result must equal the batch GROUP BY
+    * the oracle runs — the micro-batch engine's replay of the same data
+    * through `StateStore`-backed aggregation converges to the batch
+    * answer, which is exactly the backfill-equals-stream property the
+    * incremental pipeline relies on (SURVEY §2.9).
+    *
+    * At scale the same query runs unbounded with a watermark + append
+    * sink (StreamingSpec covers that mode on MemoryStream micro-batches);
+    * AvailableNow is the bounded-backfill deployment of the identical
+    * plan.
+    */
+  val sm01StreamWindow: GraftQuery = GraftQuery(
+    "sm01_stream_window",
+    """SELECT date_trunc('day', ts) AS bucket, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source monitors a DIRECTORY; events.parquet is a
+    // single file, so stage a temp dir with a symlink to it (zero copy —
+    // the landing-directory deployment shape, one link per arriving file)
+    val staging = java.nio.file.Files.createTempDirectory("sm01_src")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(staging.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+    val sink = "sm01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, sm01StreamWindow)
 }
