@@ -172,7 +172,46 @@ object DedupQueries {
       .orderBy("key")
   }
 
+  /** Incremental corpus dedup under the gate: the documents table arrives
+    * as two batches (even doc_ids, then odd), each deduped within itself
+    * and against the persistent key store via
+    * [[graft.operators.IncrementalDedup.dedupeBatch]] — O(batch) work per
+    * batch, never O(corpus). The union of the two batches' survivors must
+    * equal a global first-per-content-key dedup ordered by (batch, then
+    * doc_id), which is what the oracle computes in one window — the
+    * incremental path and the backfill path agree exactly.
+    */
+  val x04IncrementalDedup: GraftQuery = GraftQuery(
+    "x04_incremental_dedup", {
+      // key = hash of the first-2-token prefix, not the full text: the
+      // synthetic corpus has no exact-duplicate texts, and a key with real
+      // collisions makes the gate exercise both dedup paths (within-batch
+      // and cross-batch anti-join) instead of passing rows through
+      val keyE = TextFunctions.sqlRollingHash(
+        s"array_to_string(list_slice(${TextFunctions.sqlTokens("text")}, 1, 2), ' ')")
+      s"""WITH keyed AS (SELECT doc_id, source, $keyE AS k FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY k ORDER BY doc_id % 2, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT doc_id, source FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val store = java.nio.file.Files.createTempDirectory("x04_store")
+      .resolve("keys").toString
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    val key = TextFunctions.rollingHash(
+      array_join(slice(TextFunctions.tokens(col("text")), 1, 2), " "))
+    val batches = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    batches.map(b =>
+        graft.operators.IncrementalDedup.dedupeBatch(b, key, Seq(col("doc_id")), store))
+      .reduce(_ unionByName _)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    x01ExactDedup, x02DedupSummary, x03SaltedAgg, m01MinHashLsh, s01SimHash,
-    g01NgramJaccard)
+    x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
+    m01MinHashLsh, s01SimHash, g01NgramJaccard)
 }
