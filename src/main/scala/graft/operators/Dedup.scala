@@ -82,7 +82,11 @@ object Dedup {
                         shingleK: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), transform(col("__toks"), t => TextFunctions.rollingHash(t)).as("__th"))
+      // native single-pass token hash (bit-identical to the HOF fold for
+      // the ASCII corpus — ExpressionSpec asserts it); the per-char
+      // aggregate HOF allocates a position array + substring per char
+      .select(col("id"), transform(col("__toks"),
+        t => graft.plans.DedupExprs.rollingHash(t)).as("__th"))
       .select(col("id"), shingleHashes(col("__th"), shingleK).as("shs"))
 
   /** LSH near-dup pipeline: docs(id, text) → verified candidate pairs
@@ -92,7 +96,6 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms == bands * 2, "2 rows per band")
-    val perms = permConstants(numPerms)
     // The shingle frame feeds BOTH sides of the band self-join AND both
     // sides of the verification join; without materialization Spark plans
     // the tokenize→shingle subtree once per consumer (4×). A broadcast-hash
@@ -102,12 +105,16 @@ object Dedup {
     // unpersists it once the query's RDDs are unreferenced.
     val withShs = withShingleHashes(docs, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
-      minHashSig(col("shs"), a, b).as(s"sig_$i")
-    }
-    val withSigs = withShs.select(col("id") +: col("shs") +: sigs: _*)
+    // all 64 signatures in ONE native pass over the shingle array
+    // (MinHashSigsExpr doGenCode) instead of 64 array_min∘transform HOF
+    // passes; same (a·s+b) mod P math, PropertySpec asserts equality.
+    // The sig array is bound to an attribute before the band-key
+    // projection reads it 2×/band (multi-referenced-HOF rule).
+    val withSigs = withShs.select(col("id"),
+      graft.plans.DedupExprs.minHashSigs(col("shs"), numPerms).as("__sigs"))
     val bandKeys = (0 until bands).map(bd =>
-      (col(s"sig_${2 * bd}") * P + col(s"sig_${2 * bd + 1}")).as(s"band_$bd"))
+      (element_at(col("__sigs"), 2 * bd + 1) * P +
+        element_at(col("__sigs"), 2 * bd + 2)).as(s"band_$bd"))
     val banded = withSigs
       .select(col("id") +: bandKeys: _*)
       .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
@@ -167,6 +174,23 @@ object Dedup {
     */
   def withSimHash(docs: DataFrame, idCol: String, textCol: String,
                   bits: Int): DataFrame = {
+    require(bits <= 64)
+    docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), transform(col("__toks"),
+        t => graft.plans.DedupExprs.rollingHash(t)).as("__th"))
+      // one native pass over the token hashes (SimHashExpr) instead of
+      // 16 lane-packed aggregate HOF passes; majority-bit math identical
+      // to the reference formulation [[simHash]] (PropertySpec)
+      .select(col("id"), graft.plans.DedupExprs.simHash(col("__th"), bits).as("sim"))
+  }
+
+  /** The lane-packed HOF SimHash pipeline (4×16-bit counter lanes per
+    * long, 16 aggregate passes) — kept as the portable no-custom-Expression
+    * formulation; PropertySpec asserts it equals the native kernel.
+    */
+  def withSimHashHof(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int): DataFrame = {
     require(bits <= 64)
     val packCols = (0 until 16).map { j =>
       aggregate(col("__th"), lit(0L),

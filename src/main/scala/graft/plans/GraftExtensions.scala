@@ -17,5 +17,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) => RollingHashExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName, "graft_minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigsExpr(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpr(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

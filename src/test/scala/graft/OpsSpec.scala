@@ -60,9 +60,12 @@ class OpsSpec extends SparkSpec {
     for (bits <- Seq(16, 32, 64)) {
       val ref = df.select($"id", Dedup.simHash(Dedup.tokenHashes($"t"), bits).as("s"))
         .as[(Long, Long)].collect().toMap
-      val packed = Dedup.withSimHash(df, "id", "t", bits)
+      val packed = Dedup.withSimHashHof(df, "id", "t", bits)
         .as[(Long, Long)].collect().toMap
-      assert(packed == ref, s"bits=$bits")
+      assert(packed == ref, s"hof bits=$bits")
+      val native = Dedup.withSimHash(df, "id", "t", bits)
+        .as[(Long, Long)].collect().toMap
+      assert(native == ref, s"native bits=$bits")
     }
   }
 

@@ -91,6 +91,29 @@ class PropertySpec extends SparkSpec {
     assert(packed == ref)
   }
 
+  test("native minhash-sigs kernel ≡ 64 HOF array_min passes") {
+    val df = (1 to 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(100000).toLong).distinct)
+    }.toDF("id", "shs")
+    val perms = Dedup.permConstants(64)
+    val hof = df.select($"id" +: perms.zipWithIndex.map { case ((a, b), j) =>
+      Dedup.minHashSig($"shs", a, b).as(s"s$j")
+    }: _*).collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong(_)).toVector).toMap
+    val native = df.select($"id", graft.plans.DedupExprs.minHashSigs($"shs", 64).as("sigs"))
+      .as[(Long, Vector[Long])].collect().toMap
+    assert(native == hof)
+  }
+
+  test("native simhash64 kernel ≡ lane-packed HOF pipeline") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "data", "row")
+    val df = (1 to 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("id", "t")
+    val hof = Dedup.withSimHashHof(df, "id", "t", 64).as[(Long, Long)].collect().toMap
+    val native = Dedup.withSimHash(df, "id", "t", 64).as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
