@@ -129,6 +129,27 @@ object Multimodal {
     def decodeStats(content: Array[Byte], g: Int): Option[(Int, Int, Array[Long])] =
       decodeColor(content).map(img => (img.getWidth, img.getHeight, grayBlockSums(img, g)._1))
 
+    /** Whole-image per-channel integer sums of a decoded image —
+      * (width, height, Σr, Σg, Σb); None on undecodable input. The
+      * integer statistic the pixelation gate query (i02) compares.
+      */
+    def channelSums(content: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+      decode(content).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, rs, gs, bs)
+      }
+
     /** Fixed LCG weight for (class k, cell c) in [-0.5, 0.5). */
     private def weight(k: Int, c: Int): Double = {
       val n = k.toLong * 7919L + c.toLong * 104729L

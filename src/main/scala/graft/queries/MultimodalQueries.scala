@@ -65,5 +65,80 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(i01ImageStats)
+  /** Per-channel pixel formulas of the synthetic image (Multimodal.syntheticImage). */
+  private val chFormula = Map(
+    "r" -> "(7*x + 11*y + 13*doc_id) % 256",
+    "g" -> "(3*x + 5*y + 17*doc_id) % 256",
+    "b" -> "(13*x + 7*y + 19*doc_id) % 256")
+
+  /** Σ formula over x∈[x0,x1), y∈[y0,y1). */
+  private def sqlChCell(ch: String, x0: String, x1: String, y0: String, y1: String): String =
+    s"CAST(list_sum(flatten([[${chFormula(ch)} for x in range($x0, $x1)] for y in range($y0, $y1)])) AS BIGINT)"
+
+  /** Post-pixelation whole-image channel sum: full − face box + Σ over the
+    * 3×3 blocks of (truncated block mean) × block pixel count — the exact
+    * arithmetic of `ImageIoVisionModel.anonymize` (anonymize_face.py:44-70).
+    */
+  private def sqlAnonSum(ch: String): String = {
+    val full = sqlChCell(ch, "0", "w", "0", "h")
+    val box = sqlChCell(ch, "sx", "sx + fw", "sy", "sy + fh")
+    val blocks = for (bi <- 1 to 3; bj <- 1 to 3) yield {
+      val (x0, x1) = (s"sx + xs${bj - 1}", s"sx + xs$bj")
+      val (y0, y1) = (s"sy + ys${bi - 1}", s"sy + ys$bi")
+      val n = s"((xs$bj - xs${bj - 1}) * (ys$bi - ys${bi - 1}))"
+      s"((${sqlChCell(ch, x0, x1, y0, y1)} // $n) * $n)"
+    }
+    s"($full - $box + ${blocks.mkString(" + ")})"
+  }
+
+  /** I2 — face pixelation verified END-TO-END through the real codec
+    * (ref: anonymize_face.py:18-69): the Spark side renders the PNG, runs
+    * the full anonymize path (imageio decode → 3×3 truncated-block-mean
+    * pixelation of the detected box → lossless PNG re-encode), decodes
+    * the RESULT again and emits whole-image per-channel sums. The oracle
+    * recomputes the same integers from the pixel formula + the pixelation
+    * arithmetic alone — any deviation in decode, block boundaries,
+    * truncation, or re-encode breaks the hash.
+    */
+  val i02Pixelation: GraftQuery = GraftQuery(
+    "i02_pixelation",
+    s"""WITH dims AS (
+       |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
+       |  FROM documents WHERE doc_id % 10 = 5),
+       |d AS (
+       |  SELECT doc_id, w, h, w // 4 AS sx, h // 4 AS sy,
+       |         w // 2 AS fw, h // 2 AS fh
+       |  FROM dims),
+       |b AS (
+       |  SELECT *, 0 AS xs0, fw // 3 AS xs1, (2 * fw) // 3 AS xs2, fw AS xs3,
+       |            0 AS ys0, fh // 3 AS ys1, (2 * fh) // 3 AS ys2, fh AS ys3
+       |  FROM d)
+       |SELECT doc_id, w, h,
+       |  ${sqlAnonSum("r")} AS r_sum,
+       |  ${sqlAnonSum("g")} AS g_sum,
+       |  ${sqlAnonSum("b")} AS b_sum
+       |FROM b ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("r_sum", LongType), StructField("g_sum", LongType),
+      StructField("b_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 5)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val anon = m.anonymize(Multimodal.syntheticImage(id))
+          val (w, h, rs, gs, bs) = m.channelSums(anon).get
+          Row(id, w.toLong, h.toLong, rs, gs, bs)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation)
 }
