@@ -29,9 +29,17 @@ object Similarity {
   val SignScale = 1e9
 
   /** Fixed-point dot product of two float-array columns: Σ floor(aᵢ·bᵢ·1e15)
-    * as BIGINT (exact, order-independent).
+    * as BIGINT (exact, order-independent). Native fused kernel
+    * ([[graft.plans.DotFixedExpr]]) — one loop, no zip_with intermediate
+    * array per pair; OpsSpec/PropertySpec assert it equals [[dotFixedHof]].
     */
   def dotFixed(a: Column, b: Column): Column =
+    graft.plans.SimilarityExprs.dotFixed(a, b)
+
+  /** Portable HOF formulation of [[dotFixed]] (the math the SQL oracle
+    * mirrors); kept as the no-custom-Expression fallback and parity check.
+    */
+  def dotFixedHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => floor(x.cast("double") * y.cast("double") * lit(DotScale))),
       lit(0L), _ + _)
@@ -106,6 +114,13 @@ object Similarity {
     * trap).
     */
   def lshBucketFromVfix(vfix: Column, planes: Int, dims: Int): Column =
+    graft.plans.SimilarityExprs.lshBucket(vfix, planes, dims)
+
+  /** Portable HOF formulation of [[lshBucketFromVfix]]: one
+    * zip_with+aggregate pass per plane (the SQL oracle's shape); kept as
+    * fallback and parity check.
+    */
+  def lshBucketFromVfixHof(vfix: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { r =>
       val signs = array((0 until dims).map(d => lit(hyperplaneSign(r, d, dims).toLong)): _*)
       val dot = aggregate(zip_with(vfix, signs, _ * _), lit(0L), _ + _)
@@ -113,10 +128,13 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Bind the fixed-point grid to an attribute, then derive the bucket in
-    * a separate projection.
+    * a separate projection. The grid is cast to BIGINT (floor is integral
+    * and |v| < 2^31, so the cast is exact — the oracle's `sqlVfix` already
+    * CASTs the same way) for the native bucket kernel.
     */
   def withBucket(df: DataFrame, embCol: String, planes: Int, dims: Int): DataFrame =
-    df.withColumn("__vfix", transform(col(embCol), x => floor(x.cast("double") * lit(SignScale))))
+    df.withColumn("__vfix",
+        transform(col(embCol), x => floor(x.cast("double") * lit(SignScale)).cast("long")))
       .withColumn("bucket", lshBucketFromVfix(col("__vfix"), planes, dims))
       .drop("__vfix")
 
@@ -124,7 +142,7 @@ object Similarity {
     * grid inline, so prefer [[withBucket]] on DataFrames.
     */
   def lshBucket(emb: Column, planes: Int, dims: Int): Column = {
-    val vfix = transform(emb, x => floor(x.cast("double") * lit(SignScale)))
+    val vfix = transform(emb, x => floor(x.cast("double") * lit(SignScale)).cast("long"))
     lshBucketFromVfix(vfix, planes, dims)
   }
   /** SQL twin of the per-element fixed-point grid (hoist into a CTE once,

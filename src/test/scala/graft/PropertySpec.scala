@@ -114,6 +114,32 @@ class PropertySpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("native fixed-point dot kernel ≡ zip_with/aggregate HOF on signed floats") {
+    import graft.operators.Similarity
+    val df = (1 to 200).map { i =>
+      val a = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+      val b = Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+    val cmp = df.select($"id",
+      Similarity.dotFixed($"a", $"b").cast("long").as("native"),
+      Similarity.dotFixedHof($"a", $"b").cast("long").as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").isEmpty)
+  }
+
+  test("native lsh-bucket kernel ≡ per-plane HOF passes") {
+    import graft.operators.Similarity
+    val df = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("id", "emb")
+    val vfix = df.withColumn("__vfix",
+      transform($"emb", x => floor(x.cast("double") * lit(Similarity.SignScale)).cast("long")))
+    val cmp = vfix.select($"id",
+      Similarity.lshBucketFromVfix($"__vfix", 12, 64).as("native"),
+      Similarity.lshBucketFromVfixHof($"__vfix", 12, 64).as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").isEmpty)
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
