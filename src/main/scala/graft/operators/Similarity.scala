@@ -75,9 +75,12 @@ object Similarity {
     df.select(col(idCol).as("id"), col(embCol).as("emb"),
       dotF(col(embCol), col(embCol), dims).as("norm_f"))
 
-  /** Unrolled fast path when the dimension is statically known. */
-  private def dotF(a: Column, b: Column, dims: Int): Column =
-    if (dims > 0) dotFixedUnrolled(a, b, dims) else dotFixed(a, b)
+  /** All paths use the native fused kernel now — it beats both the
+    * generic HOF and the unrolled expression tree at every dims (the
+    * unrolled tree additionally bloats plans and falls out of codegen).
+    * `dims` is kept in the signature for call-site documentation.
+    */
+  private def dotF(a: Column, b: Column, dims: Int): Column = dotFixed(a, b)
 
   /** Brute-force exact cosine top-k: queries × vectors scan, per-query
     * ranked window. `queries` should be small (broadcast side).
