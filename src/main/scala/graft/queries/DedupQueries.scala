@@ -211,7 +211,31 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Salted skew-resistant join under the gate (the plan-level hot-key
+    * tool, [[graft.operators.Skew.saltedBroadcastableJoin]]): events join
+    * a per-type dim on `event_type` — a handful of values, i.e. every key
+    * is hot — with the small side replicated per salt bucket and the big
+    * side salted. The result multiset must equal the plain inner join,
+    * which is exactly what the oracle computes; the per-type row count
+    * doubling as a dim-column check (n = type_n for every group).
+    */
+  val x05SaltedJoin: GraftQuery = GraftQuery(
+    "x05_salted_join",
+    s"""WITH dim AS (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type)
+       |SELECT e.event_type, COUNT(*) AS n, MIN(d.type_n) AS type_n,
+       |       ${graft.Det.sqlSum("e.value", 6)} AS sum_value
+       |FROM events e JOIN dim d USING (event_type)
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+    graft.operators.Skew.saltedBroadcastableJoin(events, dim, "event_type", 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("type_n")).as("type_n"),
+        graft.Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
-    m01MinHashLsh, s01SimHash, g01NgramJaccard)
+    x05SaltedJoin, m01MinHashLsh, s01SimHash, g01NgramJaccard)
 }
