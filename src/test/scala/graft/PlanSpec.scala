@@ -65,4 +65,27 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, plan:\n$plan")
   }
+
+  test("near-dup signatures run through the native one-pass kernels (m01/s01)") {
+    assert(planOf("m01_minhash_lsh").contains("graft_minhash_sigs"))
+    assert(planOf("s01_simhash_pairs").contains("graft_simhash"))
+  }
+
+  test("similarity paths use the fused dot and one-pass bucket kernels (e02)") {
+    val plan = planOf("e02_knn_lsh")
+    assert(plan.contains("graft_lsh_bucket"))
+    assert(plan.contains("graft_dot_fixed"))
+    // the retired unrolled expression tree must not come back: the widest
+    // FLOOR chain a plan should carry is inside a lambda, not 64 terms
+    assert(!plan.contains("emb#") || "FLOOR".r.findAllIn(plan).length < 64)
+  }
+
+  test("t06 repetition has no Generate (the InferFiltersFromGenerate trap)") {
+    val plan = planOf("t06_repetition")
+    // an explode formulation plants size(shingle-pipeline)>0 into the scan
+    // filter, evaluating the whole pipeline 3x per row (5.6s -> 0.17s at
+    // sf0.1 when removed) — guard the generator-free shape
+    assert(!plan.contains("Generate"), s"t06 must stay generator-free:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull"), "no inferred scan filter expected")
+  }
 }
