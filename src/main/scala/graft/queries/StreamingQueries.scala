@@ -125,5 +125,41 @@ object StreamingQueries {
       .orderBy("bucket", "event_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, sm01StreamWindow)
+  /** SM2 — streaming dedup under the gate: the watermark-bounded
+    * stateful dedup ([[graft.streaming.EventStreams.dedupWithinWatermark]])
+    * over the same AvailableNow file stream. Which duplicate row survives
+    * is a race across partitions, but the surviving KEY SET is exact —
+    * so the gate projects the key after dedup and compares against batch
+    * `SELECT DISTINCT`. (In the single AvailableNow batch no state is
+    * evicted, so the stream's key set equals the batch answer exactly;
+    * under continuous ingestion the watermark bounds both state and the
+    * dedup horizon — StreamingSpec drives that mode.)
+    */
+  val sm02StreamDedup: GraftQuery = GraftQuery(
+    "sm02_stream_dedup",
+    "SELECT DISTINCT props AS k FROM events ORDER BY k") { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val staging = java.nio.file.Files.createTempDirectory("sm02_src")
+    java.nio.file.Files.createSymbolicLink(
+      staging.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
+      spark.readStream.schema(schema).parquet(staging.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+      "1 day", key = "props")
+    val sink = "sm02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(sink).select(col("props").as("k")).orderBy("k")
+  }
+
+  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,
+    sm01StreamWindow, sm02StreamDedup)
 }

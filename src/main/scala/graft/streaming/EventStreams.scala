@@ -39,11 +39,12 @@ object EventStreams {
     * stream. (Batch frames fall back to plain dropDuplicates — the
     * watermark API is streaming-only.)
     */
-  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, watermarkDelay: String,
+                           key: String = "event_id"): DataFrame =
     if (events.isStreaming)
       events.withWatermark("ts", watermarkDelay)
-        .dropDuplicatesWithinWatermark("event_id")
-    else events.dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark(key)
+    else events.dropDuplicates(key)
 
   final case class SessionState(nEvents: Long, totalValue: Double,
                                 startMs: Long, lastMs: Long)
