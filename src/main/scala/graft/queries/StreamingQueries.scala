@@ -117,8 +117,15 @@ object StreamingQueries {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
     val sink = "sm01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    // state-store count = shuffle partitions at query start; a handful of
+    // window×type keys needs 8, not the session's 32 (each store pays
+    // init+commit per batch)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     spark.table(sink)
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
@@ -154,8 +161,12 @@ object StreamingQueries {
         .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
       "1 day", key = "props")
     val sink = "sm02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     spark.table(sink).select(col("props").as("k")).orderBy("k")
   }
