@@ -236,6 +236,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget packing (training-shard planning): documents are packed
+    * into contiguous bins of ≤4096 tokens per source in doc_id order —
+    * pack_id = exclusive-running-token-sum div budget. Per-source windows
+    * keep the sort partition-local (a GLOBAL packing order would serialize
+    * the sort at 100 TB; sources are the natural shard key), and the
+    * output is the per-pack manifest a dataloader consumes.
+    */
+  val t08TokenPacking: GraftQuery = GraftQuery(
+    "t08_token_packing",
+    s"""WITH t AS (
+       |  SELECT source, doc_id, len(${sqlTokens("text")}) AS n FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n,
+       |         COALESCE(CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ex
+       |  FROM t)
+       |SELECT source, ex // 4096 AS pack_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(n) AS BIGINT) AS pack_tokens
+       |FROM c GROUP BY source, ex // 4096
+       |ORDER BY source, pack_id""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n"))
+      .withColumn("ex", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("source"), expr("ex div 4096").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
-    t05LangDist, t06Repetition, t07PiiScrub)
+    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking)
 }
