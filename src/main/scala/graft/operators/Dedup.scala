@@ -244,6 +244,53 @@ object Dedup {
         expr("bit_count(x.sim ^ y.sim)").cast("long").as("hamming"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b) —
+    * the clustering step after near-dup pair generation: duplicates form
+    * groups, the pipeline keeps one representative per group. Iterative
+    * min-label propagation: every vertex starts as its own component and
+    * repeatedly takes the min of its own and its neighbors' labels, so
+    * labels converge to the component's minimum id (deterministic).
+    *
+    * Scale notes: each round is one equi-join + one map-side-combinable
+    * min aggregate — the standard label-propagation shape; rounds =
+    * graph diameter (near-dup clusters are shallow; cap with `maxIters`).
+    * Labels persist per round and the convergence probe is a single
+    * sum aggregate (label sum decreases monotonically, so equal sums ⇔
+    * fixpoint). At larger diameters swap in large-star/small-star
+    * pointer doubling — same join primitives, O(log d) rounds.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // localCheckpoint (eager), not persist: each round's plan references
+    // the previous round's, so un-truncated lineage grows exponentially
+    // and OOMs the DRIVER in plan optimization around 15 rounds — the
+    // canonical iterative-graph-algorithm failure. Checkpointing cuts the
+    // logical plan at every round; on a cluster with unreliable executors
+    // use reliable checkpoint() to a checkpoint dir instead.
+    val sym = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(prop)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** Exact dedup keeping the first row per key by a stable order (ref:
     * Preprocessor.py:161-167 drop_duplicates; deterministic row_number
     * variant per SURVEY §4).

@@ -65,22 +65,30 @@ object DedupQueries {
     * sigs → 8 banded buckets → candidate join → exact-Jaccard verify;
     * top-100 pairs plus the candidate-count audit.
     */
+  /** Shared CTE chain producing the LSH candidate pairs — the edge set
+    * both m01 (verify + top-k) and g02 (duplicate-group clustering)
+    * consume.
+    */
+  private def sqlCandCtes: String = {
+    val perms = Dedup.permConstants(NumPerms)
+    val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
+    }
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT id, $b AS band_id, sig_${2 * b} * $P + sig_${2 * b + 1} AS band_key FROM sigs")
+    s"""docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents),
+       |sigs AS (SELECT id, ${sigCols.mkString(", ")} FROM docs),
+       |banded AS (${bandSelects.mkString("\nUNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id)""".stripMargin
+  }
+
   val m01MinHashLsh: GraftQuery = GraftQuery(
     "m01_minhash_lsh", {
-      val perms = Dedup.permConstants(NumPerms)
-      val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
-      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-        s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
-      }
-      val bandSelects = (0 until Bands).map(b =>
-        s"SELECT id, $b AS band_id, sig_${2 * b} * $P + sig_${2 * b + 1} AS band_key FROM sigs")
-      s"""WITH docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents),
-         |sigs AS (SELECT id, ${sigCols.mkString(", ")} FROM docs),
-         |banded AS (${bandSelects.mkString("\nUNION ALL\n")}),
-         |cand AS (
-         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id),
+      s"""WITH $sqlCandCtes,
          |verified AS (
          |  SELECT id_a, id_b, ${Dedup.sqlJaccard("a.shs", "b.shs")} AS jaccard
          |  FROM cand JOIN docs a ON cand.id_a = a.id JOIN docs b ON cand.id_b = b.id),
@@ -235,7 +243,43 @@ object DedupQueries {
       .orderBy("event_type")
   }
 
+  /** G2 — duplicate-group clustering: connected components over the LSH
+    * candidate pairs ([[Dedup.connectedComponents]] min-label
+    * propagation), emitting one row per duplicate group with its
+    * representative (= min doc_id, which is what the labels converge to)
+    * and member count. The oracle computes the same components via a
+    * recursive transitive closure + MIN — completely different algorithm,
+    * same fixpoint, so the equality is a strong check of the iteration.
+    */
+  val g02DedupGroups: GraftQuery = GraftQuery(
+    "g02_dedup_groups",
+    s"""WITH RECURSIVE $sqlCandCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT component, COUNT(*) AS n_members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.nearDupPairs(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleK, NumPerms, Bands)
+    // the label frames are |verts| rows — shuffling them over the
+    // session's 32 partitions makes every propagation round pure task
+    // overhead; at real scale the caller keeps the session parallelism
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    comps
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
-    x05SaltedJoin, m01MinHashLsh, s01SimHash, g01NgramJaccard)
+    x05SaltedJoin, m01MinHashLsh, s01SimHash, g01NgramJaccard, g02DedupGroups)
 }

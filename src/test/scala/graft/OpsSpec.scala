@@ -153,6 +153,16 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("connectedComponents labels chains, cliques and isolates-by-edge correctly") {
+    // two components: a 4-chain (1-2-3-4) and a triangle (10,11,12);
+    // vertex 20-21 pair; labels must converge to each component's min id
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("IncrementalDedup: batches dedupe against the persistent corpus store") {
     import graft.operators.IncrementalDedup
     val store = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
