@@ -73,8 +73,15 @@ object AnalyticsQueries {
     */
   val a05Describe: GraftQuery = GraftQuery(
     "a05_describe", {
-      val sd = "CAST(sx AS DOUBLE)"
-      val sdd = "CAST(sxx AS DOUBLE)"
+      // Moment sums in 1e8 fixed point, split into 32-bit halves summed as
+      // plain longs (the a08 technique): a DECIMAL(38,8) sum of squares is
+      // exact, but casting the ~24-significant-digit total to DOUBLE is
+      // correctly-rounded in Spark (BigDecimal) and DOUBLE-ROUNDED in
+      // DuckDB (int128→double, then ÷10^8) — a 1-ulp std divergence that
+      // surfaces at sf≥0.1 magnitudes. The halves reassemble through the
+      // identical IEEE expression on both sides.
+      val sd = "((CAST(sx_hi AS DOUBLE) * 4294967296.0 + CAST(sx_lo AS DOUBLE)) / 100000000.0)"
+      val sdd = "((CAST(sxx_hi AS DOUBLE) * 4294967296.0 + CAST(sxx_lo AS DOUBLE)) / 100000000.0)"
       s"""WITH long AS (
          |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
          |  UNION ALL
@@ -92,8 +99,10 @@ object AnalyticsQueries {
          |  FROM ranked GROUP BY metric),
          |m AS (
          |  SELECT metric, COUNT(*) AS cnt,
-         |         SUM(CAST(value AS DECIMAL(38,8))) AS sx,
-         |         SUM(CAST(value * value AS DECIMAL(38,8))) AS sxx,
+         |         SUM(CAST(floor(value * 100000000.0) AS BIGINT) >> 32) AS sx_hi,
+         |         SUM(CAST(floor(value * 100000000.0) AS BIGINT) & 4294967295) AS sx_lo,
+         |         SUM(CAST(floor(value * value * 100000000.0) AS BIGINT) >> 32) AS sxx_hi,
+         |         SUM(CAST(floor(value * value * 100000000.0) AS BIGINT) & 4294967295) AS sxx_lo,
          |         MIN(value) AS min_v, MAX(value) AS max_v
          |  FROM long GROUP BY metric)
          |SELECT m.metric, cnt, ($sd / cnt) AS mean,
@@ -113,12 +122,20 @@ object AnalyticsQueries {
       max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"), col("value"))).as("q1"),
       max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("value"))).as("median"),
       max(when(col("rn") === ceil(lit(0.75) * col("n")).cast("long"), col("value"))).as("q3"))
-    val sd = col("sx").cast("double")
-    val sdd = col("sxx").cast("double")
+    def half(e: Column): (Column, Column) = {
+      val v = floor(e * 100000000.0).cast("long")
+      (shiftright(v, 32), v.bitwiseAND(lit(4294967295L)))
+    }
+    val (sxHi, sxLo) = half(col("value"))
+    val (sxxHi, sxxLo) = half(col("value") * col("value"))
+    def dval(hi: String, lo: String): Column =
+      (col(hi).cast("double") * 4294967296.0 + col(lo).cast("double")) / 100000000.0
+    val sd = dval("sx_hi", "sx_lo")
+    val sdd = dval("sxx_hi", "sxx_lo")
     val m = long.groupBy("metric").agg(
       count(lit(1)).as("cnt"),
-      sum(col("value").cast("decimal(38,8)")).as("sx"),
-      sum((col("value") * col("value")).cast("decimal(38,8)")).as("sxx"),
+      sum(sxHi).as("sx_hi"), sum(sxLo).as("sx_lo"),
+      sum(sxxHi).as("sxx_hi"), sum(sxxLo).as("sxx_lo"),
       min("value").as("min_v"), max("value").as("max_v"))
     m.join(q, "metric")
       .select(col("metric"), col("cnt"), (sd / col("cnt")).as("mean"),
