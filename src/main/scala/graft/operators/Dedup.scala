@@ -251,24 +251,46 @@ object Dedup {
     * repeatedly takes the min of its own and its neighbors' labels, so
     * labels converge to the component's minimum id (deterministic).
     *
-    * Scale notes: each round is one equi-join + one map-side-combinable
-    * min aggregate — the standard label-propagation shape; rounds =
-    * graph diameter (near-dup clusters are shallow; cap with `maxIters`).
-    * Labels persist per round and the convergence probe is a single
-    * sum aggregate (label sum decreases monotonically, so equal sums ⇔
-    * fixpoint). At larger diameters swap in large-star/small-star
-    * pointer doubling — same join primitives, O(log d) rounds.
+    * Scale notes: each round is a 1-hop min propagation (equi-join +
+    * map-side-combinable min aggregate) followed by a POINTER JUMP
+    * (labels self-join: comp(v) := comp(comp(v))) — the jump doubles the
+    * distance a minimum travels per round, so rounds = O(log diameter),
+    * not O(diameter). Every round shuffles the full label table, so the
+    * round count is exactly what a 100 TB graph pays for; log d rounds is
+    * the difference between 5 shuffles and 30 on a deep chain. The jump
+    * is sound because a min-label is always the id of a vertex in the
+    * same component, so comp(comp(v)) exists, is ≤ comp(v), and stays in
+    * v's component; the fixpoint (comp(v) = component min everywhere) is
+    * unchanged. Convergence probe: label sum decreases monotonically, so
+    * equal sums across a full round ⇔ fixpoint.
+    *
+    * Small-graph fast path: when the edge list fits a broadcast-class
+    * budget (`localEdgeLimit` edges ≤ tens of MB on the driver — the same
+    * size class Spark broadcasts for joins), path-compressed union-find
+    * on the collected edges replaces the loop: exact same min-id labels,
+    * zero iterative shuffles. The count guard makes the bound ENFORCED,
+    * not advisory; above it the distributed loop runs. Candidate-pair
+    * graphs are usually tiny relative to the corpus (edges ≈ near-dups),
+    * so most runs take the fast path even at large SF, while a 100 TB
+    * worst case degrades gracefully to O(log d) shuffles instead of OOM.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
+                          localEdgeLimit: Long = 2000000L): DataFrame = {
     // localCheckpoint (eager), not persist: each round's plan references
     // the previous round's, so un-truncated lineage grows exponentially
     // and OOMs the DRIVER in plan optimization around 15 rounds — the
     // canonical iterative-graph-algorithm failure. Checkpointing cuts the
     // logical plan at every round; on a cluster with unreliable executors
     // use reliable checkpoint() to a checkpoint dir instead.
-    val sym = pairs
+    // materialize the edge list ONCE before symmetrizing: the union
+    // references `pairs` twice, and an upstream candidate-generation
+    // pipeline (LSH join + verify) would otherwise run once per side
+    val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    if (edges.count() <= localEdgeLimit) return localComponents(edges)
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -279,8 +301,18 @@ object Dedup {
     while (!converged && i < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(prop)
+      // 1-hop min propagation; checkpointed because the pointer jump
+      // self-joins it (an un-materialized self-join plans the whole
+      // aggregate subtree once per side)
+      val hop = labels.select(col("id"), col("comp")).union(prop)
         .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      // pointer jump: comp(v) := comp(comp(v)) — rename one side fully so
+      // the self-join has no shared attribute ids
+      val next = hop
+        .join(hop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+          col("comp") === col("__cid"))
+        .select(col("id"), col("__ccomp").as("comp"))
         .localCheckpoint()
       val s = next.agg(sum(col("comp"))).head.getLong(0)
       labels = next
@@ -288,7 +320,50 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIters=$maxIters before the label sum " +
+          "stabilized — returned labels may split true components. Raise " +
+          "maxIters for pathologically deep graphs.")
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list — the bounded
+    * small-graph path of [[connectedComponents]]. Path compression +
+    * union by rank, then every vertex is labeled with the MINIMUM id in
+    * its component (a second pass over the roots), matching the
+    * distributed loop's fixpoint exactly.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (la, lb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (la < lb) parent(ra) = rb
+        else if (la > lb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = la + 1 }
+      }
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    val labeled = parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v))))
+    spark.createDataFrame(labeled).toDF("id", "comp")
   }
 
   /** Exact dedup keeping the first row per key by a stable order (ref:

@@ -100,15 +100,14 @@ object Enrich {
     * parallel executor).
     */
   object TranslationLimiter {
-    @volatile private var sem: java.util.concurrent.Semaphore = _
-    def get(permits: Int): java.util.concurrent.Semaphore = {
-      if (sem == null) synchronized {
-        if (sem == null) sem = new java.util.concurrent.Semaphore(permits)
-      }
-      sem
-    }
-    /** Test hook: drop the JVM-wide instance so a new permit count applies. */
-    def reset(): Unit = synchronized { sem = null }
+    // Keyed by permit count: concurrent jobs with different bounds each get
+    // their own semaphore instead of silently sharing the first job's.
+    private val sems =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.Semaphore]()
+    def get(permits: Int): java.util.concurrent.Semaphore =
+      sems.computeIfAbsent(permits, p => new java.util.concurrent.Semaphore(p))
+    /** Test hook: drop all JVM-wide instances. */
+    def reset(): Unit = sems.clear()
   }
 
   /** State-row codec for the translation checkpoint files: one

@@ -55,6 +55,7 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val withKey = batch.withColumn("__key", key)
     val inBatch = Dedup.dedupFirst(withKey, Seq("__key"), order)
+    registerStagedCleanup(storeDir)
     val staged = s"$storeDir.staged/${java.util.UUID.randomUUID()}"
     inBatch
       .join(readStore(spark, storeDir), Seq("__key"), "left_anti")
@@ -63,4 +64,28 @@ object IncrementalDedup {
     fresh.select("__key").write.mode("append").parquet(storeDir)
     fresh.drop("__key")
   }
+
+  /** Staged dirs cannot be deleted inside [[dedupeBatch]] — the returned
+    * frame lazily reads from its own staged parquet. Long-running
+    * ingestion calls this between batches, once the previous batch's
+    * returned frame is consumed; a JVM shutdown hook (registered on first
+    * use per store) sweeps whatever remains on exit, so staged copies
+    * never outlive the process.
+    */
+  def cleanupStaged(storeDir: String): Unit = {
+    val root = java.nio.file.Paths.get(s"$storeDir.staged")
+    if (java.nio.file.Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(root)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
+  }
+
+  private val cleanupHooks = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerStagedCleanup(storeDir: String): Unit =
+    if (cleanupHooks.add(storeDir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try cleanupStaged(storeDir) catch { case _: Throwable => () }))
 }

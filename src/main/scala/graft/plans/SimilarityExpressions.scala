@@ -32,13 +32,27 @@ case class DotFixedExpr(left: Expression, right: Expression) extends BinaryExpre
       s"graft_dot_fixed expects two ARRAY<FLOAT>, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_fixed"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotFixedExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // Length mismatch → null, matching the HOF path: zip_with null-pads the
+  // shorter side and the aggregate sum then propagates null. The two
+  // formulations must agree on ALL inputs, ragged included.
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else DotFixedExpr.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.DotFixedExpr.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.DotFixedExpr.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotFixedExpr =

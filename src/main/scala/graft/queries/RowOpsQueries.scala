@@ -140,10 +140,13 @@ object RowOpsQueries {
       .orderBy("k_mod")
   }
 
-  /** K1 — exact per-group top-k via the custom typed Aggregator
-    * (graft.functions.TopKAggregator): k-bounded buffers, map-side
-    * combinable — vs. the window alternative that shuffles every row.
-    * Oracle is the equivalent ranked window.
+  /** K1 — exact per-group top-k via the native k-bounded aggregate
+    * ([[graft.plans.TopKAggExpr]], a `TypedImperativeAggregate` over a
+    * primitive heap): map-side combinable, ≤ k entries per buffer — vs.
+    * the window alternative that shuffles every row. The portable
+    * `Aggregator` twin (graft.functions.TopKAggregator) stays for
+    * API-level use; PropertySpec asserts the two produce identical
+    * output. Oracle is the equivalent ranked window.
     */
   val k01TopKAggregator: GraftQuery = GraftQuery(
     "k01_topk_aggregator",
@@ -154,11 +157,9 @@ object RowOpsQueries {
       |  FROM events)
       |SELECT event_type, rank, event_id, value FROM ranked WHERE rank <= 3
       |ORDER BY event_type, rank""".stripMargin) { (spark, dir) =>
-    import graft.functions.{ScoredId, TopKAggregator}
-    val topk = udaf(new TopKAggregator(3), org.apache.spark.sql.Encoders.product[ScoredId])
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(topk(col("value"), col("event_id")).as("top"))
+      .agg(graft.plans.TopKAgg.topK(col("value"), col("event_id"), 3).as("top"))
       .select(col("event_type"), posexplode(col("top")).as(Seq("rank0", "s")))
       .select(col("event_type"), (col("rank0") + 1).cast("long").as("rank"),
         col("s.id").as("event_id"), col("s.score").as("value"))

@@ -12,6 +12,49 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  private val eventsStreamSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** Shared harness for the streaming gate queries: stages the single
+    * events.parquet behind a temp symlink directory (the file stream
+    * source monitors a DIRECTORY; one link per arriving file is the
+    * landing-directory deployment shape, zero copy), sets the
+    * session confs the stream needs (nanos-as-long parquet reads; state
+    * stores sized to the key cardinality, 8 not 32 — each store pays
+    * init+commit per batch), runs `body`, and RESTORES every conf and
+    * deletes the staging dir afterwards — no session-global leaks into
+    * later queries.
+    */
+  private def withStagedEventsStream[T](spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, prefix: String)(
+      body: org.apache.spark.sql.DataFrame => T): T = {
+    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val staging = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        staging.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      body(spark.readStream.schema(eventsStreamSchema).parquet(staging.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      java.nio.file.Files.deleteIfExists(staging.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staging)
+    }
+  }
+
   /** ST1 — event-time sessionization (gap = 1 day): lag-gap marking +
     * running session counter + per-session aggregate. The batch twin of
     * EventStreams.sessionize.
@@ -99,37 +142,18 @@ object StreamingQueries {
       |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source monitors a DIRECTORY; events.parquet is a
-    // single file, so stage a temp dir with a symlink to it (zero copy —
-    // the landing-directory deployment shape, one link per arriving file)
-    val staging = java.nio.file.Files.createTempDirectory("sm01_src")
-    java.nio.file.Files.createSymbolicLink(
-      staging.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(staging.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
-    val sink = "sm01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // state-store count = shuffle partitions at query start; a handful of
-    // window×type keys needs 8, not the session's 32 (each store pays
-    // init+commit per batch)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
+    withStagedEventsStream(spark, dir, "sm01_src") { events =>
+      val stream = events
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      val sink = "sm01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
       stream.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    spark.table(sink)
-      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
-      .orderBy("bucket", "event_type")
+        .awaitTermination()
+      spark.table(sink)
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    }
   }
 
   /** SM2 — streaming dedup under the gate: the watermark-bounded
@@ -146,29 +170,15 @@ object StreamingQueries {
     "sm02_stream_dedup",
     "SELECT DISTINCT props AS k FROM events ORDER BY k") { (spark, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val staging = java.nio.file.Files.createTempDirectory("sm02_src")
-    java.nio.file.Files.createSymbolicLink(
-      staging.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
-      spark.readStream.schema(schema).parquet(staging.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
-      "1 day", key = "props")
-    val sink = "sm02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try {
+    withStagedEventsStream(spark, dir, "sm02_src") { events =>
+      val deduped = graft.streaming.EventStreams.dedupWithinWatermark(
+        events, "1 day", key = "props")
+      val sink = "sm02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
       deduped.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    spark.table(sink).select(col("props").as("k")).orderBy("k")
+        .awaitTermination()
+      spark.table(sink).select(col("props").as("k")).orderBy("k")
+    }
   }
 
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,

@@ -158,9 +158,16 @@ class OpsSpec extends SparkSpec {
     // vertex 20-21 pair; labels must converge to each component's min id
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // small-graph fast path (driver union-find)
+    val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    // distributed pointer-jump loop, forced by a zero local budget —
+    // must produce the identical fixpoint
+    val dist = Dedup.connectedComponents(edges, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("IncrementalDedup: batches dedupe against the persistent corpus store") {

@@ -140,6 +140,28 @@ class PropertySpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"hof").isEmpty)
   }
 
+  test("native top-k aggregate ≡ Aggregator twin ≡ ranked window on random groups") {
+    import graft.functions.{ScoredId, TopKAggregator}
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000).map { i =>
+      (i.toLong, rnd.nextInt(7), rnd.nextInt(40).toDouble) // duplicate scores on purpose
+    }.toDF("id", "g", "score")
+    def flat(c: org.apache.spark.sql.Column) = df.groupBy($"g").agg(c.as("top"))
+      .select($"g", posexplode($"top").as(Seq("r", "s")))
+      .select($"g", $"r", $"s.score", $"s.id")
+    val native = flat(graft.plans.TopKAgg.topK($"score", $"id", 5)).collect().toSet
+    val twin = flat(udaf(new TopKAggregator(5),
+      org.apache.spark.sql.Encoders.product[ScoredId])($"score", $"id")).collect().toSet
+    val window = df
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+      .filter($"rk" <= 5)
+      .select($"g", ($"rk" - 1).cast("int").as("r"), $"score", $"id")
+      .collect().toSet
+    assert(native == twin)
+    assert(native == window)
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
