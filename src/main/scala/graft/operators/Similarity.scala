@@ -293,6 +293,50 @@ object Similarity {
           col("a.norm_f"), col("b.norm_f")).as("cosine"))
   }
 
+  /** SemDeDup — cluster-then-prune semantic dedup (the published
+    * embedding-dedup recipe: k-means the corpus, then prune high-cosine
+    * pairs WITHIN clusters only, never all-pairs): vectors are assigned
+    * to their nearest centroid, within-cluster pairs with cosine ≥
+    * `threshold` form duplicate groups (connected components), and every
+    * non-representative member (id ≠ group min) is emitted as a removal
+    * with its kept representative.
+    *
+    * Scale shape: centroid assignment is a broadcast affinity join
+    * (centroid count ≪ corpus); the pair search is an equi-join on the
+    * cluster id — candidate volume is Σ|cluster|², tuned by the centroid
+    * count exactly as SemDeDup tunes k — and grouping reuses
+    * [[Dedup.connectedComponents]] (bounded union-find / O(log d)
+    * propagation). No stage touches the O(n²) global pair space.
+    */
+  def semDedupRemovals(vectors: DataFrame, idCol: String, embCol: String,
+                       centroidPred: Column, threshold: Double,
+                       dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
+    val cent = v.filter(centroidPred)
+      .select(col("id").as("c_id"), col("emb").as("c_emb"), col("norm_f").as("c_norm"))
+    val wAssign = Window.partitionBy("id").orderBy(desc("c_cos"), asc("c_id"))
+    // assignment feeds both self-join sides — materialize it once
+    val assigned = v.crossJoin(broadcast(cent))
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id"),
+        cosineFromFixed(dotF(col("emb"), col("c_emb"), dims), col("norm_f"), col("c_norm"))
+          .as("c_cos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineFromFixed(dotF(col("a.emb"), col("b.emb"), dims),
+          col("a.norm_f"), col("b.norm_f")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("removed_id"), col("comp").as("keep_id"))
+  }
+
   /** Brute-force top-k cosine pairs as a hand-written kernel: vectors
     * broadcast once, each task loops its slice of i against all j>i with
     * primitive arrays, keeping a k-bounded local top plus the pair count

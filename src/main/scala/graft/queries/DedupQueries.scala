@@ -97,8 +97,11 @@ object DedupQueries {
          |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM verified) t
          |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
     }) { (spark, dir) =>
+    // the verified pair list feeds both the audit count and the top-100;
+    // persist it or the candidate join + verify subtree plans twice
     val pairs = Dedup.nearDupPairs(
       Tables.documents(spark, dir), "doc_id", "text", ShingleK, NumPerms, Bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = pairs.agg(count(lit(1)).as("n_candidates"))
     pairs.orderBy(desc("jaccard"), asc("id_a"), asc("id_b")).limit(100)
       .crossJoin(broadcast(total))
@@ -134,8 +137,10 @@ object DedupQueries {
          |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM cand) t
          |ORDER BY hamming, id_a, id_b""".stripMargin
     }) { (spark, dir) =>
+    // same persist-before-fanout rule as m01: count + top-100 both read it
     val pairs = Dedup.simHashPairs(
       Tables.documents(spark, dir), "doc_id", "text", SimBits, ChunkBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = pairs.agg(count(lit(1)).as("n_candidates"))
     pairs.orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(100)
       .crossJoin(broadcast(total))

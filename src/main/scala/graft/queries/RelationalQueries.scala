@@ -261,8 +261,43 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** J6 — as-of (point-in-time) join: every click is annotated with the
+    * same user's most recent purchase at or before the click's event
+    * time ([[graft.operators.AsOf.asOfJoin]] — union + one keyed window,
+    * a single shuffle; never a per-row probe or range-join explosion).
+    * The oracle runs the identical union-window formulation in DuckDB,
+    * so boundary (`rightTs == leftTs` matches) and tie (last
+    * `event_id` wins at equal ts) semantics are checked exactly.
+    */
+  val j06AsOfJoin: GraftQuery = GraftQuery(
+    "j06_asof_join", {
+      val asof = graft.operators.AsOf.sqlAsOfJoin(
+        leftSel = "SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'",
+        rightSel = "SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'",
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        leftCols = Seq("user_id", "event_id", "ts", "value"),
+        rightCols = Seq("event_id", "ts", "value"),
+        rightTieBreak = "event_id")
+      s"""WITH $asof
+         |SELECT user_id, event_id, ts, value,
+         |       prior_event_id, prior_ts, prior_value,
+         |       date_diff('second', prior_ts, ts) AS secs_since_purchase
+         |FROM asof_rows ORDER BY event_id""".stripMargin
+    }) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    graft.operators.AsOf.asOfJoin(clicks, purchases, "user_id", "ts", "ts",
+        rightCols = Seq("event_id", "ts", "value"), rightTieBreak = "event_id")
+      .withColumn("secs_since_purchase",
+        unix_timestamp(col("ts")) - unix_timestamp(col("prior_ts")))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, p01DeriveImage, p03DateParts,
     p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
-    j01DimJoin, j03AntiJoin, j04SemiJoin, a01TimeBucket)
+    j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin, a01TimeBucket)
 }

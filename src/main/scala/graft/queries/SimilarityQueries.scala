@@ -133,5 +133,47 @@ object SimilarityQueries {
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
   }
 
-  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e05LshPairs)
+  private val SemThreshold = 0.38
+
+  /** E6 — SemDeDup (cluster-then-prune semantic dedup): vectors assigned
+    * to their nearest centroid (same fixed centroid set as e03),
+    * within-cluster pairs with cosine ≥ threshold form duplicate groups,
+    * and each group keeps its min id — every other member is emitted as
+    * (removed_id, keep_id). The oracle recomputes the groups via a
+    * recursive transitive closure (g02's technique) over the same
+    * exact-cosine pair set, so the clustering, thresholding and
+    * representative choice are all checked end-to-end.
+    */
+  val e06SemDedup: GraftQuery = GraftQuery(
+    "e06_semdedup",
+    s"""WITH RECURSIVE v AS ($sqlV),
+       |cent AS (SELECT id AS c_id, emb AS c_emb, norm_f AS c_norm FROM v WHERE id < $NumCentroids),
+       |aff AS (
+       |  SELECT v.id, v.emb, v.norm_f, c_id,
+       |         ${sqlCos("v.emb", "v.norm_f", "c_emb", "c_norm")} AS c_cos
+       |  FROM v CROSS JOIN cent),
+       |ranked_aff AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY c_cos DESC, c_id) AS crn FROM aff),
+       |assigned AS (SELECT id, emb, norm_f, c_id AS cluster FROM ranked_aff WHERE crn = 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE ${sqlCos("a.emb", "a.norm_f", "b.emb", "b.norm_f")} >= $SemThreshold),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT id AS removed_id, component AS keep_id
+       |FROM comp WHERE id != component ORDER BY removed_id""".stripMargin) { (spark, dir) =>
+    Similarity.semDedupRemovals(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumCentroids, SemThreshold)
+      .orderBy("removed_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
+    e05LshPairs, e06SemDedup)
 }

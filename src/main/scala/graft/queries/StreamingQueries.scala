@@ -181,6 +181,66 @@ object StreamingQueries {
     }
   }
 
+  /** SM3 — STATEFUL streaming sessionization under the gate:
+    * [[graft.streaming.EventStreams.sessionize]] (flatMapGroupsWithState,
+    * event-time timeout) over the AvailableNow file stream. Sessions
+    * split intra-batch emit directly; each user's final session emits via
+    * the event-time timeout in the trailing no-data batch, which fires
+    * only when `session_end + gap` is strictly behind the final watermark
+    * (= max event time, delay 0). The oracle computes the batch
+    * sessionization (st01's exact lag/gap formulation) and keeps exactly
+    * the sessions the stream can have closed: every non-final session,
+    * plus final sessions whose timeout precedes the terminal watermark —
+    * so the stream's split points, per-session aggregates (exact micro
+    * sums), bounds, and flush rule are all checked bit-for-bit.
+    */
+  val sm03StreamSessions: GraftQuery = GraftQuery(
+    "sm03_stream_sessions",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |                OR date_diff('second', prev_ts, ts) > 86400 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked),
+      |s AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micros,
+      |         MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |         date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
+      |  FROM sess GROUP BY user_id, session_id),
+      |wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events)
+      |SELECT user_id, n_events, value_micros, session_start, session_end, duration_sec
+      |FROM s CROSS JOIN wm
+      |WHERE session_id < (SELECT MAX(session_id) FROM s s2 WHERE s2.user_id = s.user_id)
+      |   OR (epoch_us(session_end) // 1000) + 86400000 < wm_ms
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    withStagedEventsStream(spark, dir, "sm03_src") { events =>
+      import spark.implicits._
+      val sessions = graft.streaming.EventStreams.sessionize(
+        events.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.Event],
+        gapSec = 86400, watermarkDelay = "0 seconds")
+      val sink = "sm03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      sessions.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      spark.table(sink)
+        .select(col("user_id"), col("n_events"), col("value_micros"),
+          col("session_start"), col("session_end"), col("duration_sec"))
+        .orderBy("user_id", "session_start")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,
-    sm01StreamWindow, sm02StreamDedup)
+    sm01StreamWindow, sm02StreamDedup, sm03StreamSessions)
 }

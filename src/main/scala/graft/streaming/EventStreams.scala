@@ -47,20 +47,49 @@ object EventStreams {
     else events.dropDuplicates(key)
 
   final case class SessionState(nEvents: Long, totalValue: Double,
-                                startMs: Long, lastMs: Long)
+                                valueMicros: Long, startUs: Long, lastUs: Long)
   final case class Session(user_id: Long, n_events: Long, total_value: Double,
-                           start: Timestamp, end: Timestamp, duration_sec: Long)
+                           value_micros: Long, session_start: Timestamp,
+                           session_end: Timestamp, duration_sec: Long)
 
   /** Event-time sessionization with keyed state: a user's session closes
-    * after `gapSec` of event-time silence (watermark-driven timeout).
+    * after `gapSec` of event-time SILENCE — split both WITHIN a batch
+    * (walk the sorted events, close on every gap; a backfill is one giant
+    * batch, so intra-batch splitting is what makes stream ≡ batch) and
+    * ACROSS batches (watermark-driven event-time timeout flushes the open
+    * session). Closed sessions emit immediately; only the open session
+    * lives in state, so state is O(1) per user.
+    *
+    * Gap and duration use floor-second arithmetic (`floor(b) - floor(a) >
+    * gap`), matching the batch twin's `unix_timestamp` / `date_diff
+    * ('second', ...)` semantics exactly; `value_micros` accumulates
+    * `floor(value·1e6)` per event — an order-independent exact long, so
+    * stream and batch sums are comparable without float-order caveats.
+    *
     * The keyed-state shape also covers the reference's per-item retry
     * counters (InstagramImageScraper.py:62-70) — state keyed by item,
     * updated per batch, emitted on completion.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapSec: Long,
+                 watermarkDelay: String = null): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // local defs (not object methods): the state closure must not capture
+    // the enclosing module, which is not Serializable.
+    // Timestamp ⇄ microseconds — Catalyst's native timestamp precision;
+    // ms-only state would silently truncate the emitted session bounds.
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def tsOfMicros(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000))
+      t.setNanos((Math.floorMod(us, 1000000) * 1000).toInt)
+      t
+    }
+    def close(userId: Long, s: SessionState): Session =
+      Session(userId, s.nEvents, s.totalValue, s.valueMicros,
+        tsOfMicros(s.startUs), tsOfMicros(s.lastUs),
+        Math.floorDiv(s.lastUs, 1000000L) - Math.floorDiv(s.startUs, 1000000L))
     events
-      .withWatermark("ts", s"$gapSec seconds")
+      .withWatermark("ts", Option(watermarkDelay).getOrElse(s"$gapSec seconds"))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -68,20 +97,31 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, s.nEvents, s.totalValue,
-              new Timestamp(s.startMs), new Timestamp(s.lastMs),
-              (s.lastMs - s.startMs) / 1000))
+            Iterator(close(userId, s))
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
-            val init = state.getOption.getOrElse(
-              SessionState(0L, 0.0, evs.head.ts.getTime, evs.head.ts.getTime))
-            val next = evs.foldLeft(init) { (s, e) =>
-              SessionState(s.nEvents + 1, s.totalValue + e.value,
-                math.min(s.startMs, e.ts.getTime), math.max(s.lastMs, e.ts.getTime))
+            val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption
+            evs.foreach { e =>
+              val us = micros(e.ts)
+              val vm = math.floor(e.value * 1e6).toLong
+              open match {
+                case Some(s)
+                    if Math.floorDiv(us, 1000000L) - Math.floorDiv(s.lastUs, 1000000L) <= gapSec =>
+                  open = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    s.valueMicros + vm, s.startUs, math.max(s.lastUs, us)))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  open = Some(SessionState(1L, e.value, vm, us, us))
+                case None =>
+                  open = Some(SessionState(1L, e.value, vm, us, us))
+              }
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastMs + gapSec * 1000)
-            Iterator.empty
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(Math.floorDiv(s.lastUs, 1000L) + gapSec * 1000)
+            }
+            closed.iterator
           }
       }
   }

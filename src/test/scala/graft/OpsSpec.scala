@@ -170,6 +170,33 @@ class OpsSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("asOfJoin: boundary equality matches, ties break by last id, no-match is null") {
+    import graft.operators.AsOf
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq(
+      (1L, 101L, ts(50)),   // before any right row → nulls
+      (1L, 102L, ts(100)),  // equal-ts right row must match (<= semantics)
+      (1L, 103L, ts(250)),  // picks latest of the two earlier rows
+      (2L, 201L, ts(500))   // other key, ties at ts=400 → max tiebreak id wins
+    ).toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, 11L, ts(100), "a"),
+      (1L, 12L, ts(200), "b"),
+      (2L, 21L, ts(400), "x"),
+      (2L, 22L, ts(400), "y")
+    ).toDF("k", "rid", "ts", "tag")
+    val out = AsOf.asOfJoin(left, right, "k", "ts", "ts",
+        rightCols = Seq("rid", "tag"), rightTieBreak = "rid")
+      .select($"lid", $"prior_rid", $"prior_tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (l, r, t) => l -> (r, t) }.toMap
+    assert(out == Map(
+      101L -> (None, None),
+      102L -> (Some(11L), Some("a")),
+      103L -> (Some(12L), Some("b")),
+      201L -> (Some(22L), Some("y"))))
+  }
+
   test("IncrementalDedup: batches dedupe against the persistent corpus store") {
     import graft.operators.IncrementalDedup
     val store = java.nio.file.Files.createTempDirectory("graft-incdedup").toString

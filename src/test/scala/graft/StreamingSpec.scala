@@ -95,4 +95,25 @@ class StreamingSpec extends SparkSpec {
       assert(s.toSeq == Seq((7L, 3L, 6.0, 40L)))
     } finally q.stop()
   }
+
+  test("sessionize splits sessions WITHIN one batch (backfill = one giant batch)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sess_split").outputMode("append").start()
+    try {
+      // two sessions for user 7 arrive in the SAME batch (gap 300s > 60s):
+      // the first must emit immediately, no watermark advance needed
+      mem.addData(
+        Event(1, ts(1000), 7, "click", 1.0),
+        Event(2, ts(1030), 7, "view", 2.0),
+        Event(3, ts(1330), 7, "click", 4.0),
+        Event(4, ts(1340), 7, "view", 8.0))
+      q.processAllAvailable()
+      val s = spark.table("sess_split")
+        .select("user_id", "n_events", "total_value", "value_micros", "duration_sec")
+        .as[(Long, Long, Double, Long, Long)].collect()
+      assert(s.toSeq == Seq((7L, 2L, 3.0, 3000000L, 30L)))
+    } finally q.stop()
+  }
 }
