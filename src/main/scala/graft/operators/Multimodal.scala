@@ -329,6 +329,85 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic PCM WAV for an id — the audio twin of
+    * [[syntheticImage]]: sample count and every 16-bit sample are
+    * integer-closed functions of (id, t), so an SQL oracle recomputes any
+    * framed statistic exactly, while the Spark side goes through a REAL
+    * `javax.sound.sampled` WAV encode.
+    *   n = 1000 + id%500 samples, mono 16-bit signed little-endian
+    *   s(t) = ((37·t + 11·id) mod 65536) − 32768
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (1000 + id % 500).toInt
+    val data = new Array[Byte](2 * n)
+    var t = 0
+    while (t < n) {
+      val s = (Math.floorMod(37L * t + 11L * id, 65536L) - 32768L).toInt
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode + framed feature extraction — the audio modality's
+    * decode/feature-extract operator (same tier as [[ImageIoVisionModel]]
+    * for images): a genuine `javax.sound.sampled` codec round-trip, not a
+    * byte hash. Corrupt input → None (skip, never task-fail), matching
+    * the pipeline's failure policy for opaque binary columns.
+    */
+  final case class WavAudioModel() extends Serializable {
+    /** Decoded 16-bit samples, or None if the container is unreadable. */
+    def decodeSamples(content: Array[Byte]): Option[Array[Int]] =
+      try {
+        import javax.sound.sampled.AudioSystem
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i).toInt & 0xff))
+            i += 1
+          }
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** (n, Σ|s|, zero crossings, quarter-frame Σ|s| ×4) — all exact
+      * integers: the framed energy/sign statistics a quality filter runs
+      * before any learned audio model.
+      */
+    def frameStats(content: Array[Byte]): Option[(Int, Long, Long, Array[Long])] =
+      decodeSamples(content).map { s =>
+        val n = s.length
+        var absSum = 0L
+        var zc = 0L
+        var i = 0
+        while (i < n) {
+          absSum += math.abs(s(i))
+          if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        val q = n / 4
+        val cells = new Array[Long](4)
+        i = 0
+        while (i < n) {
+          val c = math.min(if (q == 0) 3 else i / q, 3)
+          cells(c) += math.abs(s(i))
+          i += 1
+        }
+        (n, absSum, zc, cells)
+      }
+  }
+
   /** Tiny scene-hierarchy dimension (the Places365 indoor/outdoor sheet
     * analog, ImageLabeler.py:121-124) for [[joinSceneDim]].
     */

@@ -140,5 +140,58 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation)
+  /** s(t) for the synthetic PCM signal (Multimodal.syntheticWav). */
+  private def sqlSample(tE: String): String =
+    s"((37*$tE + 11*doc_id) % 65536 - 32768)"
+
+  private def sqlAbsCell(x0: String, x1: String): String =
+    s"CAST(list_sum([abs(${sqlSample("t")}) for t in range($x0, $x1)]) AS BIGINT)"
+
+  /** I3 — AUDIO decode round-trip statistics: the Spark side synthesizes
+    * a deterministic 16-bit PCM WAV per doc ([[Multimodal.syntheticWav]]),
+    * pushes it through a genuine `javax.sound.sampled` decode
+    * ([[Multimodal.WavAudioModel]]), and emits framed energy / sign
+    * statistics. The oracle recomputes the identical integers straight
+    * from the sample formula — any encode/decode infidelity (endianness,
+    * header, sample width) breaks the hash. Same scale shape as i01: one
+    * narrow mapPartitions projection; at 100 TB the bytes come from
+    * `binaryFile`/object-store columns instead of being synthesized.
+    */
+  val i03AudioStats: GraftQuery = GraftQuery(
+    "i03_audio_stats",
+    s"""WITH d AS (
+       |  SELECT doc_id, 1000 + doc_id % 500 AS n, (1000 + doc_id % 500) // 4 AS q
+       |  FROM documents WHERE doc_id % 10 = 3)
+       |SELECT doc_id, n,
+       |  ${sqlAbsCell("0", "n")} AS abs_sum,
+       |  CAST(list_sum([CASE WHEN (${sqlSample("t")} >= 0) != (${sqlSample("(t-1)")} >= 0)
+       |                      THEN 1 ELSE 0 END for t in range(1, n)]) AS BIGINT) AS zero_cross,
+       |  ${sqlAbsCell("0", "q")} AS f0,
+       |  ${sqlAbsCell("q", "2*q")} AS f1,
+       |  ${sqlAbsCell("2*q", "3*q")} AS f2,
+       |  ${sqlAbsCell("3*q", "n")} AS f3
+       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.WavAudioModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n", LongType),
+      StructField("abs_sum", LongType), StructField("zero_cross", LongType),
+      StructField("f0", LongType), StructField("f1", LongType),
+      StructField("f2", LongType), StructField("f3", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = Multimodal.syntheticWav(id) // real WAV encode
+          val (n, absSum, zc, cells) = m.frameStats(wav).get // real javax.sound decode
+          Row(id, n.toLong, absSum, zc, cells(0), cells(1), cells(2), cells(3))
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats)
 }

@@ -166,7 +166,40 @@ object RowOpsQueries {
       .orderBy("event_type", "rank")
   }
 
+  /** D10 — deterministic hash-based stratified sampling
+    * ([[graft.operators.Sampling]]): per-source keep rates applied as a
+    * pure hash-of-key filter, so the EXACT sampled row set is reproduced
+    * by the oracle — the property that makes the sample stable across
+    * reruns, retries and engines, which seeded `sample()` cannot give.
+    * Sources src0-src2 keep 60%, src3 is dropped, everything else 25%;
+    * output is the surviving rows plus a per-source audit count.
+    */
+  val d10StratifiedSample: GraftQuery = GraftQuery(
+    "d10_stratified_sample", {
+      val bucket = graft.operators.Sampling.sqlHashBucket("doc_id")
+      s"""WITH sampled AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE $bucket < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 600000
+         |                       WHEN source = 'src3' THEN 0
+         |                       ELSE 250000 END),
+         |counts AS (SELECT source, COUNT(*) AS n_source FROM sampled GROUP BY source)
+         |SELECT s.doc_id, s.source, c.n_source
+         |FROM sampled s JOIN counts c ON s.source = c.source
+         |ORDER BY s.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Sampling
+    val sampled = Sampling.stratifiedSample(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      col("source"), col("doc_id"),
+      Map("src0" -> 0.6, "src1" -> 0.6, "src2" -> 0.6, "src3" -> 0.0),
+      defaultRate = 0.25)
+    val counts = sampled.groupBy("source").agg(count(lit(1)).as("n_source"))
+    sampled.join(broadcast(counts), "source")
+      .select("doc_id", "source", "n_source")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
-    d09SortedUnique, p07JsonExtract, k01TopKAggregator)
+    d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample)
 }

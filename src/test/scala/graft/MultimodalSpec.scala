@@ -154,4 +154,23 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L) == "ALREADY DONE") // untouched — no re-translation
     assert(m(2L) == "stream b")
   }
+
+  test("WavAudioModel round-trips synthetic PCM exactly; corrupt bytes skip as None") {
+    val m = Multimodal.WavAudioModel()
+    val wav = Multimodal.syntheticWav(42L)
+    val samples = m.decodeSamples(wav).get
+    assert(samples.length == (1000 + 42 % 500))
+    // decoded samples equal the generator formula bit-for-bit
+    samples.zipWithIndex.foreach { case (s, t) =>
+      assert(s == Math.floorMod(37L * t + 11L * 42L, 65536L) - 32768L)
+    }
+    val (n, absSum, zc, cells) = m.frameStats(wav).get
+    assert(n == samples.length)
+    assert(absSum == samples.map(s => math.abs(s).toLong).sum)
+    assert(cells.sum == absSum)
+    assert(zc == samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)))
+    // failure policy: garbage → None, never a throw
+    assert(m.decodeSamples("not a wav".getBytes).isEmpty)
+    assert(m.frameStats(Array.emptyByteArray).isEmpty)
+  }
 }
