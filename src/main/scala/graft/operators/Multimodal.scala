@@ -408,6 +408,84 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic video for an id — the motion twin of
+    * [[syntheticImage]]: a minimal MJPEG-style container ("GVID" magic,
+    * frame count, then length-prefixed REAL PNG frames) whose every frame
+    * pixel is an integer-closed function of (id, frame, x, y), so an SQL
+    * oracle recomputes any sampled-frame statistic exactly while the
+    * Spark side exercises genuine container parsing + per-frame
+    * `javax.imageio` decodes.
+    *   nFrames = 3 + id%4, w = 8 + id%5, h = 6 + id%4
+    *   r = (7x+11y+13·id+23·f)%256, g = (3x+5y+17·id+29·f)%256,
+    *   b = (13x+7y+19·id+31·f)%256
+    */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val nFrames = (3 + id % 4).toInt
+    val w = (8 + id % 5).toInt
+    val h = (6 + id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(nFrames)
+    for (f <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = Math.floorMod(7L * x + 11L * y + 13L * id + 23L * f, 256L).toInt
+        val g = Math.floorMod(3L * x + 5L * y + 17L * id + 29L * f, 256L).toInt
+        val b = Math.floorMod(13L * x + 7L * y + 19L * id + 31L * f, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", fb)
+      val bytes = fb.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Video container parse + frame sampling + per-frame decode — the
+    * video modality operator (frame-sample / feature-extract from the
+    * builder mandate). Every `stride`-th frame is PNG-decoded (real
+    * codec) and reduced to integer statistics; corrupt containers or
+    * frames → None (skip, never task-fail). At 100 TB the container
+    * bytes come from `binaryFile`/object-store columns; sampling before
+    * decode is the point — a 30 fps corpus decoded at stride 30 costs
+    * 1/30th of the decode budget, and the downstream schema
+    * (doc, frame_idx, features) is unchanged.
+    */
+  final case class VideoModel() extends Serializable {
+    /** (frameIdx, width, height, Σ(r+g+b)) per sampled frame. */
+    def sampleFrames(content: Array[Byte], stride: Int): Option[Seq[(Int, Int, Int, Long)]] =
+      try {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(content))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        if (!java.util.Arrays.equals(magic, "GVID".getBytes)) return None
+        val nFrames = in.readInt()
+        if (nFrames < 0 || nFrames > 1000000) return None
+        val out = Seq.newBuilder[(Int, Int, Int, Long)]
+        for (f <- 0 until nFrames) {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          if (f % stride == 0) {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) return None
+            var sum = 0L
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            }
+            out += ((f, img.getWidth, img.getHeight, sum))
+          }
+        }
+        Some(out.result())
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Tiny scene-hierarchy dimension (the Places365 indoor/outdoor sheet
     * analog, ImageLabeler.py:121-124) for [[joinSceneDim]].
     */

@@ -380,6 +380,73 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "rn").limit(2000)
   }
 
+  /** W2 — rolling EVENT-TIME window: per user, the count and exact sum of
+    * the trailing 7 days of activity at every event (RANGE frame over
+    * epoch microseconds, not ROWS — gaps and ties behave correctly).
+    * Integer-microsecond ordering keys make the frame bounds exact in
+    * both engines (DuckDB's `epoch()` is a fractional DOUBLE — unusable).
+    *
+    * Scale: one shuffle on user_id; each partition sorts locally and the
+    * frame is a sliding two-pointer pass, so cost is O(n log n) per
+    * partition with no state proportional to the window span. Skewed
+    * users would go through Skew.saltedAgg pre-aggregation per (user,
+    * day) first.
+    */
+  val w02RollingTime: GraftQuery = GraftQuery(
+    "w02_rolling_time_window",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-604800000000L, 0L)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("value").cast("decimal(28,6)")).over(w).cast("double").as("sum_7d"))
+      .orderBy("event_id")
+  }
+
+  /** A17 — grouped EXACT quantiles by rank selection (type-1, no
+    * interpolation): per event type, the p50/p90/p99 of value is the
+    * element at rank ceil(p·n) of the sorted group. Rank selection keeps
+    * the math in row space — no floating-point interpolation to diverge
+    * between engines (a05's lesson, per group this time).
+    *
+    * Scale: the window sort is one shuffle on the group key; with few
+    * heavy groups the production path is `percentile_approx` (KLL-style
+    * sketch, map-side combinable) — exactness here is what the oracle
+    * gate needs.
+    */
+  val a17GroupQuantiles: GraftQuery = GraftQuery(
+    "a17_group_quantiles",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, MAX(n) AS n,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val byType = Window.partitionBy("event_type")
+    val r = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        row_number().over(byType.orderBy("value")).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value")))
+    r.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -504,5 +571,6 @@ object AnalyticsQueries {
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
-    a15PlotLabels, a16Cube, j02TimeAlign, w01Windows)
+    a15PlotLabels, a16Cube, a17GroupQuantiles, j02TimeAlign, w01Windows,
+    w02RollingTime)
 }

@@ -248,6 +248,36 @@ object DedupQueries {
       .orderBy("event_type")
   }
 
+  /** X6 — changelog upsert ([[graft.operators.Upsert]]): the snapshot of
+    * the first half-month of events (compacted to the latest row per
+    * (user_id, event_type)) merged with the second half as an update
+    * batch must equal the full recompaction over all events — the
+    * incremental-merge ≡ backfill property. The merge compacts only the
+    * BATCH and full-outer-joins the snapshot once; the snapshot is never
+    * re-sorted (O(batch), not O(corpus) — the shape that holds when the
+    * snapshot is 100 TB and the batch is a day of arrivals).
+    */
+  val x06UpsertMerge: GraftQuery = GraftQuery(
+    "x06_upsert_merge",
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id, ts, value
+      |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    import graft.operators.Upsert
+    val keys = Seq("user_id", "event_type")
+    val version = Seq("ts", "event_id")
+    val events = Tables.events(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val snapshot = Upsert.compact(events.filter(col("ts") < cut), keys, version)
+    val batch = events.filter(col("ts") >= cut)
+    Upsert.latestWins(snapshot, batch, keys, version)
+      .orderBy("user_id", "event_type")
+  }
+
   /** G2 — duplicate-group clustering: connected components over the LSH
     * candidate pairs ([[Dedup.connectedComponents]] min-label
     * propagation), emitting one row per duplicate group with its
@@ -286,5 +316,6 @@ object DedupQueries {
 
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
-    x05SaltedJoin, m01MinHashLsh, s01SimHash, g01NgramJaccard, g02DedupGroups)
+    x05SaltedJoin, x06UpsertMerge, m01MinHashLsh, s01SimHash, g01NgramJaccard,
+    g02DedupGroups)
 }

@@ -193,5 +193,57 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats)
+  /** Gray sum of frame f of the synthetic video (Multimodal.syntheticVideo). */
+  private def sqlFrameGray: String =
+    "(7*x + 11*y + 13*doc_id + 23*frame_idx) % 256 + " +
+      "(3*x + 5*y + 17*doc_id + 29*frame_idx) % 256 + " +
+      "(13*x + 7*y + 19*doc_id + 31*frame_idx) % 256"
+
+  /** I4 — VIDEO frame sampling + per-frame decode: the Spark side builds
+    * a deterministic MJPEG-style container of real PNG frames per doc
+    * ([[Multimodal.syntheticVideo]]), parses it back, decodes every 2nd
+    * frame through the genuine `javax.imageio` codec
+    * ([[Multimodal.VideoModel]]), and emits per-sampled-frame gray sums.
+    * The oracle recomputes the identical integers from the frame pixel
+    * formula — container framing, stride arithmetic, or codec
+    * infidelity all break the hash. Scale shape: one narrow
+    * mapPartitions flatMap (sample-then-decode, so stride divides the
+    * decode budget); at 100 TB the container bytes come from
+    * `binaryFile` columns.
+    */
+  val i04VideoFrames: GraftQuery = GraftQuery(
+    "i04_video_frames",
+    s"""WITH d AS (
+       |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+       |         3 + doc_id % 4 AS nf
+       |  FROM documents WHERE doc_id % 10 = 7),
+       |f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS frame_idx FROM d)
+       |SELECT doc_id, frame_idx, w, h,
+       |  CAST(list_sum(flatten([[${sqlFrameGray}
+       |    for x in range(w)] for y in range(h)])) AS BIGINT) AS gray_sum
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.VideoModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_idx", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("gray_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val video = Multimodal.syntheticVideo(id) // real container + PNG encodes
+          m.sampleFrames(video, stride = 2).get.map { case (f, w, h, sum) =>
+            Row(id, f.toLong, w.toLong, h.toLong, sum)
+          }
+        }
+      }(enc)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
+    i04VideoFrames)
 }

@@ -296,8 +296,42 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J7 — point-in-interval RANGE join ([[graft.operators.RangeJoin]]):
+    * events matched to overlapping 18-hour windows spaced every 12 hours
+    * (each event lands in 1–2 windows), via the 6-hour bucketed equi-join
+    * — never a nested-loop/cartesian plan (PlanSpec asserts). The oracle
+    * runs the naive BETWEEN theta join; equality proves the bucketing
+    * loses and duplicates nothing, including at window boundaries.
+    */
+  val j07RangeJoin: GraftQuery = GraftQuery(
+    "j07_range_join",
+    """WITH iv AS (
+      |  SELECT g AS interval_id,
+      |         TIMESTAMP '2024-01-01 00:00:00' + g * INTERVAL 12 HOUR AS start_ts,
+      |         TIMESTAMP '2024-01-01 00:00:00' + g * INTERVAL 12 HOUR
+      |           + INTERVAL 18 HOUR AS end_ts
+      |  FROM range(60) t(g))
+      |SELECT interval_id, start_ts, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+      |GROUP BY interval_id, start_ts ORDER BY interval_id""".stripMargin) { (spark, dir) =>
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val hourUs = 3600000000L
+    val intervals = spark.range(60).select(
+      col("id").as("interval_id"),
+      timestamp_micros(lit(baseUs) + col("id") * (12 * hourUs)).as("start_ts"),
+      timestamp_micros(lit(baseUs) + col("id") * (12 * hourUs) + 18 * hourUs).as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        Tables.events(spark, dir).select("ts", "value"), "ts",
+        intervals, "start_ts", "end_ts", bucketUs = 6 * hourUs)
+      .groupBy("interval_id", "start_ts")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("interval_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, p01DeriveImage, p03DateParts,
     p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
-    j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin, a01TimeBucket)
+    j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin, j07RangeJoin,
+    a01TimeBucket)
 }

@@ -174,6 +174,34 @@ object SimilarityQueries {
       .orderBy("removed_id")
   }
 
+  /** E7 — int8 scalar-quantized brute KNN
+    * ([[Similarity.knnQuantized]]): the 4×-compressed scan path (one
+    * byte per dimension instead of a four-byte float) with fully
+    * integer-exact ranking math — quantized codes, integer dot and
+    * norms, one double division at the end, identical in both engines.
+    */
+  val e07KnnQuantized: GraftQuery = GraftQuery(
+    "e07_knn_quantized",
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS qv
+       |  FROM embeddings),
+       |n AS (SELECT id, qv, ${Similarity.sqlDotCodes("qv", "qv")} AS qnorm FROM v),
+       |q AS (SELECT id AS q_id, qv AS q_qv, qnorm AS q_qnorm FROM n WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, n.id AS n_id,
+       |         ${Similarity.sqlDotCodes("q_qv", "n.qv")} AS dot_q,
+       |         (CAST(${Similarity.sqlDotCodes("q_qv", "n.qv")} AS DOUBLE)
+       |          / sqrt(CAST(q_qnorm * n.qnorm AS DOUBLE))) AS cosine_q
+       |  FROM q CROSS JOIN n WHERE n.id != q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine_q DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, dot_q, cosine_q FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnQuantized(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
-    e05LshPairs, e06SemDedup)
+    e05LshPairs, e06SemDedup, e07KnnQuantized)
 }

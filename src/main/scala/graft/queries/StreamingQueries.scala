@@ -241,6 +241,53 @@ object StreamingQueries {
     }
   }
 
+  /** SM4 — STREAM-STREAM inner join under the gate: clicks and purchases
+    * (two filtered branches of the same file stream) joined on user_id
+    * with an event-time range constraint (purchase within 6 hours after
+    * the click). Both sides carry watermarks, so the engine can bound the
+    * buffered join state to the 6-hour band — the property that keeps
+    * state finite under continuous ingestion (StreamingSpec drives the
+    * multi-batch mode). In the AvailableNow backfill nothing is evicted
+    * mid-batch and the append-mode output must equal the batch theta
+    * join the oracle runs — matched pairs, boundaries included, exactly.
+    */
+  val sm04StreamJoin: GraftQuery = GraftQuery(
+    "sm04_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+      |       date_diff('second', c.ts, p.ts) AS secs_to_purchase
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    withStagedEventsStream(spark, dir, "sm04_src") { events =>
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 day")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+      val joined = clicks.join(purchases,
+        col("p_user_id") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      val sink = "sm04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      spark.table(sink)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+            .as("secs_to_purchase"))
+        .orderBy("click_id", "purchase_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,
-    sm01StreamWindow, sm02StreamDedup, sm03StreamSessions)
+    sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin)
 }

@@ -267,6 +267,57 @@ object TextQueries {
       .orderBy("source", "pack_id")
   }
 
+  /** T9 — corpus-level repeated-span removal (C4-style: spans occurring
+    * more than once in the corpus are dropped from every document except
+    * the first occurrence). Documents are cut into aligned 5-token
+    * chunks; the globally-first occurrence of each distinct chunk (by
+    * (doc_id, pos)) survives, later occurrences are removed, and each
+    * document is reassembled from its kept chunks in position order.
+    *
+    * Scale shape: chunking is a per-row projection; "first occurrence"
+    * is a map-side-combinable min-struct aggregate per chunk hash (the
+    * x01/c01 dedup primitive — never a corpus-wide window), one equi-join
+    * back, one reassembly shuffle on doc_id. Three shuffles total,
+    * all on keys, at any corpus size.
+    */
+  val t09SpanDedup: GraftQuery = GraftQuery(
+    "t09_span_dedup",
+    s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |g AS (SELECT doc_id, len(tk)//5 AS n_chunks,
+       |             unnest(range(len(tk)//5)) AS pos, tk FROM toks),
+       |occ AS (SELECT doc_id, n_chunks, pos,
+       |               array_to_string(tk[pos*5+1 : pos*5+5], ' ') AS chunk FROM g),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY chunk
+       |                                   ORDER BY doc_id, pos) AS rn FROM occ)
+       |SELECT doc_id, MAX(n_chunks) AS n_chunks, COUNT(*) AS n_kept,
+       |       string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text
+       |FROM r WHERE rn = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    // integer chunk count (Spark's `/` on ints is double division) and an
+    // explicit >0 guard: sequence(0, -1) would DESCEND, not be empty
+    val nChunks = floor(size(toks) / lit(5)).cast("long")
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), nChunks.as("n_chunks"), toks.as("tk"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
+          i => array_join(slice(col("tk"), (i * 5 + 1).cast("int"), lit(5)), " ")))
+          .as(Seq("pos", "chunk")))
+    // first occurrence per chunk: min-struct agg (map-side combinable),
+    // not a corpus-wide window sort
+    val firsts = occ.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    occ.join(firsts, "chunk")
+      .filter(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id")
+      .agg(max(col("n_chunks")).as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s("chunk")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
-    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking)
+    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup)
 }

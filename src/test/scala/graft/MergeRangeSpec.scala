@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Multimodal, RangeJoin, Similarity, Upsert}
+import org.apache.spark.sql.functions._
+
+/** Unit invariants for the round-4 operators: changelog upsert, bucketed
+  * range join, video frame sampling, and int8 quantization.
+  */
+class MergeRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ---------------------------------------------------------------- Upsert
+  private val keys = Seq("k")
+  private val version = Seq("v")
+
+  test("Upsert.latestWins: newer update wins, older update loses, new key inserts") {
+    val snapshot = Seq(("a", 5L, "old-a"), ("b", 9L, "old-b")).toDF("k", "v", "payload")
+    val updates = Seq(
+      ("a", 7L, "new-a"),   // newer than snapshot → wins
+      ("b", 3L, "late-b"),  // older than snapshot → loses (out-of-order delivery)
+      ("c", 1L, "new-c"))   // unseen key → inserts
+      .toDF("k", "v", "payload")
+    val out = Upsert.latestWins(snapshot, updates, keys, version)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 7L, "new-a"), ("b", 9L, "old-b"), ("c", 1L, "new-c")))
+  }
+
+  test("Upsert.latestWins: multi-row batch compacts to its max version first") {
+    val snapshot = Seq(("a", 1L, "s")).toDF("k", "v", "payload")
+    val updates = Seq(("a", 4L, "u4"), ("a", 9L, "u9"), ("a", 2L, "u2"))
+      .toDF("k", "v", "payload")
+    val out = Upsert.latestWins(snapshot, updates, keys, version)
+      .as[(String, Long, String)].collect()
+    assert(out.toSeq == Seq(("a", 9L, "u9")))
+  }
+
+  test("Upsert: incremental merge equals backfill recompaction") {
+    val all = Seq(
+      ("a", 1L, "x1"), ("a", 3L, "x3"), ("b", 2L, "y2"),
+      ("b", 5L, "y5"), ("c", 4L, "z4"))
+      .toDF("k", "v", "payload")
+    val backfill = Upsert.compact(all, keys, version)
+    val merged = Upsert.latestWins(
+      Upsert.compact(all.filter($"v" <= 2), keys, version),
+      all.filter($"v" > 2), keys, version)
+    assert(merged.exceptAll(backfill).isEmpty && backfill.exceptAll(merged).isEmpty)
+  }
+
+  // ------------------------------------------------------------- RangeJoin
+  private val intervals = Seq(
+    (0L, ts("2024-01-01 00:00:00"), ts("2024-01-01 12:00:00")),
+    (1L, ts("2024-01-01 06:00:00"), ts("2024-01-01 18:00:00")), // overlaps 0
+    (2L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"))) // empty
+    .toDF("interval_id", "start_ts", "end_ts")
+
+  test("RangeJoin: boundary semantics — start inclusive, end exclusive, overlap = 2 matches") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),  // == start of 0 → in
+      (2L, ts("2024-01-01 12:00:00")),  // == end of 0 → out; inside 1
+      (3L, ts("2024-01-01 07:30:00")),  // inside both 0 and 1
+      (4L, ts("2024-01-02 00:00:00")),  // empty interval matches nothing
+      (5L, ts("2024-01-03 00:00:00")))  // no interval
+      .toDF("pid", "t")
+    val out = RangeJoin.pointInInterval(points, "t", intervals,
+        "start_ts", "end_ts", bucketUs = 3600000000L) // 1h buckets
+      .select("pid", "interval_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L), (2L, 1L), (3L, 0L), (3L, 1L)))
+  }
+
+  test("RangeJoin: result is bucket-granularity invariant") {
+    val points = (0 until 200).map(i =>
+      (i.toLong, new java.sql.Timestamp(ts("2024-01-01 00:00:00").getTime + i * 431000L)))
+      .toDF("pid", "t")
+    def run(bucketUs: Long) =
+      RangeJoin.pointInInterval(points, "t", intervals, "start_ts", "end_ts", bucketUs)
+        .select("pid", "interval_id").as[(Long, Long)].collect().toSet
+    assert(run(3600000000L) == run(7200000000L) && run(3600000000L) == run(900000000L))
+  }
+
+  // ------------------------------------------------------------ VideoModel
+  test("VideoModel: stride sampling decodes the expected frames; corrupt input → None") {
+    val m = Multimodal.VideoModel()
+    val id = 17L // nFrames = 3 + 17%4 = 4 → sampled frames 0, 2
+    val frames = m.sampleFrames(Multimodal.syntheticVideo(id), stride = 2).get
+    assert(frames.map(_._1) == Seq(0, 2))
+    assert(frames.forall { case (_, w, h, _) => w == (8 + id % 5) && h == (6 + id % 4) })
+    // frame 0 vs frame 2 differ (per-frame pixel term)
+    assert(frames(0)._4 != frames(1)._4)
+    assert(m.sampleFrames(Array[Byte](1, 2, 3), 2).isEmpty)
+    assert(m.sampleFrames("GVIDxxxxgarbage".getBytes, 2).isEmpty)
+  }
+
+  // ---------------------------------------------------------- quantization
+  test("Similarity.quantize: int8 code range and exact integer dot") {
+    val df = Seq((Seq(0.5f, -0.5f, 0.999f), Seq(1.0f, 1.0f, -1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.quantize($"a").as("qa"), Similarity.quantize($"b").as("qb"))
+    val (qa, qb) = df.as[(Seq[Long], Seq[Long])].head()
+    assert(qa == Seq(63L, -64L, 126L) && qb == Seq(127L, 127L, -127L))
+    assert(qa.forall(c => c >= -128 && c <= 127))
+    val dot = df.select(Similarity.dotCodes($"qa", $"qb").as("d")).as[Long].head()
+    assert(dot == 63L * 127 - 64L * 127 - 126L * 127)
+  }
+}

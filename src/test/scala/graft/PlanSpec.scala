@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("emb#") || "FLOOR".r.findAllIn(plan).length < 64)
   }
 
+  test("range join plans as an equi-join on the bucket key, never nested-loop (j07)") {
+    val plan = planOf("j07_range_join")
+    assert(!plan.contains("CartesianProduct"),
+      s"j07 must not plan a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"j07 must not plan a nested-loop join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"))
+  }
+
+  test("quantized KNN broadcasts the query side like the float path (e07)") {
+    val plan = planOf("e07_knn_quantized")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t06 repetition has no Generate (the InferFiltersFromGenerate trap)") {
     val plan = planOf("t06_repetition")
     // an explode formulation plants size(shingle-pipeline)>0 into the scan
