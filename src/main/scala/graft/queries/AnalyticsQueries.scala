@@ -447,6 +447,52 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** A18 — time-series RESAMPLE with gap fill (the pandas
+    * `resample('D').agg(...).fillna(0)` idiom the reference's plotting
+    * implies, ref: plotting.py:147-151 fillna over aligned series):
+    * per-user daily purchase counts/sums over the FULL day grid —
+    * absent (user, day) cells surface as explicit zeros, which no plain
+    * GROUP BY can produce. Grid = distinct users × `sequence(min_day,
+    * max_day)`; the 30-row exploded day side broadcasts, so the grid
+    * costs |users| × |days| rows but zero extra shuffles; the left join
+    * back to the aggregate is keyed. At 100 TB the grid stays derived
+    * (never materialized) and the aggregate side is the only large
+    * shuffle.
+    */
+  val a18ResampleFill: GraftQuery = GraftQuery(
+    "a18_resample_fill",
+    """WITH bounds AS (
+      |  SELECT MIN(date_trunc('day', ts)) AS mn, MAX(date_trunc('day', ts)) AS mx
+      |  FROM events),
+      |days AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM bounds),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |agg AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d, COUNT(*) AS n,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT u.user_id, days.d AS day,
+      |       COALESCE(n, 0) AS n_purchases,
+      |       CAST(COALESCE(sv, 0) AS DOUBLE) AS sum_value
+      |FROM users u CROSS JOIN days
+      |LEFT JOIN agg ON agg.user_id = u.user_id AND agg.d = days.d
+      |ORDER BY u.user_id, day""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val days = events
+      .agg(min(date_trunc("day", col("ts"))).as("mn"),
+        max(date_trunc("day", col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val users = events.select("user_id").distinct()
+    val agg = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("a_user"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(28,6)")).as("sv"))
+    users.crossJoin(broadcast(days))
+      .join(agg, col("user_id") === col("a_user") && col("day") === col("d"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_purchases"),
+        coalesce(col("sv"), lit(0).cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "day")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -571,6 +617,6 @@ object AnalyticsQueries {
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
-    a15PlotLabels, a16Cube, a17GroupQuantiles, j02TimeAlign, w01Windows,
-    w02RollingTime)
+    a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, j02TimeAlign,
+    w01Windows, w02RollingTime)
 }

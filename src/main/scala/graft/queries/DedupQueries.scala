@@ -278,6 +278,31 @@ object DedupQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** X7 — bloom-pruned semi join ([[graft.operators.BloomPrune]]): keep
+    * lineitems of urgent orders. The big side is pre-pruned by a
+    * codegen'd bloom probe of the small side's keys (the explicit form
+    * of runtime row-level filtering — ~80% of rows never reach the join
+    * exchange here), then the exact semi join runs over the survivors.
+    * The oracle is the plain semi join: equality proves false positives
+    * are fully absorbed and nothing is falsely dropped.
+    */
+  val x07BloomSemiJoin: GraftQuery = GraftQuery(
+    "x07_bloom_semi_join",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.operators.BloomPrune.bloomSemiJoin(
+        Tables.lineitem(spark, dir), "l_orderkey", urgent, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** G2 — duplicate-group clustering: connected components over the LSH
     * candidate pairs ([[Dedup.connectedComponents]] min-label
     * propagation), emitting one row per duplicate group with its
@@ -316,6 +341,6 @@ object DedupQueries {
 
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
-    x05SaltedJoin, x06UpsertMerge, m01MinHashLsh, s01SimHash, g01NgramJaccard,
-    g02DedupGroups)
+    x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, m01MinHashLsh, s01SimHash,
+    g01NgramJaccard, g02DedupGroups)
 }

@@ -296,6 +296,46 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Q3 — the TPC-H Q5 "local supplier" topology: the classic star join
+    * PLUS a cross-dimension equality (supplier nation must equal customer
+    * nation) that correlates two dimension arms of the star — the join
+    * shape Catalyst's reorder + broadcast planning has to get right
+    * beyond a simple snowflake chain. Both nation/region dims broadcast;
+    * the supplier arm joins on l_suppkey before the cross-dimension
+    * filter applies.
+    */
+  val q03LocalSupplier: GraftQuery = GraftQuery(
+    "q03_local_supplier",
+    """SELECT n.n_name AS nation,
+      |  CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) BETWEEN 1995 AND 1996
+      |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(year(col("o_orderdate")).between(1995, 1996)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("nation"))
+  }
+
   /** J7 — point-in-interval RANGE join ([[graft.operators.RangeJoin]]):
     * events matched to overlapping 18-hour windows spaced every 12 hours
     * (each event lands in 1–2 windows), via the 6-hour bucketed equi-join
@@ -330,8 +370,8 @@ object RelationalQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    q01PricingSummary, q02RevenueByNation, p01DeriveImage, p03DateParts,
-    p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst, d06FreqList,
-    j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin, j07RangeJoin,
-    a01TimeBucket)
+    q01PricingSummary, q02RevenueByNation, q03LocalSupplier, p01DeriveImage,
+    p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst,
+    d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin,
+    j07RangeJoin, a01TimeBucket)
 }

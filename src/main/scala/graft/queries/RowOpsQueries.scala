@@ -199,7 +199,36 @@ object RowOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** D11 — z-order (Morton) clustering key ([[graft.operators.ZOrder]]):
+    * the bit-interleaved (user_id, day) key that
+    * `ZOrder.clusterByZ` range-partitions and sorts by for 2-D data
+    * skipping. The gate computes the z-value per event with the pure
+    * shift/mask Column arithmetic and profiles the z-space (per-bucket
+    * count + exact z bounds); the oracle recomputes the identical
+    * interleave in SQL — one bit wrong anywhere moves rows across
+    * buckets and breaks the hash.
+    */
+  val d11ZOrder: GraftQuery = GraftQuery(
+    "d11_zorder_key", {
+      val z = graft.operators.ZOrder.sqlZValue2(
+        "user_id", "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))")
+      s"""WITH z AS (SELECT $z AS zval FROM events)
+         |SELECT zval >> 8 AS z_bucket, COUNT(*) AS n,
+         |       MIN(zval) AS z_min, MAX(zval) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.ZOrder
+    val dayIdx = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    Tables.events(spark, dir)
+      .select(ZOrder.zValue2(col("user_id"), dayIdx).as("zval"))
+      .groupBy(shiftright(col("zval"), 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("zval")).as("z_min"),
+        max(col("zval")).as("z_max"))
+      .orderBy("z_bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
-    d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample)
+    d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
+    d11ZOrder)
 }

@@ -318,6 +318,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T10 — TF-IDF keyword extraction: top-3 terms per document under
+    * tf · (N+1)/(df+1). The idf is kept RATIONAL (one IEEE division of
+    * exact integers) rather than logarithmic — `ln` is not guaranteed
+    * correctly-rounded across math libraries, and a two-engine gate
+    * cannot hash-match on it; the ranking this produces is the same
+    * monotone family the quality literature uses.
+    *
+    * Scale shape: term frequencies are one explode + keyed agg; document
+    * frequencies one more agg over (term, doc) pairs; the term-stats
+    * join is keyed (broadcast when the vocabulary fits); top-3 per doc
+    * is a bounded window. No driver-side vocabulary, no collect.
+    */
+  val t10TfIdf: GraftQuery = GraftQuery(
+    "t10_tfidf",
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+       |  FROM tfc JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tfc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tfc.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * (col("n_docs") + 1)).cast("double") /
+          (col("df") + 1).cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
-    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup)
+    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf)
 }

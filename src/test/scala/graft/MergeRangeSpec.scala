@@ -92,6 +92,59 @@ class MergeRangeSpec extends SparkSpec {
     assert(m.sampleFrames("GVIDxxxxgarbage".getBytes, 2).isEmpty)
   }
 
+  // ------------------------------------------------------------ BloomPrune
+  test("BloomPrune: semi join equals plain semi join; prune actually drops rows") {
+    import graft.operators.BloomPrune
+    val big = (0L until 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val small = (0L until 2000L by 50).map(i => (i, "x")).toDF("sk", "tag")
+    val pruned = BloomPrune.bloomPrune(big, "k", small, "sk", fpp = 0.01)
+    val nPruned = pruned.count()
+    // no false negatives: every true match survives the prune …
+    assert(nPruned >= 40)
+    // … and the probe is selective (40 true keys + ~1% fp of 2000)
+    assert(nPruned < 200, s"bloom prune kept $nPruned of 2000 rows")
+    val exact = big.join(small.select($"sk".as("k")).distinct(), Seq("k"), "left_semi")
+    val viaBloom = BloomPrune.bloomSemiJoin(big, "k", small, "sk")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("BloomMightContainExpr survives codegen and serialization round-trips") {
+    val small = (0L until 100L by 10).toDF("k")
+    val bf = small.stat.bloomFilter("k", 10, 0.01)
+    val probed = (0L until 100L).toDF("k")
+      .filter(graft.plans.BloomExprs.mightContain($"k", bf))
+      .as[Long].collect().toSet
+    assert((0L until 100L by 10).toSet.subsetOf(probed)) // no false negatives
+  }
+
+  // --------------------------------------------------------------- ZOrder
+  test("ZOrder.zValue2: exact interleave values and per-coordinate monotonicity") {
+    import graft.operators.ZOrder
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue2($"a", $"b").as("z")).as[Long].collect()
+    // z(3,5): a=011 on even bits, b=101 on odd bits → 100111 = 39
+    assert(df.toSeq == Seq(0L, 1L, 2L, 39L, 4294967295L))
+    // monotone in each coordinate with the other fixed
+    val zs = (0 to 40).map(i => Seq((i.toLong, 7L)).toDF("a", "b")
+      .select(ZOrder.zValue2($"a", $"b")).as[Long].head())
+    assert(zs == zs.sorted)
+  }
+
+  test("ZOrder.clusterByZ: partitions carry disjoint z ranges") {
+    import graft.operators.ZOrder
+    val df = (0 until 400).map(i => (i.toLong % 20, (i.toLong / 20) % 20)).toDF("a", "b")
+    val clustered = ZOrder.clusterByZ(df, $"a", $"b", 4)
+    val ranges = clustered
+      .select(spark_partition_id().as("p"), ZOrder.zValue2($"a", $"b").as("z"))
+      .groupBy("p").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .orderBy("p").as[(Int, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   // ---------------------------------------------------------- quantization
   test("Similarity.quantize: int8 code range and exact integer dot") {
     val df = Seq((Seq(0.5f, -0.5f, 0.999f), Seq(1.0f, 1.0f, -1.0f)))
