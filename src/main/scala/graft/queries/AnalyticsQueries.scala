@@ -493,6 +493,38 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** A19 — partial RE-aggregation (incremental materialized-view
+    * maintenance): per-(event_type, day) partial aggregates — the shape
+    * an incremental pipeline persists per ingestion batch — are merged
+    * into per-type totals by the ALGEBRAIC combine (Σ of counts, Σ of
+    * exact decimal sums, min of mins, max of maxes, avg assembled from
+    * merged sums), and the result must equal the direct one-pass GROUP
+    * BY the oracle runs. This is the property that lets a 100 TB
+    * pipeline maintain aggregates by folding in each day's partial
+    * instead of rescanning the corpus; decimal sums make the merge
+    * EXACTLY order-independent, so incremental ≡ batch bit-for-bit.
+    */
+  val a19PartialReagg: GraftQuery = GraftQuery(
+    "a19_partial_reagg",
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+      |       MIN(value) AS min_value, MAX(value) AS max_value,
+      |       (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val partials = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(28,6)")).as("psv"),
+        min(col("value")).as("pmn"), max(col("value")).as("pmx"))
+    partials
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psv")).cast("double").as("sum_value"),
+        min(col("pmn")).as("min_value"), max(col("pmx")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .orderBy("event_type")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -617,6 +649,6 @@ object AnalyticsQueries {
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
-    a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, j02TimeAlign,
-    w01Windows, w02RollingTime)
+    a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
+    j02TimeAlign, w01Windows, w02RollingTime)
 }

@@ -288,6 +288,41 @@ object StreamingQueries {
     }
   }
 
+  /** SM5 — stream-STATIC enrichment join: the micro-batch stream joins a
+    * small static dimension (event_type → engagement class) and
+    * aggregates per class — the standard streaming-enrichment shape
+    * (dim broadcasts into every micro-batch; no state, no watermark
+    * needed for the join itself). AvailableNow backfill must equal the
+    * batch join+aggregate the oracle runs.
+    */
+  val sm05StreamStaticJoin: GraftQuery = GraftQuery(
+    "sm05_stream_static_join",
+    """WITH dim AS (
+      |  SELECT * FROM (VALUES ('click', 'passive'), ('view', 'passive'),
+      |                        ('purchase', 'active'), ('signup', 'active'),
+      |                        ('error', 'ops')) AS t(event_type, klass))
+      |SELECT klass, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY klass ORDER BY klass""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    withStagedEventsStream(spark, dir, "sm05_src") { events =>
+      import spark.implicits._
+      val dim = Seq(("click", "passive"), ("view", "passive"),
+        ("purchase", "active"), ("signup", "active"), ("error", "ops"))
+        .toDF("event_type", "klass")
+      val stream = events.join(broadcast(dim), "event_type")
+        .groupBy("klass")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+      val sink = "sm05_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      spark.table(sink).select("klass", "n", "sum_value").orderBy("klass")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,
-    sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin)
+    sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
+    sm05StreamStaticJoin)
 }

@@ -365,6 +365,40 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** T11 — benchmark DECONTAMINATION: flag training documents sharing
+    * any 4-token n-gram with a held-out benchmark set (docs with
+    * doc_id % 97 = 0 stand in for the eval suite) — the overlap check
+    * every serious LLM training pipeline runs before training, reported
+    * as the distinct shared-shingle count per contaminated doc.
+    *
+    * Scale shape: both sides are one shingle explode; the benchmark's
+    * distinct shingle set is the join's build side (broadcast here —
+    * eval suites are small; a keyed equi-join when not); per-doc counts
+    * are a map-side-combinable agg over the matches only. The corpus
+    * never self-joins.
+    */
+  val t11Decontaminate: GraftQuery = GraftQuery(
+    "t11_decontaminate",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlShingles(sqlTokens("text"), 4)})) AS s
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 != 0)
+       |SELECT doc_id, COUNT(*) AS n_overlap
+       |FROM train JOIN bench USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 4))).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
-    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf)
+    t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
+    t11Decontaminate)
 }
