@@ -16,8 +16,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup + stable name order so per-query
-    // times are comparable across rounds
+    // times are comparable across rounds; the tiny parquet read also
+    // initializes the file-source reader stack (footer parsing,
+    // vectorized reader codegen) that the alphabetically-first query
+    // otherwise pays (~0.5s misattributed to a01)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // best-of-2: the second run strips codegen-compile + GC noise left by
     // neighboring heavy queries, so per-query numbers are comparable
     // across rounds (measured: a trivial query read 5s after a heavy one,

@@ -31,12 +31,13 @@ object StreamingQueries {
     * later queries.
     */
   private def withStagedEventsStream[T](spark: org.apache.spark.sql.SparkSession,
-                                        dir: String, prefix: String)(
+                                        dir: String, prefix: String,
+                                        partitions: Int = 8)(
       body: org.apache.spark.sql.DataFrame => T): T = {
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     val staging = java.nio.file.Files.createTempDirectory(prefix)
     try {
       java.nio.file.Files.createSymbolicLink(
@@ -262,7 +263,11 @@ object StreamingQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    withStagedEventsStream(spark, dir, "sm04_src") { events =>
+    // stream-stream joins keep FOUR state stores per partition (left/right
+    // × keyWithIndex/keyWithNumValues); at 150 join keys the per-store
+    // init+commit dominates, so size the state space down harder than the
+    // aggregation streams
+    withStagedEventsStream(spark, dir, "sm04_src", partitions = 4) { events =>
       val clicks = events.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))

@@ -96,6 +96,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert maintains a latest-wins snapshot across micro-batches (streaming CDC)") {
+    import graft.operators.Upsert
+    import java.nio.file.{Files, Paths}
+    implicit val ctx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val snap = s"$root/snap"
+    val keys = Seq("user_id", "event_type")
+    val version = Seq("ts", "event_id")
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // merge the micro-batch into the persistent snapshot: the sink-side
+        // idempotent-upsert shape (Translator.py:121-144's checkpoint
+        // semantics at micro-batch grain). Write-then-swap keeps the read
+        // and overwrite of the same path from racing.
+        val merged =
+          if (Files.exists(Paths.get(snap)))
+            Upsert.latestWins(spark.read.parquet(snap), batch, keys, version)
+          else Upsert.compact(batch, keys, version)
+        merged.write.mode("overwrite").parquet(s"$root/next")
+        if (Files.exists(Paths.get(snap)))
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(snap))
+        Files.move(Paths.get(s"$root/next"), Paths.get(snap))
+        ()
+    }.start()
+    try {
+      mem.addData(
+        Event(1, ts(100), 1, "click", 1.0),
+        Event(2, ts(200), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(3, ts(300), 1, "click", 3.0),  // newer version of (1, click) → wins
+        Event(4, ts(50), 2, "view", 4.0),    // OLDER than the snapshot row → loses
+        Event(5, ts(150), 3, "click", 5.0))  // new key → inserts
+      q.processAllAvailable()
+      val out = spark.read.parquet(snap)
+        .select("user_id", "event_type", "event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((1L, "click", 3L), (2L, "view", 2L), (3L, "click", 5L)))
+      // incremental stream result ≡ batch backfill compaction
+      val allEvents = Seq(
+        Event(1, ts(100), 1, "click", 1.0), Event(2, ts(200), 2, "view", 2.0),
+        Event(3, ts(300), 1, "click", 3.0), Event(4, ts(50), 2, "view", 4.0),
+        Event(5, ts(150), 3, "click", 5.0)).toDF()
+      val backfill = Upsert.compact(allEvents, keys, version)
+        .select("user_id", "event_type", "event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == backfill)
+    } finally q.stop()
+  }
+
   test("sessionize splits sessions WITHIN one batch (backfill = one giant batch)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
