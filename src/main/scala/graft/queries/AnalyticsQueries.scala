@@ -525,6 +525,39 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** A20 — HLL sketch MERGEABILITY (the 100 TB profiling path for A6's
+    * distinct counts): per-day partial HLL sketches of user_id are
+    * union-merged per event type, and the merged estimate must equal the
+    * estimate of one direct whole-corpus sketch — the re-aggregation
+    * property that lets a pipeline maintain distinct-count profiles
+    * incrementally (a19's algebraic story, for sketches). DuckDB has no
+    * DataSketches twin, so the gate runs BOTH paths in Spark and ships
+    * the comparison as booleans the oracle asserts true, plus the exact
+    * distinct count it recomputes independently.
+    */
+  val a20HllReagg: GraftQuery = GraftQuery(
+    "a20_hll_reagg",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |       true AS merge_consistent, true AS within_tolerance
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val merged = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = events
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("est_merged") === col("est_direct")).as("merge_consistent"),
+        (abs(col("est_direct") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("within_tolerance"))
+      .orderBy("event_type")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -650,5 +683,5 @@ object AnalyticsQueries {
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    j02TimeAlign, w01Windows, w02RollingTime)
+    a20HllReagg, j02TimeAlign, w01Windows, w02RollingTime)
 }

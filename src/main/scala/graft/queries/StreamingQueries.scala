@@ -123,6 +123,49 @@ object StreamingQueries {
       .orderBy("bucket")
   }
 
+  /** ST3 — ordered-sequence FUNNEL analysis (MATCH_RECOGNIZE-lite): per
+    * user, the earliest click → first view strictly after it → first
+    * purchase strictly after that, and the step count reached. Each
+    * stage is one conditional min-aggregate over events joined to the
+    * prior stage's timestamps — three keyed aggs/joins, no per-user
+    * sorting or UDAF state, so each stage is map-side combinable and the
+    * whole funnel is three shuffles on user_id at any corpus size.
+    */
+  val st03Funnel: GraftQuery = GraftQuery(
+    "st03_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+      |       1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS steps
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val s1 = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNull, 0).otherwise(1)
+          + when(col("t3").isNull, 0).otherwise(1)).as("steps"))
+      .orderBy("user_id")
+  }
+
   /** SM1 — the REAL streaming engine under the gate: a file-source
     * `readStream` over the events parquet, event-time tumbling-window
     * aggregation, `Trigger.AvailableNow` (process everything, then stop),
@@ -327,7 +370,7 @@ object StreamingQueries {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow,
+  val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
     sm05StreamStaticJoin)
 }
