@@ -151,11 +151,16 @@ object StreamingQueries {
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin) { (spark, dir) =>
     val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    // each stage result is a per-user row (tiny) consumed by BOTH the next
+    // stage and the final assembly — persist them or every downstream
+    // reference replans the whole upstream chain (stage 1 would run 4×,
+    // scanning events 6× instead of once per funnel step)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s1 = e.filter(col("event_type") === "click")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t1")).persist(mem)
     val s2 = e.filter(col("event_type") === "view")
       .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2")).persist(mem)
     val s3 = e.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy("user_id").agg(min(col("ts")).as("t3"))

@@ -297,6 +297,8 @@ object TextQueries {
     // integer chunk count (Spark's `/` on ints is double division) and an
     // explicit >0 guard: sequence(0, -1) would DESCEND, not be empty
     val nChunks = floor(size(toks) / lit(5)).cast("long")
+    // occ feeds both the first-occurrence aggregate and the join back —
+    // persist it or the tokenize+chunk+explode subtree plans twice
     val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), nChunks.as("n_chunks"), toks.as("tk"))
       .filter(col("n_chunks") > 0)
@@ -304,6 +306,7 @@ object TextQueries {
         posexplode(transform(sequence(lit(0L), col("n_chunks") - 1),
           i => array_join(slice(col("tk"), (i * 5 + 1).cast("int"), lit(5)), " ")))
           .as(Seq("pos", "chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence per chunk: min-struct agg (map-side combinable),
     // not a corpus-wide window sort
     val firsts = occ.groupBy("chunk")
@@ -348,9 +351,15 @@ object TextQueries {
        |SELECT doc_id, rank, term, tf, df, score
        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
+    // tfc feeds BOTH the df aggregate and the scoring join — persist it
+    // or the scan+explode+agg subtree plans once per consumer (the m01
+    // lesson; at corpus scale tfc is the compacted (doc, term) table,
+    // far smaller than the corpus, so materializing it is the right
+    // trade on a cluster too)
     val tfc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tfc.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -387,9 +396,12 @@ object TextQueries {
        |SELECT doc_id, COUNT(*) AS n_overlap
        |FROM train JOIN bench USING (s)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // bind the token array before the shingle HOF: inlined, the split()
+    // re-evaluates once per shingle per row (the O(n²) HOF-inlining trap)
     val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 4))).as("s"))
+        explode(array_distinct(shingles(col("tk"), 4))).as("s"))
     val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(bench), "s")
