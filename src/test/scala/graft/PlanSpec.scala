@@ -96,6 +96,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("partitionBy writes prune partitions at read time (the (dataset, year) layout)") {
+    // the SURVEY §4 layout lever: facts written partitioned by a coarse
+    // time key are read with PartitionFilters, so a day-scoped query
+    // never opens the other days' files at any corpus size
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day") ===
+        java.sql.Date.valueOf("2024-01-05"))
+      .groupBy("event_type").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected a partition filter on day:\n$plan")
+    // partition pruning is structural: the scan selects exactly ONE of
+    // the 30 day partitions and only its files
+    val unwrapped = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // AQE wrapper is a leaf to collectLeaves
+      case p => p
+    }
+    val scans = unwrapped.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.selectedPartitions.partitionCount,
+          f.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq)
+    }
+    assert(scans.nonEmpty)
+    val (nParts, files) = scans.head
+    assert(nParts == 1, s"expected 1 selected partition, got $nParts")
+    assert(files.nonEmpty && files.forall(_.contains("day=2024-01-05")),
+      s"expected only day=2024-01-05 files, got:\n${files.mkString("\n")}")
+  }
+
   test("t06 repetition has no Generate (the InferFiltersFromGenerate trap)") {
     val plan = planOf("t06_repetition")
     // an explode formulation plants size(shingle-pipeline)>0 into the scan
