@@ -96,5 +96,100 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(c01Curation)
+  /** C2 — the full LLM-corpus curation composition, stage by stage the
+    * shape a production training-data run executes:
+    *
+    *   1. near-dup GROUPS: MinHash+LSH candidate pairs
+    *      ([[Dedup.nearDupPairs]]) → connected components
+    *      ([[Dedup.connectedComponents]]) → drop every group member but
+    *      the min-id representative;
+    *   2. DECONTAMINATION: drop training docs sharing any 4-gram with
+    *      the held-out benchmark slice (doc_id % 97 = 0), and the
+    *      benchmark docs themselves;
+    *   3. PACK the surviving corpus into 4096-token manifests per
+    *      source (t08's running-sum bins).
+    *
+    * One oracle proves the composition end-to-end — the DuckDB side
+    * rebuilds the LSH pipeline, a recursive-closure component labeling
+    * (different algorithm, same fixpoint), the overlap join, and the
+    * packing window — so stage interactions (removal sets feeding the
+    * anti-join feeding the pack) are checked, not just each stage.
+    *
+    * Scale: candidate generation is the banded equi-join; components run
+    * on the (tiny) pair graph; contamination is one broadcast join;
+    * the anti-join and packing shuffle survivors once each.
+    */
+  val c02CurationFull: GraftQuery = GraftQuery(
+    "c02_curation_full", {
+      val toksE = sqlTokens("text")
+      s"""WITH RECURSIVE ${DedupQueries.sqlCandCtes},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |dup_removed AS (SELECT id AS doc_id FROM comp WHERE id != component),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${sqlShingles(toksE, 4)})) AS s
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)
+         |  WHERE doc_id % 97 != 0),
+         |removed AS (
+         |  SELECT doc_id FROM dup_removed
+         |  UNION SELECT doc_id FROM contaminated
+         |  UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+         |survivors AS (
+         |  SELECT source, doc_id, len($toksE) AS n FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+         |c AS (
+         |  SELECT source, doc_id, n,
+         |         COALESCE(CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ex
+         |  FROM survivors)
+         |SELECT source, ex // 4096 AS pack_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY source, ex // 4096
+         |ORDER BY source, pack_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.queries.DedupQueries.{Bands, NumPerms, ShingleK}
+    val docs = Tables.documents(spark, dir)
+    // 1. near-dup groups → drop non-representatives
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4") // label frames are tiny (g02)
+    val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val dupRemoved = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    // 2. decontamination (t11) + the benchmark slice itself
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), 4))).as("s"))
+    val bench = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "s").select("doc_id").distinct()
+    val removed = dupRemoved
+      .union(contaminated)
+      .union(docs.filter(col("doc_id") % 97 === 0).select("doc_id"))
+      .distinct()
+    // 3. survivors → token-budget pack manifest (t08)
+    val survivors = docs.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("ex", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("source"), expr("ex div 4096").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull)
 }

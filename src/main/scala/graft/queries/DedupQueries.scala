@@ -57,9 +57,9 @@ object DedupQueries {
       .withColumn("n_dups", col("n_docs") - col("n_unique"))
   }
 
-  private val ShingleK = 2
-  private val NumPerms = 16
-  private val Bands = 8
+  private[queries] val ShingleK = 2
+  private[queries] val NumPerms = 16
+  private[queries] val Bands = 8
 
   /** M1 — MinHash + LSH near-duplicate detection: shingle → 16 minhash
     * sigs → 8 banded buckets → candidate join → exact-Jaccard verify;
@@ -69,7 +69,7 @@ object DedupQueries {
     * both m01 (verify + top-k) and g02 (duplicate-group clustering)
     * consume.
     */
-  private def sqlCandCtes: String = {
+  private[queries] def sqlCandCtes: String = {
     val perms = Dedup.permConstants(NumPerms)
     val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
