@@ -148,13 +148,58 @@ object Pipeline {
     }
   }
 
+  /** Full corpus-curation stage (the c02 composition as a pipeline
+    * step): near-dup GROUP removal (LSH candidates → connected
+    * components → keep the min-id representative), optional benchmark
+    * decontamination (docs sharing any `decontam_k`-gram with the
+    * `benchmark_mod` slice drop, as does the slice itself), then the
+    * surviving corpus written out. Params: `shingle_k`, `num_perms`,
+    * `bands`, `decontam_k` (0 disables), `benchmark_mod` (0 disables).
+    */
+  object CurationStage extends Stage {
+    def run(spark: SparkSession, in: String, out: String, params: JsonNode,
+            datasetName: String): Unit = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TextFunctions.{shingles, tokens}
+      val docs = spark.read.parquet(in)
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        shingleK = pInt(params, "shingle_k", 2),
+        numPerms = pInt(params, "num_perms", 16),
+        bands = pInt(params, "bands", 8))
+      val comps = graft.operators.Dedup.connectedComponents(
+        pairs.select("id_a", "id_b"))
+      val dupRemoved = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val benchMod = pInt(params, "benchmark_mod", 0)
+      val decontamK = pInt(params, "decontam_k", 4)
+      val removed =
+        if (benchMod <= 0 || decontamK <= 0) dupRemoved
+        else {
+          val sh = docs
+            .select(col("doc_id"), tokens(col("text")).as("tk"))
+            .select(col("doc_id"),
+              explode(array_distinct(shingles(col("tk"), decontamK))).as("s"))
+          val bench = sh.filter(col("doc_id") % benchMod === 0).select("s").distinct()
+          val contaminated = sh.filter(col("doc_id") % benchMod =!= 0)
+            .join(broadcast(bench), "s").select("doc_id").distinct()
+          dupRemoved.union(contaminated)
+            .union(docs.filter(col("doc_id") % benchMod === 0).select("doc_id"))
+            .distinct()
+        }
+      docs.join(removed, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(out)
+    }
+  }
+
   val registry: Map[String, Stage] = Map(
     "PreprocessorStage" -> PreprocessorStage,
     "ExploratoryanalysisStage" -> ExploratoryAnalysisStage,
     "ExploratoryAnalysisStage" -> ExploratoryAnalysisStage,
     "TranslatorStage" -> TranslatorStage,
     "TextAnalysisStage" -> TextAnalysisStage,
-    "DedupStage" -> DedupStage)
+    "DedupStage" -> DedupStage,
+    "CurationStage" -> CurationStage)
 
   final case class StageResult(stage: String, status: String, seconds: Double)
 

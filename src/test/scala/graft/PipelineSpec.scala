@@ -124,6 +124,30 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L))) // the exact dup, jaccard 1.0
   }
 
+  test("CurationStage removes near-dup group members and contaminated docs") {
+    val root = Files.createTempDirectory("graft-pipe4").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // near-dup group with 1 → removed
+      (3L, "one two three four five six seven"),   // clean survivor
+      (5L, "bench mark hold out set words here"),  // benchmark slice (5 % 5 = 0) → removed
+      (7L, "bench mark hold out other tail words")) // shares 4-gram with 5 → contaminated
+      .toDF("doc_id", "text").write.parquet(s"$root/documents")
+    val cfgJson =
+      """{"dataset_name": "t", "stages": [
+        |  {"name": "Curate", "implementation": "CurationStage",
+        |   "input": "documents", "output": "curated", "enabled": true,
+        |   "params": {"benchmark_mod": 5, "decontam_k": 4}}
+        |]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfgJson)
+    val summary = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(summary("Curate") == "ok")
+    val kept = spark.read.parquet(s"$root/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("missing input is reported, not fatal") {
     val root = Files.createTempDirectory("graft-pipe2").toString
     Files.writeString(Paths.get(s"$root/config.json"), configJson)

@@ -162,6 +162,52 @@ class PropertySpec extends SparkSpec {
     assert(native == window)
   }
 
+  test("upsert laws: idempotent, and sequential batch merges ≡ one backfill compaction") {
+    import graft.operators.Upsert
+    val keys = Seq("k")
+    val version = Seq("v", "id")
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+    val all = rows.toDF("id", "k", "v", "payload").select("k", "v", "id", "payload")
+    val Seq(b1, b2, b3) = Seq(0, 1, 2).map(r =>
+      rows.filter(_._1 % 3 == r).toDF("id", "k", "v", "payload")
+        .select("k", "v", "id", "payload"))
+    val backfill = Upsert.compact(all, keys, version)
+    val seq = Upsert.latestWins(
+      Upsert.latestWins(Upsert.compact(b1, keys, version), b2, keys, version),
+      b3, keys, version)
+    assert(seq.exceptAll(backfill).isEmpty && backfill.exceptAll(seq).isEmpty)
+    // idempotence: re-applying the last batch changes nothing
+    val again = Upsert.latestWins(seq, b3, keys, version)
+    assert(again.exceptAll(seq).isEmpty && seq.exceptAll(again).isEmpty)
+  }
+
+  test("bucketed range join ≡ naive theta join on random intervals") {
+    import graft.operators.RangeJoin
+    val base = 1700000000000000L // µs epoch
+    val points = (1 to 300).map(i =>
+      (i.toLong, new Timestamp((base + rnd.nextInt(86400) * 1000000L) / 1000)))
+      .toDF("pid", "t")
+    val intervals = (1 to 40).map { i =>
+      val s = base + rnd.nextInt(80000) * 1000000L
+      (i.toLong, new Timestamp(s / 1000),
+        new Timestamp((s + rnd.nextInt(20000) * 1000000L) / 1000))
+    }.toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, $"t" >= $"lo" && $"t" < $"hi")
+      .select("pid", "iid").collect().toSet
+    val bucketed = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi",
+      bucketUs = 3600L * 1000000L).select("pid", "iid").collect().toSet
+    assert(bucketed == naive)
+  }
+
+  test("z-values are unique per (a, b) pair (interleave is a bijection)") {
+    import graft.operators.ZOrder
+    val pairs = (1 to 500)
+      .map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).distinct
+    val zs = pairs.toDF("a", "b").select(ZOrder.zValue2($"a", $"b")).as[Long].collect()
+    assert(zs.distinct.length == pairs.length)
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
