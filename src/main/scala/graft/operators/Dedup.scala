@@ -295,7 +295,7 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
@@ -314,7 +314,7 @@ object Dedup {
           col("comp") === col("__cid"))
         .select(col("id"), col("__ccomp").as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -98,7 +98,7 @@ object Pipeline {
       val colName = optNode(params, "target_column").map(_.asText).getOrElse("caption")
       val lang = optNode(params, "target_language").map(_.asText).getOrElse("en")
       val dict = optNode(params, "dictionary").map { node =>
-        node.fields.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        node.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
       val translated = Enrich.runTranslationJob(
         CsvIo.readPreprocessed(spark, in), s"$out.state", "id",
