@@ -134,6 +134,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("shs_a"), col("shs_b")).as("jaccard"))
   }
 
+  /** Standalone (id, band_id, band_key) banded LSH signature frame — the
+    * INDEX rows incremental near-dup maintenance persists and joins
+    * against ([[IncrementalNearDup]]). Same tokenize→shingle→minhash→band
+    * math as [[nearDupPairs]] (which keeps its own copy inline because it
+    * must persist the intermediate shingle frame for the verification
+    * join — sharing the helper would un-share that cache).
+    */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
+    require(numPerms == bands * 2, "2 rows per band")
+    val withSigs = withShingleHashes(docs, idCol, textCol, shingleK)
+      .select(col("id"),
+        graft.plans.DedupExprs.minHashSigs(col("shs"), numPerms).as("__sigs"))
+    val bandKeys = (0 until bands).map(bd =>
+      (element_at(col("__sigs"), 2 * bd + 1) * P +
+        element_at(col("__sigs"), 2 * bd + 2)).as(s"band_$bd"))
+    withSigs
+      .select(col("id") +: bandKeys: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
+        .as(Seq("band_id", "band_key")))
+  }
+
   /** Exact Jaccard of two distinct-element arrays, via
     * |A∩B| / (|A| + |B| − |A∩B|) — one intersect, no union materialized.
     */

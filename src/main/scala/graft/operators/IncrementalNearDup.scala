@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental NEAR-dup admission against a persistent banded-signature
+  * index — the streaming-ingestion twin of [[Dedup.nearDupPairs]], the
+  * way [[IncrementalDedup]] is the twin of exact dedup: each arriving
+  * batch is checked against the signatures of everything seen before,
+  * never against the corpus texts, and never by re-running LSH over the
+  * whole corpus.
+  *
+  * Policy: INDEX-ALL — every seen document's band rows are appended
+  * whether or not it was admitted, so "blocked" means "collides with ANY
+  * earlier-seen document" (first occurrence wins; later members of a
+  * dup chain stay blocked even though their blocker was itself
+  * blocked). This makes batch-by-batch ingestion equal the backfill
+  * rule `removed(y) ⇔ ∃x seen-before y sharing a band` exactly — the
+  * property the x08 gate checks. (Index-survivors-only is the other
+  * common policy; it admits chain tails and is NOT backfill-stable,
+  * which is why the index-all form is the default here.)
+  *
+  * Scale shape: per batch — one LSH signature pass over the BATCH, one
+  * band equi-join batch×index (index side is bucketable by band_key),
+  * one intra-batch self-join, one append of O(batch·bands) narrow rows.
+  * Cost is O(batch), not O(corpus); the corpus only ever contributes
+  * its (id, band_id, band_key) index rows.
+  */
+object IncrementalNearDup {
+
+  def readIndex(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir)))
+      Some(spark.read.parquet(storeDir))
+    else None
+
+  /** Admit `batch` against the index at `storeDir`: returns the admitted
+    * rows (no band collision with anything seen before, nor with an
+    * earlier-`idCol` row of this batch), and appends ALL of the batch's
+    * band rows to the index.
+    */
+  def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
+                  storeDir: String, shingleK: Int = 2, numPerms: Int = 16,
+                  bands: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val banded = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsIndex = readIndex(spark, storeDir) match {
+      case Some(idx) => banded.as("b")
+        .join(idx.as("i"),
+          col("b.band_id") === col("i.band_id") &&
+            col("b.band_key") === col("i.band_key"))
+        .select(col("b.id"))
+      case None => spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+    }
+    val intra = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("y.id"))
+    val blocked = vsIndex.union(intra).distinct()
+    val admitted = batch.join(blocked.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    // append THIS batch's band rows after computing admissions (the
+    // batch must not collide with itself through the index)
+    banded.write.mode("append").parquet(storeDir)
+    admitted
+  }
+}

@@ -146,6 +146,44 @@ object Similarity {
       .select("q_id", "rank", "n_id", "dot_q", "cosine_q")
   }
 
+  /** Coarse-to-fine (Matryoshka-style) top-k: score every vector on only
+    * the first `coarseDims` dimensions (a prefix slice — the cheap pass
+    * that reads 1/4 of the vector bytes at coarseDims = dims/4), keep the
+    * `coarseK` best per query, then rerank just those with the exact
+    * full-dimension cosine. The production pattern for embedding models
+    * trained with prefix-truncation losses; recall depends on the
+    * embedding's prefix quality, and `coarseK` is the knob.
+    * All math is the fixed-point integer pipeline, so both passes are
+    * deterministic and the oracle replays them exactly.
+    */
+  def knnCoarseRerank(vectors: DataFrame, idCol: String, embCol: String,
+                      queryPred: Column, k: Int, coarseDims: Int,
+                      coarseK: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .withColumn("cemb", slice(col("emb"), 1, coarseDims))
+      .withColumn("cnorm", dotFixed(col("cemb"), col("cemb")))
+      .withColumn("norm_f", dotFixed(col("emb"), col("emb")))
+    val q = v.filter(queryPred)
+      .select(col("id").as("q_id"), col("cemb").as("q_cemb"), col("cnorm").as("q_cnorm"),
+        col("emb").as("q_emb"), col("norm_f").as("q_norm"))
+    val coarse = v.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"), col("emb"), col("norm_f"),
+        col("q_emb"), col("q_norm"),
+        cosineFromFixed(dotFixed(col("q_cemb"), col("cemb")),
+          col("q_cnorm"), col("cnorm")).as("coarse_cos"))
+    val wc = Window.partitionBy("q_id").orderBy(desc("coarse_cos"), asc("n_id"))
+    val candidates = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= coarseK)
+    val wf = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    candidates
+      .select(col("q_id"), col("n_id"),
+        cosineFromFixed(dotFixed(col("q_emb"), col("emb")),
+          col("q_norm"), col("norm_f")).as("cosine"))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
   /** Deterministic ±1 hyperplane component for (plane r, dim d): bit 15 of
     * an LCG step of n = r·dims + d — pure integer math, portable to SQL.
     */

@@ -303,6 +303,38 @@ object DedupQueries {
       .orderBy("l_returnflag")
   }
 
+  /** X8 — INCREMENTAL near-dup admission
+    * ([[graft.operators.IncrementalNearDup]]): documents arrive in two
+    * batches (even ids, then odd ids); each batch is admitted against
+    * the persistent banded-signature index and appended to it. The
+    * oracle computes the backfill rule directly — blocked ⇔ shares a
+    * band with any document earlier in the (batch, id) processing
+    * order — so the gate proves batch-by-batch ingestion ≡ backfill,
+    * the property that lets a 100 TB corpus near-dedupe per arriving
+    * day at O(batch) cost.
+    */
+  val x08IncrementalNearDup: GraftQuery = GraftQuery(
+    "x08_incremental_neardup",
+    s"""WITH $sqlCandCtes,
+       |blocked AS (
+       |  SELECT DISTINCT y.id FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND ((x.id % 2) < (y.id % 2)
+       |        OR ((x.id % 2) = (y.id % 2) AND x.id < y.id)))
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM blocked)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val store = java.nio.file.Files.createTempDirectory("x08_store")
+      .resolve("bands").toString
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .map(b => graft.operators.IncrementalNearDup.dedupeBatch(
+        b, "doc_id", "text", store, ShingleK, NumPerms, Bands))
+      .reduce(_ unionByName _)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** G2 — duplicate-group clustering: connected components over the LSH
     * candidate pairs ([[Dedup.connectedComponents]] min-label
     * propagation), emitting one row per duplicate group with its
@@ -341,6 +373,6 @@ object DedupQueries {
 
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
-    x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, m01MinHashLsh, s01SimHash,
-    g01NgramJaccard, g02DedupGroups)
+    x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
+    m01MinHashLsh, s01SimHash, g01NgramJaccard, g02DedupGroups)
 }

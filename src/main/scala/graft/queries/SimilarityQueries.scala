@@ -202,6 +202,49 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E8 — coarse-to-fine (Matryoshka-style) top-k
+    * ([[Similarity.knnCoarseRerank]]): a 16-dim prefix-slice scan picks
+    * 30 candidates per query, the exact 64-dim cosine reranks them —
+    * the two-pass shape that reads a quarter of the vector bytes in the
+    * scan pass. Both passes are fixed-point deterministic; the oracle
+    * replays coarse selection and rerank exactly, boundaries and ties
+    * included.
+    */
+  val e08CoarseRerank: GraftQuery = GraftQuery(
+    "e08_coarse_rerank", {
+      val coarseDims = 16
+      val coarseK = 30
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, embedding AS emb, embedding[1:$coarseDims] AS cemb,
+         |         ${Similarity.sqlDotFixed("embedding", "embedding")} AS norm_f
+         |  FROM embeddings),
+         |vn AS (SELECT id, emb, norm_f, cemb,
+         |              ${Similarity.sqlDotFixed("cemb", "cemb")} AS cnorm FROM v),
+         |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm,
+         |             cemb AS q_cemb, cnorm AS q_cnorm
+         |      FROM vn WHERE id < $NumQueries),
+         |coarse AS (
+         |  SELECT q_id, vn.id AS n_id, vn.emb, vn.norm_f, q_emb, q_norm,
+         |         ${sqlCos("q_cemb", "q_cnorm", "vn.cemb", "vn.cnorm")} AS coarse_cos
+         |  FROM q CROSS JOIN vn WHERE vn.id != q.q_id),
+         |cand AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY coarse_cos DESC, n_id) AS crank
+         |  FROM coarse),
+         |reranked AS (
+         |  SELECT q_id, n_id,
+         |         ${sqlCos("q_emb", "q_norm", "emb", "norm_f")} AS cosine
+         |  FROM cand WHERE crank <= $coarseK),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                     ORDER BY cosine DESC, n_id) AS rank FROM reranked)
+         |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    Similarity.knnCoarseRerank(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumQueries, K, coarseDims = 16, coarseK = 30)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
-    e05LshPairs, e06SemDedup, e07KnnQuantized)
+    e05LshPairs, e06SemDedup, e07KnnQuantized, e08CoarseRerank)
 }
