@@ -145,6 +145,47 @@ class MergeRangeSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------- IncrementalNearDup
+  test("IncrementalNearDup: cross-batch and intra-batch blocking, fresh docs admitted") {
+    import graft.operators.IncrementalNearDup
+    val store = java.nio.file.Files.createTempDirectory("ind_store")
+      .resolve("bands").toString
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val a1 = IncrementalNearDup.dedupeBatch(b1, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a1 == Set(1L, 2L)) // disjoint texts: both admitted
+    val b2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1 → blocked
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"), // fresh
+      (5L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")) // intra-dup of 4
+      .toDF("doc_id", "text")
+    val a2 = IncrementalNearDup.dedupeBatch(b2, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 == Set(4L))
+    // index-all: a third batch doc duplicating the BLOCKED 3 is still blocked
+    val b3 = Seq((6L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val a3 = IncrementalNearDup.dedupeBatch(b3, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a3.isEmpty)
+  }
+
+  test("knnCoarseRerank with coarseK covering the corpus equals brute KNN") {
+    import graft.operators.Similarity
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(d =>
+        (math.sin(i * 7.3 + d * 1.9) * 0.4).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(vecs, "vec_id", "embedding", $"id" < 3, 5)
+      .collect().toSeq.map(_.toSeq)
+    val rerank = Similarity.knnCoarseRerank(vecs, "vec_id", "embedding", $"id" < 3, 5,
+        coarseDims = 4, coarseK = 60)
+      .collect().toSeq.map(_.toSeq)
+    assert(rerank == brute) // full candidate coverage ⇒ exact recall
+  }
+
   // ---------------------------------------------------------- quantization
   test("Similarity.quantize: int8 code range and exact integer dot") {
     val df = Seq((Seq(0.5f, -0.5f, 0.999f), Seq(1.0f, 1.0f, -1.0f)))
