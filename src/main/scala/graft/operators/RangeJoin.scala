@@ -47,4 +47,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: both sides are half-open intervals, a pair
+    * qualifies iff `aStart < bEnd && bStart < aEnd`. Both sides explode
+    * into their covered buckets and equi-join on the bucket id; a
+    * qualifying pair shares every bucket of its overlap span, so the
+    * duplicate hits are removed WITHOUT a distinct() by keeping only the
+    * FIRST overlapping bucket — `max(floor(aStart/g), floor(bStart/g))`,
+    * computable from the pair itself (the simHashPairs first-matching-
+    * chunk trick). One equi-join shuffle, no distinct shuffle, never a
+    * nested loop.
+    */
+  def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
+                          b: DataFrame, bStart: String, bEnd: String,
+                          bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    def buckets(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_micros(col(s)) / bucketUs),
+        floor((unix_micros(col(e)) - 1) / bucketUs))))
+    val firstShared = greatest(
+      floor(unix_micros(col(aStart)) / bucketUs),
+      floor(unix_micros(col(bStart)) / bucketUs))
+    buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bucket") === firstShared)
+      .drop("__bucket")
+  }
 }

@@ -558,6 +558,40 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** A21 — COHORT retention matrix: users cohorted by the week of their
+    * first event; for each (cohort_week, weeks-since offset), the count
+    * of distinct cohort members active that week — the retention table
+    * every product-analytics stack computes. Week buckets are
+    * date_trunc-aligned, so the offset is an exact integer (day diff /
+    * 7). Shape: one min-agg per user (map-side combinable), one keyed
+    * join back, one distinct-count agg over (cohort, offset) — three
+    * keyed shuffles at any event volume.
+    */
+  val a21CohortRetention: GraftQuery = GraftQuery(
+    "a21_cohort_retention",
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, c.cohort_week,
+      |         date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS offset_weeks
+      |  FROM events e JOIN cohort c ON e.user_id = c.user_id)
+      |SELECT cohort_week, offset_weeks, COUNT(*) AS n_active
+      |FROM activity GROUP BY cohort_week, offset_weeks
+      |ORDER BY cohort_week, offset_weeks""".stripMargin) { (spark, dir) =>
+    val events = Tables.events(spark, dir)
+    val cohort = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        floor(datediff(col("wk"), col("cohort_week")) / 7).as("offset_weeks"))
+      .distinct()
+      .groupBy("cohort_week", "offset_weeks")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "offset_weeks")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -683,5 +717,5 @@ object AnalyticsQueries {
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    a20HllReagg, j02TimeAlign, w01Windows, w02RollingTime)
+    a20HllReagg, a21CohortRetention, j02TimeAlign, w01Windows, w02RollingTime)
 }

@@ -369,9 +369,89 @@ object RelationalQueries {
       .orderBy("interval_id")
   }
 
+  /** J8 — interval-OVERLAP join ([[graft.operators.RangeJoin
+    * .intervalOverlapJoin]]): two derived window tables (18h-every-12h
+    * maintenance windows × 8h-every-5h campaign windows) joined on
+    * overlap via the bucketed equi-join with first-shared-bucket dedup —
+    * no distinct, no nested loop. Per maintenance window: the number of
+    * overlapping campaigns and the total overlap seconds (exact integer
+    * arithmetic). The oracle runs the naive theta join.
+    */
+  val j08IntervalOverlap: GraftQuery = GraftQuery(
+    "j08_interval_overlap",
+    """WITH a AS (
+      |  SELECT g AS a_id,
+      |         TIMESTAMP '2024-01-01 00:00:00' + g * INTERVAL 12 HOUR AS a_start,
+      |         TIMESTAMP '2024-01-01 00:00:00' + g * INTERVAL 12 HOUR
+      |           + INTERVAL 18 HOUR AS a_end
+      |  FROM range(60) t(g)),
+      |b AS (
+      |  SELECT g AS b_id,
+      |         TIMESTAMP '2024-01-01 02:00:00' + g * INTERVAL 5 HOUR AS b_start,
+      |         TIMESTAMP '2024-01-01 02:00:00' + g * INTERVAL 5 HOUR
+      |           + INTERVAL 8 HOUR AS b_end
+      |  FROM range(100) t(g))
+      |SELECT a_id, COUNT(*) AS n_overlaps,
+      |       CAST(SUM(date_diff('second',
+      |              GREATEST(a_start, b_start), LEAST(a_end, b_end))) AS BIGINT)
+      |         AS overlap_secs
+      |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+      |GROUP BY a_id ORDER BY a_id""".stripMargin) { (spark, dir) =>
+    val hourUs = 3600000000L
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z
+    val a = spark.range(60).select(
+      col("id").as("a_id"),
+      timestamp_micros(lit(base) + col("id") * (12 * hourUs)).as("a_start"),
+      timestamp_micros(lit(base) + col("id") * (12 * hourUs) + 18 * hourUs).as("a_end"))
+    val b = spark.range(100).select(
+      col("id").as("b_id"),
+      timestamp_micros(lit(base) + 2 * hourUs + col("id") * (5 * hourUs)).as("b_start"),
+      timestamp_micros(lit(base) + 2 * hourUs + col("id") * (5 * hourUs) + 8 * hourUs)
+        .as("b_end"))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+        a, "a_start", "a_end", b, "b_start", "b_end", bucketUs = 6 * hourUs)
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(unix_timestamp(least(col("a_end"), col("b_end"))) -
+          unix_timestamp(greatest(col("a_start"), col("b_start"))))
+          .cast("long").as("overlap_secs"))
+      .orderBy("a_id")
+  }
+
+  /** Q4 — correlated above-average filter (the `WHERE price > (SELECT
+    * AVG … per customer)` subquery shape): per customer, how many orders
+    * exceed that customer's own exact average spend. Implemented as one
+    * window pass (Catalyst de-correlates such subqueries to the same
+    * shape); decimal sums keep the per-customer mean bit-exact in both
+    * engines.
+    */
+  val q04AboveAvg: GraftQuery = GraftQuery(
+    "q04_above_avg",
+    """WITH w AS (
+      |  SELECT o_custkey, o_totalprice,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+      |              OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders)
+      |SELECT o_custkey, COUNT(*) AS n_orders,
+      |       COUNT(*) FILTER (WHERE o_totalprice > cust_avg) AS n_above,
+      |       MAX(o_totalprice) AS max_price
+      |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    val byCust = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (sum(col("o_totalprice").cast("decimal(28,4)")).over(byCust).cast("double") /
+          count(lit(1)).over(byCust)).as("cust_avg"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_totalprice") > col("cust_avg"), 1)).as("n_above"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_custkey")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q01PricingSummary, q02RevenueByNation, q03LocalSupplier, p01DeriveImage,
-    p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange, d01DedupFirst,
-    d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin, j06AsOfJoin,
-    j07RangeJoin, a01TimeBucket)
+    q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
+    p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
+    d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
+    j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, a01TimeBucket)
 }

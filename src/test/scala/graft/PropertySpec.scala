@@ -200,6 +200,26 @@ class PropertySpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("bucketed interval-overlap join ≡ naive theta join, exactly one row per pair") {
+    import graft.operators.RangeJoin
+    val base = 1700000000000000L
+    def intervals(n: Int, tag: String) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(200000) * 1000000L
+      (i.toLong, new Timestamp(s / 1000),
+        new Timestamp((s + (rnd.nextInt(30000) + 1) * 1000000L) / 1000))
+    }.toDF(s"${tag}_id", s"${tag}_start", s"${tag}_end")
+    val a = intervals(60, "a")
+    val b = intervals(80, "b")
+    val naive = a.join(b, $"a_start" < $"b_end" && $"b_start" < $"a_end")
+      .select("a_id", "b_id").collect().toSeq
+    val bucketed = RangeJoin.intervalOverlapJoin(
+        a, "a_start", "a_end", b, "b_start", "b_end", bucketUs = 3600L * 1000000L)
+      .select("a_id", "b_id").collect().toSeq
+    // same pair SET and same cardinality: first-shared-bucket dedup emits
+    // each overlapping pair exactly once
+    assert(bucketed.toSet == naive.toSet && bucketed.length == naive.length)
+  }
+
   test("z-values are unique per (a, b) pair (interleave is a bijection)") {
     import graft.operators.ZOrder
     val pairs = (1 to 500)
