@@ -184,6 +184,47 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** Embedding post-processing: mean-center every dimension over the
+    * corpus, then L2-normalize each vector — the standard conditioning
+    * pass before ANN indexing (centering removes the dominant common
+    * direction; unit norm makes cosine = dot). Two passes: a per-dim
+    * decimal-exact mean (posexplode + keyed agg — map-side combinable,
+    * one narrow shuffle of dims × partials), broadcast back, then a
+    * per-row projection.
+    *
+    * Determinism model: the mean is assembled from an exact decimal sum
+    * (order-free) and one IEEE division; the centered coordinate is then
+    * QUANTIZED to a 1e-9 grid (`floor(c·1e9)` as BIGINT) so the squared
+    * norm is an order-free integer sum, and the normalized output
+    * coordinates are each one IEEE division of exact integers — fully
+    * reproducible across engines and partitionings.
+    */
+  def centerNormalize(vectors: DataFrame, idCol: String, embCol: String,
+                      dims: Int): DataFrame = {
+    val CScale = 1e9
+    val means = vectors
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      // float → DOUBLE (exact binary widening) BEFORE the decimal cast:
+      // engines disagree on float→decimal directly (shortest-repr vs
+      // binary-expansion rounding), but agree bit-for-bit via double
+      .agg((sum(col("x").cast("double").cast("decimal(28,8)")).cast("double") /
+        count(lit(1))).as("mean"))
+      .select(col("d"), col("mean"))
+    // dims is small: collect the mean vector once, ship as a literal array
+    val meanArr = means.orderBy("d").select("mean").collect().map(_.getDouble(0))
+    require(meanArr.length == dims, s"expected $dims dims, got ${meanArr.length}")
+    val meanLit = array(meanArr.map(lit): _*)
+    val q = transform(col(embCol),
+      (x, i) => floor((x.cast("double") - element_at(meanLit, i + 1)) * lit(CScale))
+        .cast("long"))
+    vectors
+      .select(col(idCol).as("id"), q.as("qc"))
+      .withColumn("qnorm", aggregate(col("qc"), lit(0L), (acc, v) => acc + v * v))
+      .withColumn("normalized",
+        transform(col("qc"), v => v.cast("double") / sqrt(col("qnorm").cast("double"))))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane r, dim d): bit 15 of
     * an LCG step of n = r·dims + d — pure integer math, portable to SQL.
     */

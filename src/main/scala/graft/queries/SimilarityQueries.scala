@@ -245,6 +245,42 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E9 — embedding post-processing ([[Similarity.centerNormalize]]):
+    * corpus mean-centering + per-vector L2 normalization, the standard
+    * conditioning pass before ANN indexing. The gate emits the
+    * quantized squared norm and the first four normalized coordinates;
+    * the oracle replays the decimal-exact means, the 1e-9 centering
+    * grid, the integer norm, and the final divisions.
+    */
+  val e09CenterNormalize: GraftQuery = GraftQuery(
+    "e09_center_normalize",
+    s"""WITH m AS (
+       |  SELECT d, CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+       |              / COUNT(*) AS mean
+       |  FROM embeddings, range(1, $Dims + 1) t(d) GROUP BY d),
+       |ma AS (SELECT list(mean ORDER BY d) AS mv FROM m),
+       |q AS (
+       |  SELECT vec_id,
+       |         [CAST(floor((CAST(embedding[i] AS DOUBLE) - mv[i]) * 1000000000.0) AS BIGINT)
+       |          for i in range(1, len(embedding) + 1)] AS qc
+       |  FROM embeddings CROSS JOIN ma),
+       |n AS (SELECT vec_id, qc,
+       |             ${Similarity.sqlDotCodes("qc", "qc")} AS qnorm FROM q)
+       |SELECT vec_id, qnorm,
+       |       (CAST(qc[1] AS DOUBLE) / sqrt(CAST(qnorm AS DOUBLE))) AS n1,
+       |       (CAST(qc[2] AS DOUBLE) / sqrt(CAST(qnorm AS DOUBLE))) AS n2,
+       |       (CAST(qc[3] AS DOUBLE) / sqrt(CAST(qnorm AS DOUBLE))) AS n3,
+       |       (CAST(qc[4] AS DOUBLE) / sqrt(CAST(qnorm AS DOUBLE))) AS n4
+       |FROM n ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    Similarity.centerNormalize(Tables.embeddings(spark, dir), "vec_id", "embedding", Dims)
+      .select(col("id").as("vec_id"), col("qnorm"),
+        element_at(col("normalized"), 1).as("n1"),
+        element_at(col("normalized"), 2).as("n2"),
+        element_at(col("normalized"), 3).as("n3"),
+        element_at(col("normalized"), 4).as("n4"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
-    e05LshPairs, e06SemDedup, e07KnnQuantized, e08CoarseRerank)
+    e05LshPairs, e06SemDedup, e07KnnQuantized, e08CoarseRerank, e09CenterNormalize)
 }
