@@ -157,7 +157,13 @@ object Multimodal {
       (g - 512L).toDouble / 1024.0
     }
 
-    def label(content: Array[Byte]): Option[Seq[(String, Double)]] =
+    /** (width, height, per-class logits) — the deterministic pre-softmax
+      * head: every term is a fixed-order sum of exact-integer-derived
+      * doubles, so an SQL oracle replays the logits bit-for-bit (the
+      * softmax in [[label]] uses `exp`, which is NOT cross-engine
+      * reproducible — gates compare logits, the API returns probs).
+      */
+    def sceneLogits(content: Array[Byte]): Option[(Int, Int, Seq[Double])] =
       decodeColor(content).map { img =>
         val (sums, counts) = grayBlockSums(img, grid)
         val feats = sums.indices.map(c =>
@@ -165,6 +171,11 @@ object Multimodal {
         val logits = (0 until numLabels).map { k =>
           feats.indices.map(c => weight(k, c) * feats(c)).sum * 8.0
         }
+        (img.getWidth, img.getHeight, logits)
+      }
+
+    def label(content: Array[Byte]): Option[Seq[(String, Double)]] =
+      sceneLogits(content).map { case (_, _, logits) =>
         val mx = logits.max
         val exps = logits.map(l => math.exp(l - mx))
         val z = exps.sum

@@ -244,6 +244,71 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** I5 — the scene-classifier HEAD under the oracle (U3's model math,
+    * not just its decode): the Spark side renders the synthetic PNG, the
+    * REAL codec decodes it, the model pools 4×4 grid features and
+    * computes the 8 class logits; the gate emits every logit plus the
+    * argmax category. The oracle recomputes the identical doubles from
+    * the pixel formula — grid boundaries, pooled sums, the LCG weights,
+    * and the fixed-order Σ w·f are all replayed in SQL. (Softmax
+    * probabilities stay API-only: `exp` is not cross-engine
+    * reproducible; the logits and argmax are.)
+    */
+  val i05SceneLogits: GraftQuery = GraftQuery(
+    "i05_scene_logits", {
+      // cell c of the 4×4 grid: bx = c%4, by = c//4, linspace-truncated
+      // bounds; gray = r+g+b from the synthetic pixel formula
+      val cellSum =
+        s"CAST(list_sum(flatten([[${sqlGray("doc_id")} " +
+          "for x in range((c%4)*w//4, ((c%4)+1)*w//4)] " +
+          "for y in range((c//4)*h//4, ((c//4)+1)*h//4)])) AS BIGINT)"
+      val cellCnt =
+        "CAST(((((c%4)+1)*w//4) - ((c%4)*w//4)) * ((((c//4)+1)*h//4) - ((c//4)*h//4)) AS BIGINT)"
+      val wkc = "(CAST((((k*7919 + c*104729) * 1103515245 + 12345) % 1024) - 512 AS DOUBLE) / 1024.0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
+         |  FROM documents WHERE doc_id % 10 = 1),
+         |cells AS (
+         |  SELECT doc_id, w, h,
+         |         [$cellSum for c in range(16)] AS cs,
+         |         [$cellCnt for c in range(16)] AS cn
+         |  FROM d),
+         |lg AS (
+         |  SELECT doc_id, w, h,
+         |         [list_sum([$wkc * (CAST(cs[c+1] AS DOUBLE) / (CAST(cn[c+1] AS DOUBLE) * 768.0))
+         |                    for c in range(16)]) * 8.0
+         |          for k in range(8)] AS logits
+         |  FROM cells)
+         |SELECT doc_id, w, h,
+         |       'scene_' || CAST(list_position(logits, list_max(logits)) - 1 AS VARCHAR)
+         |         AS category,
+         |       logits[1] AS l0, logits[2] AS l1, logits[3] AS l2, logits[4] AS l3,
+         |       logits[5] AS l4, logits[6] AS l5, logits[7] AS l6, logits[8] AS l7
+         |FROM lg ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("category", StringType)) ++
+      (0 until 8).map(k => StructField(s"l$k", DoubleType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 1)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = Multimodal.syntheticImage(id) // real PNG encode
+          val (w, h, logits) = m.sceneLogits(png).get // real decode + head
+          val cat = s"scene_${logits.indexOf(logits.max)}"
+          Row(Seq(id, w.toLong, h.toLong, cat) ++ logits: _*)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
-    i04VideoFrames)
+    i04VideoFrames, i05SceneLogits)
 }
