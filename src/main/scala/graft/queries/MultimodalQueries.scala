@@ -309,6 +309,58 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** I6 — the image-EMBEDDING operator under the oracle (U4's model
+    * math; ref: DIRAdapter.py:20-47's fixed-dim descriptor): real
+    * encode→decode, 4×4 grid-pooled mean-gray features, emitted as the
+    * 16-dim descriptor. Each coordinate is integer-sum / integer-count
+    * arithmetic rounded once to FLOAT (the descriptor's storage type)
+    * and widened back — both engines reproduce the rounding exactly, so
+    * the hash gates the whole feature pipeline.
+    */
+  val i06EmbedVector: GraftQuery = GraftQuery(
+    "i06_embed_vector", {
+      val cellSum =
+        s"CAST(list_sum(flatten([[${sqlGray("doc_id")} " +
+          "for x in range((c%4)*w//4, ((c%4)+1)*w//4)] " +
+          "for y in range((c//4)*h//4, ((c//4)+1)*h//4)])) AS BIGINT)"
+      val cellCnt =
+        "CAST(((((c%4)+1)*w//4) - ((c%4)*w//4)) * ((((c//4)+1)*h//4) - ((c//4)*h//4)) AS BIGINT)"
+      val dims = (0 until 16).map(c =>
+        s"CAST(CAST(cs[${c + 1}] AS DOUBLE) / (CAST(cn[${c + 1}] AS DOUBLE) * 768.0) AS REAL)")
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
+         |  FROM documents WHERE doc_id % 10 = 9),
+         |cells AS (
+         |  SELECT doc_id, w, h,
+         |         [$cellSum for c in range(16)] AS cs,
+         |         [$cellCnt for c in range(16)] AS cn
+         |  FROM d)
+         |SELECT doc_id, w, h,
+         |${dims.zipWithIndex.map { case (e, c) => s"  CAST($e AS DOUBLE) AS e$c" }.mkString(",\n")}
+         |FROM cells ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType)) ++
+      (0 until 16).map(c => StructField(s"e$c", DoubleType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 9)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = Multimodal.syntheticImage(id)
+          val (w, h, _) = m.sceneLogits(png).get // reuse decode for dims
+          val emb = m.embed(png).get // real decode + pooled descriptor
+          Row(Seq(id, w.toLong, h.toLong) ++ emb.map(_.toDouble): _*)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
-    i04VideoFrames, i05SceneLogits)
+    i04VideoFrames, i05SceneLogits, i06EmbedVector)
 }
