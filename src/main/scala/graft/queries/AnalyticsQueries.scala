@@ -592,6 +592,34 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "offset_weeks")
   }
 
+  /** W3 — ranking-function suite (the rest of the §2.6 window surface):
+    * dense_rank, ntile quartiles, percent_rank and cume_dist per
+    * customer over a fully-ordered key (price, orderkey — unique, so
+    * peer groups are singletons and every rank function is
+    * deterministic and engine-portable).
+    */
+  val w03RankFunctions: GraftQuery = GraftQuery(
+    "w03_rank_functions",
+    """SELECT o_custkey, o_orderkey,
+      |       dense_rank() OVER w AS drank,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist
+      |FROM orders WHERE o_custkey < 150
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, drank""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 150)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_custkey", "drank")
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -717,5 +745,6 @@ object AnalyticsQueries {
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    a20HllReagg, a21CohortRetention, j02TimeAlign, w01Windows, w02RollingTime)
+    a20HllReagg, a21CohortRetention, j02TimeAlign, w01Windows, w02RollingTime,
+    w03RankFunctions)
 }
