@@ -620,6 +620,31 @@ object AnalyticsQueries {
       .orderBy("o_custkey", "drank")
   }
 
+  /** A22 — UNPIVOT (melt): the inverse of a02's pivot — the wide
+    * month×type count matrix melts back to long (bucket, event_type, n)
+    * rows, which must equal the plain GROUP BY the matrix was built
+    * from. Pivot∘unpivot = identity is the round-trip law pandas
+    * pipelines rely on when they reshape for plotting and reshape back
+    * (ref: plotting.py:224-232 pivots; melt is its pandas inverse).
+    */
+  val a22Unpivot: GraftQuery = GraftQuery(
+    "a22_unpivot",
+    """SELECT date_trunc('week', ts) AS bucket, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val wide = Tables.events(spark, dir)
+      .groupBy(date_trunc("week", col("ts")).as("bucket"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0)
+    wide.unpivot(
+        ids = Array(col("bucket")),
+        values = eventTypes.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "n")
+      .filter(col("n") > 0) // melt resurfaces the pivot's zero-fill; the
+      .orderBy("bucket", "event_type") // original GROUP BY has no empty cells
+  }
+
   /** A1w — week-grain time buckets with the PANDAS labeling convention:
     * pd.Grouper(freq='W') labels bins by period END (week ending Sunday),
     * date_trunc labels by start (Monday) — the normalization SURVEY §2.5
@@ -745,6 +770,6 @@ object AnalyticsQueries {
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    a20HllReagg, a21CohortRetention, j02TimeAlign, w01Windows, w02RollingTime,
-    w03RankFunctions)
+    a20HllReagg, a21CohortRetention, a22Unpivot, j02TimeAlign, w01Windows,
+    w02RollingTime, w03RankFunctions)
 }

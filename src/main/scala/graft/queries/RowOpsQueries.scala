@@ -227,8 +227,37 @@ object RowOpsQueries {
       .orderBy("z_bucket")
   }
 
+  /** D12 — set operations (the remaining relational set surface beyond
+    * d08's UNION): INTERSECT and EXCEPT with their distinct-set
+    * semantics, over derived key sets (users who clicked vs users who
+    * purchased), plus the symmetric-difference cardinality audit. Both
+    * plan as aggregates/anti-joins — no sort-based set machinery needed.
+    */
+  val d12SetOps: GraftQuery = GraftQuery(
+    "d12_set_ops",
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+      |both_sides AS (SELECT user_id FROM c INTERSECT SELECT user_id FROM p),
+      |click_only AS (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+      |SELECT (SELECT COUNT(*) FROM both_sides) AS n_both,
+      |       (SELECT COUNT(*) FROM click_only) AS n_click_only,
+      |       (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM both_sides) AS sum_both,
+      |       (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM click_only) AS sum_click_only""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click").select("user_id")
+    val p = ev.filter(col("event_type") === "purchase").select("user_id")
+    val both = c.intersect(p)
+    val clickOnly = c.except(p)
+    def audit(df: org.apache.spark.sql.DataFrame, n: String, s: String) =
+      df.agg(count(lit(1)).as(n),
+        coalesce(sum(col("user_id")), lit(0L)).cast("long").as(s))
+    audit(both, "n_both", "sum_both")
+      .crossJoin(audit(clickOnly, "n_click_only", "sum_click_only"))
+      .select("n_both", "n_click_only", "sum_both", "sum_click_only")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder)
+    d11ZOrder, d12SetOps)
 }
