@@ -209,8 +209,7 @@ object DedupQueries {
          |  FROM keyed)
          |SELECT doc_id, source FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val store = java.nio.file.Files.createTempDirectory("x04_store")
-      .resolve("keys").toString
+    val store = Dsl.tempStore("x04_store")
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     val key = TextFunctions.rollingHash(
       array_join(slice(TextFunctions.tokens(col("text")), 1, 2), " "))
@@ -324,8 +323,7 @@ object DedupQueries {
        |SELECT doc_id, source FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM blocked)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val store = java.nio.file.Files.createTempDirectory("x08_store")
-      .resolve("bands").toString
+    val store = Dsl.tempStore("x08_store")
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
     Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
       .map(b => graft.operators.IncrementalNearDup.dedupeBatch(

@@ -26,4 +26,32 @@ object Dsl {
        |SELECT $proj, t.total_rows
        |FROM top_n CROSS JOIN (SELECT COUNT(*) AS total_rows FROM base) t
        |ORDER BY $order""".stripMargin
+
+  /** Per-run throwaway state dir for gate queries that exercise
+    * persistent-store operators (x04's key store, x08's signature
+    * index): a fresh temp dir per invocation — re-runs must not see a
+    * previous run's state — swept by one JVM shutdown hook so repeated
+    * bench/verify runs in one process don't accumulate store copies.
+    */
+  def tempStore(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    tempStores.add(dir.toString)
+    hookOnce
+    dir.resolve("store").toString
+  }
+  private val tempStores = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookOnce: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempStores.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.isDirectory(root)) {
+            val all = java.nio.file.Files.walk(root)
+            try all.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            finally all.close()
+          }
+        } catch { case _: Throwable => () }
+      }))
 }
