@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.EnrichQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.BucketingQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.IoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IO-path gates: the CSV edge contract (SURVEY §2.1 S1/S7 — the
+  * reference persists every stage boundary as CSV) proven through the
+  * oracle. The Spark side writes the frame out and reads it back through
+  * the real codec; the oracle computes the same aggregates from the
+  * ORIGINAL table — any loss anywhere in the round-trip (timestamp
+  * precision, double shortest-representation, quoting/escaping of the
+  * JSON-bearing string column, null handling) breaks the hash.
+  */
+object IoQueries {
+
+  private val eventsCsvSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** IO1 — CSV round-trip: microsecond timestamps need an explicit
+    * 6-digit-fraction format (the default truncates to millis — the
+    * schema-ownership lesson from the reference's converters,
+    * Preprocessor.py:107); doubles round-trip via shortest
+    * representation; the props column carries JSON (commas, quotes,
+    * braces) and exercises quoting/escaping.
+    */
+  val io01CsvRoundtrip: GraftQuery = GraftQuery(
+    "io01_csv_roundtrip", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val out = Dsl.tempStore("io01_csv")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.option("header", "true").option("timestampFormat", tsFmt)
+      .mode("overwrite").csv(out)
+    spark.read.option("header", "true").option("timestampFormat", tsFmt)
+      .schema(eventsCsvSchema).csv(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        sum(unix_micros(col("ts"))).as("sum_ts_us"),
+        sum(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("sum_props_hash"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
+  /** IO2 — JSON-lines round-trip (S2 scan / S8 sink): same loss-free
+    * gate through the JSON codec; the props column nests raw JSON inside
+    * a JSON string value, exercising escape round-trips.
+    */
+  val io02JsonRoundtrip: GraftQuery = GraftQuery(
+    "io02_json_roundtrip", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val out = Dsl.tempStore("io02_json")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.option("timestampFormat", tsFmt).mode("overwrite").json(out)
+    spark.read.option("timestampFormat", tsFmt)
+      .schema(eventsCsvSchema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        sum(unix_micros(col("ts"))).as("sum_ts_us"),
+        sum(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("sum_props_hash"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip)
+}
