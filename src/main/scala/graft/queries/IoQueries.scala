@@ -83,5 +83,60 @@ object IoQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip)
+  /** IO3 — BINARY sink + binaryFile scan round-trip (S10 image sink,
+    * S5's read-back path): synthetic PNGs written file-per-row by the
+    * executor-side binary writer ([[graft.operators.Multimodal
+    * .writeImages]]), read back through the `binaryFile` source, and
+    * DECODED through the real codec into pixel statistics the oracle
+    * recomputes from the pixel formula — gating the write → listing →
+    * read → decode chain end-to-end (i01's decode gate, through the
+    * filesystem).
+    */
+  val io03BinaryRoundtrip: GraftQuery = GraftQuery(
+    "io03_binary_roundtrip", {
+      def gray =
+        "(7*x + 11*y + 13*doc_id) % 256 + (3*x + 5*y + 17*doc_id) % 256 + (13*x + 7*y + 19*doc_id) % 256"
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
+         |  FROM documents WHERE doc_id % 25 = 2)
+         |SELECT doc_id, w, h,
+         |  CAST(list_sum(flatten([[${gray} for x in range(w)] for y in range(h)])) AS BIGINT)
+         |    AS gray_sum
+         |FROM d ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val out = Dsl.tempStore("io03_bin")
+    val imgSchema = StructType(Seq(
+      StructField("image", StringType), StructField("content", BinaryType)))
+    val imgEnc = RowEncoder.encoderFor(imgSchema)
+    val images = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 25 === 2)
+      .select("doc_id")
+      .mapPartitions(rows => rows.map { r =>
+        val id = r.getLong(0)
+        Row(s"$id.png", Multimodal.syntheticImage(id)) // real PNG encode
+      })(imgEnc)
+    Multimodal.writeImages(images, out) // S10: file-per-row binary sink
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("gray_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Multimodal.readImages(spark, out) // S5 read-back: binaryFile source
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getAs[String]("image").stripSuffix(".png").toLong
+          val (w, h, rs, gs, bs) = m.channelSums(r.getAs[Array[Byte]]("content")).get
+          Row(id, w.toLong, h.toLong, rs + gs + bs)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
+    io03BinaryRoundtrip)
 }
