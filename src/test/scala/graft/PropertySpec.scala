@@ -228,6 +228,29 @@ class PropertySpec extends SparkSpec {
     assert(zs.distinct.length == pairs.length)
   }
 
+  test("banded LSH signatures are partition-count invariant") {
+    import graft.operators.Dedup
+    val docs = (1 to 120).map(i =>
+      (i.toLong, (1 to 12).map(_ => s"w${rnd.nextInt(25)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(parts: Int) =
+      Dedup.bandedSignatures(docs.repartition(parts), "doc_id", "text", 2, 16, 8)
+        .collect().map(_.toSeq).toSet
+    assert(rows(1) == rows(7))
+  }
+
+  test("Upsert treats a NULL key value as a real key (null-safe equality)") {
+    import graft.operators.Upsert
+    val snapshot = Seq((Option(5L), 1L, "s-five"), (Option.empty[Long], 1L, "s-null"))
+      .toDF("k", "v", "payload")
+    val updates = Seq((Option.empty[Long], 2L, "u-null"))
+      .toDF("k", "v", "payload")
+    val out = Upsert.latestWins(snapshot, updates, Seq("k"), Seq("v"))
+      .as[(Option[Long], Long, String)].collect().toSet
+    // the null-keyed row is REPLACED (not duplicated, not dropped)
+    assert(out == Set((Some(5L), 1L, "s-five"), (None, 2L, "u-null")))
+  }
+
   test("minhash union law: sig(A ∪ B) = min(sig(A), sig(B))") {
     val (a, b) = Dedup.permConstants(2)(1)
     val df = (1 to 200).map { i =>
