@@ -147,6 +147,45 @@ object DedupQueries {
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
   }
 
+  /** M2 — MinHash ESTIMATOR quality against exact Jaccard, per
+    * consecutive-id pair: the estimate (matching signature positions /
+    * numPerms) sits next to the exact set Jaccard, so the estimator the
+    * LSH pipeline thresholds on is itself gated — including the exact
+    * integer signature positions it counts.
+    */
+  val m02MinHashEstimate: GraftQuery = GraftQuery(
+    "m02_minhash_estimate", {
+      val perms = Dedup.permConstants(NumPerms)
+      val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
+      }
+      val matches = (0 until NumPerms)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents),
+         |sigs AS (SELECT id, shs, ${sigCols.mkString(", ")} FROM docs)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       (CAST($matches AS DOUBLE) / $NumPerms.0) AS jaccard_est,
+         |       ${Dedup.sqlJaccard("a.shs", "b.shs")} AS jaccard_exact
+         |FROM sigs a JOIN sigs b ON b.id = a.id + 1
+         |ORDER BY a.id""".stripMargin
+    }) { (spark, dir) =>
+    // the signature frame feeds both self-join sides — persist (m01 rule)
+    val f = Dedup.withShingleHashes(
+        Tables.documents(spark, dir), "doc_id", "text", ShingleK)
+      .select(col("id"), col("shs"),
+        graft.plans.DedupExprs.minHashSigs(col("shs"), NumPerms).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.as("a").join(f.as("b"), col("b.id") === col("a.id") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sigs"), col("b.sigs"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).cast("double") / NumPerms).as("jaccard_est"),
+        Dedup.jaccard(col("a.shs"), col("b.shs")).as("jaccard_exact"))
+      .orderBy("id_a")
+  }
+
   /** G1 — n-gram (word-bigram) Jaccard similarity over a deterministic
     * pair set (consecutive doc ids) — the exact-similarity scalar the LSH
     * pipelines approximate.
@@ -372,5 +411,6 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
-    m01MinHashLsh, s01SimHash, g01NgramJaccard, g02DedupGroups)
+    m01MinHashLsh, m02MinHashEstimate, s01SimHash, g01NgramJaccard,
+    g02DedupGroups)
 }

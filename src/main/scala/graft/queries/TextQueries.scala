@@ -410,7 +410,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T12 — rare-token RARITY scoring (the unigram-surprisal quality
+    * signal, kept in integer space: `-Σ log p(tok)` needs `log`, which is
+    * not cross-engine reproducible, so the score is the order-free
+    * integer Σ floor(1e12 / corpus_freq(tok)) — the same monotone
+    * rare-token-density family). Corpus frequencies are one keyed agg;
+    * scoring is one explode + broadcast-join + integer re-aggregate.
+    */
+  val t12Rarity: GraftQuery = GraftQuery(
+    "t12_rarity",
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok)
+       |SELECT doc_id,
+       |       CAST(SUM(1000000000000 // f) AS BIGINT) AS rarity,
+       |       CAST(MAX(1000000000000 // f) AS BIGINT) AS max_tok_rarity,
+       |       COUNT(*) AS n_tokens
+       |FROM tok JOIN freq USING (tok)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+    tok.join(broadcast(freq), "tok")
+      .groupBy("doc_id")
+      .agg(sum(expr("1000000000000 div f")).as("rarity"),
+        max(expr("1000000000000 div f")).as("max_tok_rarity"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
-    t11Decontaminate)
+    t11Decontaminate, t12Rarity)
 }
