@@ -26,8 +26,8 @@ object BloomPrune {
     */
   def bloomSemiJoin(big: DataFrame, bigKey: String,
                     small: DataFrame, smallKey: String,
-                    fpp: Double = 0.01): DataFrame = {
-    val pruned = bloomPrune(big, bigKey, small, smallKey, fpp)
+                    fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val pruned = bloomPrune(big, bigKey, small, smallKey, fpp, expectedItems)
     pruned.join(small.select(col(smallKey).as(bigKey)).distinct(),
       Seq(bigKey), "left_semi")
   }
@@ -35,11 +35,19 @@ object BloomPrune {
   /** Just the pre-prune: `big` rows whose key might be in `small`'s key
     * set (no false negatives; ~fpp false positives stay for the exact
     * join to drop).
+    *
+    * Sizing: pass `expectedItems` (distinct-key estimate) when known —
+    * then the small side is scanned exactly once (the bloom aggregation).
+    * Otherwise a plain `count()` upper-bounds the distinct count with a
+    * map-side-only job — an exact `distinct().count()` would cost a
+    * shuffle per call for at best a marginally smaller filter, and
+    * oversizing a bloom only LOWERS its false-positive rate.
     */
   def bloomPrune(big: DataFrame, bigKey: String,
                  small: DataFrame, smallKey: String,
-                 fpp: Double = 0.01): DataFrame = {
-    val n = math.max(1L, small.select(smallKey).distinct().count())
+                 fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val n = if (expectedItems > 0L) expectedItems
+            else math.max(1L, small.count())
     val bf = small.stat.bloomFilter(smallKey, n, fpp)
     big.filter(BloomExprs.mightContain(col(bigKey), bf))
   }

@@ -57,12 +57,19 @@ object IncrementalNearDup {
           col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("y.id"))
-    val blocked = vsIndex.union(intra).distinct()
+    // Materialize the blocked-id set BEFORE appending this batch's band
+    // rows: `admitted` is returned lazily, so without the checkpoint its
+    // correctness would hinge on the parquet read above having snapshotted
+    // the file listing — a refresh/lazy file index would make every doc
+    // collide with its own just-appended bands. localCheckpoint (eager)
+    // pins the pre-append contents; the set is O(batch) ids.
+    val blocked = vsIndex.union(intra).distinct().localCheckpoint()
     val admitted = batch.join(blocked.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
     // append THIS batch's band rows after computing admissions (the
     // batch must not collide with itself through the index)
     banded.write.mode("append").parquet(storeDir)
+    banded.unpersist() // blocked is checkpointed; nothing references the cache
     admitted
   }
 }

@@ -50,10 +50,19 @@ object Upsert {
     val u = compact(updates, keys, version).withColumn("__pres", lit(true)).as("u")
     // null-safe key equality: a null key value is a legal key
     val cond = keys.map(k => col(s"s.$k") <=> col(s"u.$k")).reduce(_ && _)
-    val sVer = struct(version.map(c => col(s"s.$c")): _*)
-    val uVer = struct(version.map(c => col(s"u.$c")): _*)
+    // Null-consistent lexicographic "u strictly newer than s": a plain
+    // struct compare returns NULL when any version field is NULL, which
+    // would keep the snapshot row even when compact() (desc nulls-last,
+    // i.e. NULL = minimum) would pick the update — breaking incremental
+    // merge ≡ backfill for null versions. Fold the compare field by
+    // field with NULL as the smallest value, matching compact exactly.
+    val uVerGreater = version.foldRight(lit(false)) { (c, rest) =>
+      val (uc, sc) = (col(s"u.$c"), col(s"s.$c"))
+      val gt = (sc.isNull && uc.isNotNull) || coalesce(uc > sc, lit(false))
+      gt || ((uc <=> sc) && rest)
+    }
     val takeU = col("u.__pres").isNotNull &&
-      (col("s.__pres").isNull || uVer > sVer)
+      (col("s.__pres").isNull || uVerGreater)
     s.join(u, cond, "full_outer")
       .select(cols.map(c =>
         when(takeU, col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)

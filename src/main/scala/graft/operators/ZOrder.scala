@@ -20,16 +20,29 @@ object ZOrder {
   private val Masks = Seq((8, 16711935L), (4, 252645135L), (2, 858993459L), (1, 1431655765L))
 
   /** Spread a 16-bit value's bits to the even bit positions of a 32-bit
-    * lane: ...b3 b2 b1 b0 → ...0 b1 0 b0.
+    * lane: ...b3 b2 b1 b0 → ...0 b1 0 b0. Inputs are masked to their low
+    * 16 bits so the spread is total (wider inputs alias rather than
+    * garble the interleave); [[clusterByZ]] additionally REJECTS
+    * out-of-range keys at runtime, because aliased z-values would give
+    * overlapping file bounding boxes and silently kill data skipping.
     */
   def spread16(c: Column): Column =
-    Masks.foldLeft(c.cast("long")) { case (x, (s, m)) =>
+    Masks.foldLeft(c.cast("long").bitwiseAND(lit(65535L))) { case (x, (s, m)) =>
       (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
     }
   def sqlSpread16(e: String): String =
-    Masks.foldLeft(s"CAST($e AS BIGINT)") { case (x, (s, m)) =>
+    Masks.foldLeft(s"(CAST($e AS BIGINT) & 65535)") { case (x, (s, m)) =>
       s"(($x | ($x << $s)) & $m)"
     }
+
+  /** `c` if within [0, 65535], else a runtime error naming the column —
+    * the guard rides inside the z-value expression so column pruning
+    * cannot drop it.
+    */
+  private def checked16(c: Column, name: String): Column =
+    when(c.cast("long").between(0L, 65535L), c).otherwise(raise_error(concat(
+      lit(s"ZOrder.clusterByZ: $name must be in [0, 65535] (16-bit z-order key), got "),
+      c.cast("string"))))
 
   /** Morton z-value of two 16-bit keys: a's bits on even positions, b's
     * on odd — z(a,b) = spread(a) | spread(b)<<1.
@@ -45,7 +58,7 @@ object ZOrder {
     * parquet gives min/max footer stats that prune on EITHER dimension.
     */
   def clusterByZ(df: DataFrame, a: Column, b: Column, numPartitions: Int): DataFrame = {
-    val z = zValue2(a, b).as("__z")
+    val z = zValue2(checked16(a, "a"), checked16(b, "b")).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")

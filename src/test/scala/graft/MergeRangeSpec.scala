@@ -48,6 +48,22 @@ class MergeRangeSpec extends SparkSpec {
     assert(merged.exceptAll(backfill).isEmpty && backfill.exceptAll(merged).isEmpty)
   }
 
+  test("Upsert.latestWins: null versions sort as minimum, matching backfill compaction") {
+    // a non-null-versioned update vs a null-versioned snapshot row must
+    // pick the update (compact's desc nulls-last would); and vice versa.
+    val snapshot = Seq(("a", Option.empty[Long], "s-null"), ("b", Some(8L), "s8"))
+      .toDF("k", "v", "payload")
+    val updates = Seq(("a", Some(2L), "u2"), ("b", Option.empty[Long], "u-null"))
+      .toDF("k", "v", "payload")
+    val out = Upsert.latestWins(snapshot, updates, keys, version)
+      .as[(String, Option[Long], String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", Some(2L), "u2"), ("b", Some(8L), "s8")))
+    // and the full law: merge ≡ compact(union) with nulls present
+    val backfill = Upsert.compact(snapshot.unionByName(updates), keys, version)
+    val merged = Upsert.latestWins(snapshot, updates, keys, version)
+    assert(merged.exceptAll(backfill).isEmpty && backfill.exceptAll(merged).isEmpty)
+  }
+
   // ------------------------------------------------------------- RangeJoin
   private val intervals = Seq(
     (0L, ts("2024-01-01 00:00:00"), ts("2024-01-01 12:00:00")),
@@ -129,6 +145,17 @@ class MergeRangeSpec extends SparkSpec {
     val zs = (0 to 40).map(i => Seq((i.toLong, 7L)).toDF("a", "b")
       .select(ZOrder.zValue2($"a", $"b")).as[Long].head())
     assert(zs == zs.sorted)
+  }
+
+  test("ZOrder.clusterByZ: rejects keys outside the 16-bit range at runtime") {
+    import graft.operators.ZOrder
+    val df = Seq((1L, 2L), (65536L, 3L)).toDF("a", "b") // 65536 = 2^16, out of range
+    val ex = intercept[Exception] {
+      ZOrder.clusterByZ(df, $"a", $"b", 2).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("16-bit z-order key")))
   }
 
   test("ZOrder.clusterByZ: partitions carry disjoint z ranges") {

@@ -2,8 +2,17 @@
 # Fast runner: java against sbt-compiled classes + the Spark jar dir,
 # mirroring build.sbt's JDK17 module options. Usage:
 #   tools/run.sh graft.Verify /root/testdata/sf0.001 /tmp/verify
+#   tools/run.sh test            # dispatches to sbt -batch test
 set -euo pipefail
 cd "$(dirname "$0")/.."
+if [[ "${1:-}" == "test" ]]; then
+  exec sbt -batch test
+fi
+case "${1:-}" in
+  graft.*) ;; # a main class in this repo
+  *) echo "run.sh: first arg must be 'test' or a graft.* main class, got '${1:-}'" >&2
+     exit 2 ;;
+esac
 CLASSES=target/scala-2.13/classes
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
