@@ -147,27 +147,81 @@ object AnalyticsQueries {
   /** A5b — the 100 TB production twin of [[a05Describe]]: one map-side
     * combinable pass with percentile_approx sketches instead of exact
     * rank windows, plain IEEE mean/std instead of decimal rebuilds.
-    * Intentionally unchecked (like a06b): sketch results are
-    * engine-specific by design; the driver records rows-only.
+    *
+    * ε-band oracle (round-5): sketch OUTPUTS are engine-specific, so the
+    * gate cannot hash them — instead the query ALSO computes the exact
+    * statistics and exports pass/fail band flags plus the deterministic
+    * exact columns. percentile_approx at accuracy B guarantees the
+    * returned value's exact rank is within ±n/B of the target rank
+    * (published GK-sketch bound), so each quantile must lie between the
+    * exact order statistics at ranks (p∓3/B)·n (∓1 for rank-convention
+    * slack). Mean/std bands are tight relative tolerances that only
+    * absorb IEEE summation-order noise. The oracle recomputes the exact
+    * columns and asserts every flag is 1 — a sketch-wiring regression
+    * (wrong column, wrong accuracy, swapped quantiles) flips a flag and
+    * fails the hash.
     */
-  val a05bDescribeApprox: GraftQuery = GraftQuery.unchecked(
-    "a05b_describe_approx") { (spark, dir) =>
+  val a05bDescribeApprox: GraftQuery = GraftQuery(
+    "a05b_describe_approx",
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS value FROM lineitem)
+      |SELECT metric, COUNT(*) AS cnt, MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(1 AS BIGINT) AS mean_ok, CAST(1 AS BIGINT) AS std_ok,
+      |       CAST(1 AS BIGINT) AS q1_ok, CAST(1 AS BIGINT) AS median_ok,
+      |       CAST(1 AS BIGINT) AS q3_ok
+      |FROM long GROUP BY metric ORDER BY metric""".stripMargin) { (spark, dir) =>
+    val accuracy = 10000
+    val eps = 1.0 / accuracy // published rank error of percentile_approx
     val long = Tables.lineitem(spark, dir).select(explode(array(
       struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
       struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
     )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
-    long.groupBy("metric")
-      .agg(
-        count(lit(1)).as("cnt"),
-        avg("value").as("mean"),
-        stddev_samp(col("value")).as("std"),
-        min("value").as("min_v"),
-        percentile_approx(col("value"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"),
-        max("value").as("max_v"))
-      .select(col("metric"), col("cnt"), col("mean"), col("std"), col("min_v"),
-        col("q")(0).as("q1"), col("q")(1).as("median"), col("q")(2).as("q3"),
-        col("max_v"))
+    // the production plan under test: ONE map-side-combinable pass
+    val approx = long.groupBy("metric").agg(
+      count(lit(1)).as("cnt"),
+      avg("value").as("mean_a"),
+      stddev_samp(col("value")).as("std_a"),
+      min("value").as("min_v"),
+      percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("q"),
+      max("value").as("max_v"))
+    // gate-only exact twins: decimal moment sums + rank-window order
+    // statistics at the band edges
+    val moments = long.groupBy("metric").agg(
+      sum(col("value").cast("decimal(38,8)")).as("sx"),
+      sum((col("value") * col("value")).cast("decimal(38,8)")).as("sxx"))
+    val w = Window.partitionBy("metric").orderBy("value")
+    val ranked = long
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("metric")))
+    def bandCols(p: Double, nm: String): Seq[Column] = {
+      val loRank = greatest(lit(1L),
+        floor((lit(p) - 3 * eps) * col("n")).cast("long") - 1)
+      val hiRank = least(col("n"),
+        ceil((lit(p) + 3 * eps) * col("n")).cast("long") + 1)
+      Seq(max(when(col("rn") === loRank, col("value"))).as(s"${nm}_lo"),
+        max(when(col("rn") === hiRank, col("value"))).as(s"${nm}_hi"))
+    }
+    val bands = ranked.groupBy("metric").agg(
+      bandCols(0.25, "q1").head,
+      (bandCols(0.25, "q1").tail ++ bandCols(0.5, "med") ++ bandCols(0.75, "q3")): _*)
+    val exMean = col("sx").cast("double") / col("cnt")
+    val exStd = sqrt((col("cnt") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) /
+      (col("cnt").cast("double") * (col("cnt") - 1)))
+    def inBand(v: Column, lo: Column, hi: Column): Column =
+      (lo <= v && v <= hi).cast("long")
+    approx.join(moments, "metric").join(bands, "metric")
+      .select(col("metric"), col("cnt"), col("min_v"), col("max_v"),
+        (abs(col("mean_a") - exMean) <=
+          lit(1e-9) * greatest(lit(1.0), abs(exMean))).cast("long").as("mean_ok"),
+        (abs(col("std_a") - exStd) <=
+          lit(1e-6) * greatest(lit(1e-9), exStd)).cast("long").as("std_ok"),
+        inBand(col("q")(0), col("q1_lo"), col("q1_hi")).as("q1_ok"),
+        inBand(col("q")(1), col("med_lo"), col("med_hi")).as("median_ok"),
+        inBand(col("q")(2), col("q3_lo"), col("q3_hi")).as("q3_ok"))
       .orderBy("metric")
   }
 
@@ -663,19 +717,36 @@ object AnalyticsQueries {
   }
 
   /** A6b — the 100 TB profile: approx_count_distinct instead of exact
-    * (SURVEY §2.5 flagged upgrade). HLL sketches differ across engines,
-    * so this query is intentionally unchecked (driver rows-only check);
-    * a06_profile is the exact, oracle-checked twin.
+    * (SURVEY §2.5 flagged upgrade). HLL sketch values differ across
+    * engines, so the gate hashes an ε-band CHECK instead of the sketch:
+    * the query computes both the HLL estimate (rsd 0.02) and the exact
+    * distinct count, and exports band_ok = |approx − exact| ≤ 5·rsd·exact
+    * (5 standard errors — P[legit violation] < 1e-6; HLL++'s published
+    * rsd is the standard error of the estimator). The oracle recomputes
+    * the exact columns and asserts the flag; a06_profile remains the
+    * fully-exact twin.
     */
-  val a06bProfileApprox: GraftQuery = GraftQuery.unchecked(
-    "a06b_profile_approx") { (spark, dir) =>
+  val a06bProfileApprox: GraftQuery = GraftQuery(
+    "a06b_profile_approx", {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS non_null,
+           |COUNT(*) - COUNT($c) AS nulls, CAST(1 AS BIGINT) AS band_ok FROM events""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (spark, dir) =>
+    val rsd = 0.02
+    val band = 5 * rsd
     val ev = Tables.events(spark, dir)
     val cols = Seq("event_id", "user_id", "event_type", "value", "props")
     cols.map { c =>
       ev.agg(
         count(col(c)).as("non_null"),
-        approx_count_distinct(col(c)).as("approx_distinct"))
-        .select(lit(c).as("col_name"), col("non_null"), col("approx_distinct"))
+        (count(lit(1)) - count(col(c))).as("nulls"),
+        approx_count_distinct(col(c), rsd).as("ad"),
+        countDistinct(col(c)).as("ed"))
+        .select(lit(c).as("col_name"), col("non_null"), col("nulls"),
+          (abs(col("ad") - col("ed")) <= lit(band) * col("ed"))
+            .cast("long").as("band_ok"))
     }.reduce(_ unionByName _).orderBy("col_name")
   }
 
