@@ -36,9 +36,20 @@ object Enrich {
 
   /** Translation backend. Implementations must be Serializable; the
     * production impl wraps a rate-limited client in mapPartitions.
+    *
+    * A real endpoint (the reference's googletrans client,
+    * Translator.py:96-145, or any batched MT API) overrides
+    * [[Translator.translateBatch]] — [[runTranslationJob]] calls ONLY the
+    * batch method, with `serviceBatch`-bounded groups of texts that
+    * actually need the service (short-circuited rows never reach it), one
+    * semaphore acquisition per call. The per-text default makes a scalar
+    * client a 1-method implementation.
     */
   trait Translator extends Serializable {
     def translate(text: String, targetLang: String): String
+    /** Position-stable batch entry point (result i ↔ input i). */
+    def translateBatch(texts: Seq[String], targetLang: String): Seq[String] =
+      texts.map(translate(_, targetLang))
   }
 
   /** Deterministic offline translator: token-wise dictionary with
@@ -172,7 +183,8 @@ object Enrich {
                         textCol: String, outCol: String, targetLang: String,
                         translator: Translator, minScore: Double = 0.9,
                         maxConcurrentPerExecutor: Int = 4,
-                        checkpointEvery: Int = 100): DataFrame = {
+                        checkpointEvery: Int = 100,
+                        serviceBatch: Int = 16): DataFrame = {
     val spark = input.sparkSession
     val det = detectLanguage(col("__t")) // over the projected (null-normalized) text
     val pending = input
@@ -198,18 +210,31 @@ object Enrich {
         batch.clear()
         batchIdx += 1
       }
-      rows.foreach { r =>
-        val (k, t, lang, score) =
-          (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))
-        val out =
-          if (lang == "empty") ""
-          else if (lang == targetLang && score > minScore) t
+      // service calls are batched (one translateBatch per ≤serviceBatch
+      // needy texts, one semaphore hold per call); short-circuited rows
+      // never touch the service. State-file order is irrelevant (KV).
+      rows.grouped(serviceBatch).foreach { grp =>
+        val parsed = grp.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        val needy = parsed.zipWithIndex.filter { case ((_, _, lang, score), _) =>
+          lang != "empty" && !(lang == targetLang && score > minScore)
+        }
+        val translated: Map[Int, String] =
+          if (needy.isEmpty) Map.empty
           else {
             sem.acquire()
-            try translator.translate(t, targetLang) finally sem.release()
+            val outs = try translator.translateBatch(needy.map(_._1._2), targetLang)
+              finally sem.release()
+            needy.map(_._2).zip(outs).toMap
           }
-        batch += StateCodec.enc(k, out)
-        if (batch.size >= checkpointEvery) flush()
+        parsed.zipWithIndex.foreach { case ((k, t, lang, score), i) =>
+          val out =
+            if (lang == "empty") ""
+            else if (lang == targetLang && score > minScore) t
+            else translated(i)
+          batch += StateCodec.enc(k, out)
+          if (batch.size >= checkpointEvery) flush()
+        }
       }
       flush()
     }

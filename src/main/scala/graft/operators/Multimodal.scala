@@ -40,7 +40,21 @@ object Multimodal {
 
   /** Pluggable per-partition inference backend. Implementations must be
     * Serializable and cheap to construct per partition (or hold the model
-    * in a JVM-static lazily-initialized cache).
+    * in a JVM-static lazily-initialized cache — the standard pattern for
+    * an ONNX Runtime / DJL `Predictor`, which must not be serialized from
+    * the driver).
+    *
+    * The ONNX/DJL plug point: override the `*Batch` methods — the
+    * pipeline operators ([[labelImages]], [[embedImages]]) call ONLY
+    * those, passing `batchSize`-bounded groups from one partition, which
+    * is exactly the tensor-batch shape a GPU session wants
+    * (ImageLabeler.py:129-140's DataLoader batching). The per-item
+    * defaults make a CPU-scalar backend a 3-method implementation.
+    *
+    * Failure contract (both grains): undecodable/rejected input returns
+    * None for THAT item — never a thrown exception, which would fail the
+    * task and with it the whole partition (the reference's B/W-image
+    * skip, ImageLabeler.py:142-146).
     */
   trait VisionModel extends Serializable {
     /** Top-k (label, prob), or None for undecodable input (skip row). */
@@ -50,6 +64,14 @@ object Multimodal {
     /** Redacted bytes (face pixelation analog); identity on no detection. */
     def anonymize(content: Array[Byte]): Array[Byte]
     def dim: Int
+    /** Batched inference entry points — MUST be position-stable (result i
+      * corresponds to input i) and total (None for failed items). A GPU
+      * backend overrides these with one tensor-batch forward pass.
+      */
+    def labelBatch(contents: Seq[Array[Byte]]): Seq[Option[Seq[(String, Double)]]] =
+      contents.map(label)
+    def embedBatch(contents: Seq[Array[Byte]]): Seq[Option[Array[Float]]] =
+      contents.map(embed)
   }
 
   /** Real JVM-native vision backend over `javax.imageio`:
@@ -245,14 +267,16 @@ object Multimodal {
       StructField("predictions", predictionsType)))
     val enc = RowEncoder.encoderFor(outSchema)
     images.select("image", "content").mapPartitions { rows =>
-      // one model handle per partition; rows flow through in batches
+      // one model handle per partition; batches reach the BACKEND (a GPU
+      // impl runs each group as one forward pass)
       val m = model
       rows.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          m.label(r.getAs[Array[Byte]]("content")).map { preds =>
-            Row(r.getAs[String]("image"), preds.head._1,
-              preds.map(p => Row(p._1, p._2)))
-          }
+        val preds = m.labelBatch(batch.map(_.getAs[Array[Byte]]("content")))
+        batch.lazyZip(preds).flatMap {
+          case (r, Some(ps)) =>
+            Some(Row(r.getAs[String]("image"), ps.head._1,
+              ps.map(p => Row(p._1, p._2))))
+          case _ => None
         }
       }
     }(enc)
@@ -276,9 +300,10 @@ object Multimodal {
     images.select("image", "content").mapPartitions { rows =>
       val m = model
       rows.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          m.embed(r.getAs[Array[Byte]]("content"))
-            .map(e => Row(r.getAs[String]("image"), e.toSeq))
+        val embs = m.embedBatch(batch.map(_.getAs[Array[Byte]]("content")))
+        batch.lazyZip(embs).flatMap {
+          case (r, Some(e)) => Some(Row(r.getAs[String]("image"), e.toSeq))
+          case _ => None
         }
       }
     }(enc)

@@ -173,4 +173,55 @@ class MultimodalSpec extends SparkSpec {
     assert(m.decodeSamples("not a wav".getBytes).isEmpty)
     assert(m.frameStats(Array.emptyByteArray).isEmpty)
   }
+
+  test("VisionModel seam: a second (ONNX-shaped) backend drops in; batches reach it") {
+    VisionBatchProbe.reset()
+    val imgs = Multimodal.readImages(spark, imageDir).repartition(1)
+    val stub = StubOnnxVisionModel()
+    val labels = Multimodal.labelImages(imgs, stub, batchSize = 3)
+      .select("image", "category").as[(String, String)].collect().toMap
+    // distinct backend, same operator: outputs are the stub's, not the
+    // deterministic head's
+    assert(labels.values.toSet == Set("onnx_scene"))
+    // same corrupt→skip contract, the stub's own skip criterion
+    assert(!labels.contains("corrupt.jpg"))
+    assert(labels.size == 7) // 6 synthetic + bw kept, corrupt dropped
+    // the partition's rows reached the backend as real batches
+    val sizes = {
+      import scala.jdk.CollectionConverters._
+      VisionBatchProbe.labelSizes.asScala.toSeq
+    }
+    assert(sizes.sum == 8 && sizes.max == 3 && sizes.forall(_ <= 3),
+      s"expected 3-bounded batches covering all rows, got $sizes")
+    val emb = Multimodal.embedImages(imgs, stub, batchSize = 4)
+      .select("embedding").as[Seq[Float]].collect()
+    assert(emb.length == 7 && emb.forall(_ == Seq(0.25f, 0.25f, 0.25f, 0.25f)))
+  }
+}
+
+/** Batch-observation probe for the VisionModel seam spec (static: local
+  * executors share the test JVM).
+  */
+object VisionBatchProbe {
+  val labelSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = labelSizes.clear()
+}
+
+/** Fake-but-distinct second backend standing in for an ONNX/DJL session:
+  * overrides the BATCH entry points (one "forward pass" per group) the
+  * way a GPU impl would, with its own skip criterion — proving the
+  * operators depend only on the [[Multimodal.VisionModel]] contract.
+  */
+final case class StubOnnxVisionModel() extends Multimodal.VisionModel {
+  private def ok(c: Array[Byte]) = c.length >= 64 // "decodable" per this backend
+  def label(c: Array[Byte]): Option[Seq[(String, Double)]] =
+    if (ok(c)) Some(Seq(("onnx_scene", 1.0))) else None
+  def embed(c: Array[Byte]): Option[Array[Float]] =
+    if (ok(c)) Some(Array.fill(dim)(0.25f)) else None
+  def anonymize(c: Array[Byte]): Array[Byte] = c
+  def dim: Int = 4
+  override def labelBatch(cs: Seq[Array[Byte]]): Seq[Option[Seq[(String, Double)]]] = {
+    VisionBatchProbe.labelSizes.add(cs.size)
+    cs.map(label)
+  }
 }

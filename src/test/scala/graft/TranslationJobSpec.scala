@@ -92,4 +92,41 @@ class TranslationJobSpec extends SparkSpec {
     assert(m(2L) == "")
     assert(m(3L) == "STREAM BATCH VALUE")
   }
+
+  test("Translator seam: a batched endpoint drops in; service calls arrive batched") {
+    val stateDir = Files.createTempDirectory("graft-trans3").toString
+    // 10 needy rows + 1 short-circuit row, one partition
+    val input = ((1 to 10).map(i => (i.toLong, s"stream batch value v$i")) :+
+      (99L, "data row column table")).toDF("id", "text").repartition(1)
+    Enrich.TranslationLimiter.reset()
+    BatchTransProbe.sizes.clear()
+    val out = Enrich.runTranslationJob(input, stateDir, "id", "text", "text_en",
+      "datish", BatchProbeTranslator(), serviceBatch = 4, checkpointEvery = 100)
+    val m = out.select($"id", $"text_en").as[(Long, String)].collect().toMap
+    // outputs came from the BATCH override, not the per-text default
+    assert(m(3L) == "B:STREAM BATCH VALUE V3")
+    assert(m(99L) == "data row column table") // short-circuit never reached the service
+    val sizes = {
+      import scala.jdk.CollectionConverters._
+      BatchTransProbe.sizes.asScala.toSeq
+    }
+    assert(sizes.sum == 10 && sizes.forall(_ <= 4) && sizes.max == 4,
+      s"expected ≤4-bounded service batches over the 10 needy rows, got $sizes")
+  }
+}
+
+/** Batch-observation probe for the Translator seam spec. */
+object BatchTransProbe {
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
+/** Batched-endpoint stand-in (one HTTP call per batch): overrides only
+  * translateBatch, the surface [[Enrich.runTranslationJob]] uses.
+  */
+final case class BatchProbeTranslator() extends Enrich.Translator {
+  def translate(text: String, targetLang: String): String = "SCALAR:" + text
+  override def translateBatch(texts: Seq[String], targetLang: String): Seq[String] = {
+    BatchTransProbe.sizes.add(texts.size)
+    texts.map(t => "B:" + t.toUpperCase)
+  }
 }
