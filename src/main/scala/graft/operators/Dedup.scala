@@ -195,12 +195,20 @@ object Dedup {
     * [[simHash]] so the SQL oracle keeps the reference formulation.
     */
   def withSimHash(docs: DataFrame, idCol: String, textCol: String,
-                  bits: Int): DataFrame = {
+                  bits: Int, mix64: Boolean = false): DataFrame = {
     require(bits <= 64)
+    // mix64 rehashes each ~30-bit rolling hash through xxhash64 so all 64
+    // bit positions carry signal — REQUIRED for fingerprints wider than
+    // ~30 bits, where the raw hash's high bits are constant zero and
+    // every doc would agree on the top chunks (degenerate all-pairs
+    // candidates). Without it, bits 30..31 voting a constant 0 is
+    // tolerable slack at bits=32 (the oracle mirrors the arithmetic);
+    // bits ≫ 32 must pass mix64=true.
+    val th0 = transform(col("__toks"), t => graft.plans.DedupExprs.rollingHash(t))
+    val th = if (mix64) transform(th0, h => xxhash64(h)) else th0
     docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), transform(col("__toks"),
-        t => graft.plans.DedupExprs.rollingHash(t)).as("__th"))
+      .select(col("id"), th.as("__th"))
       // one native pass over the token hashes (SimHashExpr) instead of
       // 16 lane-packed aggregate HOF passes; majority-bit math identical
       // to the reference formulation [[simHash]] (PropertySpec)
@@ -238,10 +246,10 @@ object Dedup {
     * distance. Same join-shape scale story as LSH.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int, chunkBits: Int): DataFrame = {
+                   bits: Int, chunkBits: Int, mix64: Boolean = false): DataFrame = {
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    val sims = withSimHash(docs, idCol, textCol, bits)
+    val sims = withSimHash(docs, idCol, textCol, bits, mix64)
     val chunked = sims.select(col("id"), col("sim"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("sim"), c * chunkBits).bitwiseAND(lit(mask))): _*))
@@ -295,28 +303,36 @@ object Dedup {
     * graphs are usually tiny relative to the corpus (edges ≈ near-dups),
     * so most runs take the fast path even at large SF, while a 100 TB
     * worst case degrades gracefully to O(log d) shuffles instead of OOM.
+    *
+    * Fault tolerance: by default rounds are cut with `localCheckpoint`
+    * (blocks live on executors — fast, but an executor loss kills the
+    * job, acceptable in local mode and on reliable clusters). Pass
+    * `checkpointDir` (a shared/durable filesystem path) to switch every
+    * round cut to a RELIABLE `checkpoint()`: round state is written to
+    * that directory, so the loop survives executor loss at the cost of
+    * one filesystem round-trip per round — the right trade on a
+    * 1000-executor preemptible fleet.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
-                          localEdgeLimit: Long = 2000000L): DataFrame = {
-    // localCheckpoint (eager), not persist: each round's plan references
-    // the previous round's, so un-truncated lineage grows exponentially
-    // and OOMs the DRIVER in plan optimization around 15 rounds — the
-    // canonical iterative-graph-algorithm failure. Checkpointing cuts the
-    // logical plan at every round; on a cluster with unreliable executors
-    // use reliable checkpoint() to a checkpoint dir instead.
+                          localEdgeLimit: Long = 2000000L,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // Cut lineage EVERY round (checkpoint, not persist): each round's
+    // plan references the previous round's, so un-truncated lineage
+    // grows exponentially and OOMs the DRIVER in plan optimization
+    // around 15 rounds — the canonical iterative-graph-algorithm failure.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list ONCE before symmetrizing: the union
     // references `pairs` twice, and an upstream candidate-generation
     // pipeline (LSH join + verify) would otherwise run once per side
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .localCheckpoint()
+    val edges = cut(pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")))
     if (edges.count() <= localEdgeLimit) return localComponents(edges)
-    val sym = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    val sym = cut(edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var i = 0
     var converged = false
@@ -326,16 +342,14 @@ object Dedup {
       // 1-hop min propagation; checkpointed because the pointer jump
       // self-joins it (an un-materialized self-join plans the whole
       // aggregate subtree once per side)
-      val hop = labels.select(col("id"), col("comp")).union(prop)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      val hop = cut(labels.select(col("id"), col("comp")).union(prop)
+        .groupBy("id").agg(min(col("comp")).as("comp")))
       // pointer jump: comp(v) := comp(comp(v)) — rename one side fully so
       // the self-join has no shared attribute ids
-      val next = hop
+      val next = cut(hop
         .join(hop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"))
-        .select(col("id"), col("__ccomp").as("comp"))
-        .localCheckpoint()
+        .select(col("id"), col("__ccomp").as("comp")))
       val s = next.agg(sum(col("comp"))).head().getLong(0)
       labels = next
       converged = s == prevSum

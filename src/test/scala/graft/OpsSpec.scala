@@ -170,6 +170,27 @@ class OpsSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("connectedComponents: reliable checkpointing survives the iterative loop on a deep chain") {
+    // a 120-vertex path is the pointer-jump worst case (diameter 119 →
+    // ~7 doubling rounds); run the DISTRIBUTED loop with the opt-in
+    // reliable checkpoint dir and assert (a) the fixpoint is the exact
+    // union-find labeling, (b) round state actually went to the dir
+    // (i.e. the loop really ran on reliable checkpoints, not local ones)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val chain = (0 until 119).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, localEdgeLimit = 0L,
+        checkpointDir = Some(ckpt.toString))
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (0 to 119).map(v => v.toLong -> 0L).toMap)
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(ckpt)
+      try s.iterator().asScala.count(p => java.nio.file.Files.isRegularFile(p))
+      finally s.close()
+    }
+    assert(files > 0, "no reliable-checkpoint files were written")
+  }
+
   test("asOfJoin: boundary equality matches, ties break by last id, no-match is null") {
     import graft.operators.AsOf
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
