@@ -43,19 +43,31 @@ object FeedPageSource {
     StructField("page_idx", LongType, nullable = false),
     StructField("json", StringType)))
 
-  /** Pages currently landed: files are written by FeedPager in index
-    * order with an atomic write-per-page, so `count` is a consistent
-    * high-water mark.
-    */
-  def pageCount(dir: String): Long = {
+  /** Page indices currently landed (batch reads plan exactly these). */
+  def pageIndices(dir: String): Seq[Long] = {
     val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) 0L
+    if (!Files.isDirectory(p)) Seq.empty
     else {
       val s = Files.list(p)
-      try s.filter(f => f.getFileName.toString.matches("page_\\d+\\.json")).count()
-      finally s.close()
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case PageFile(idx) => idx.toLong }
+          .toSeq.sorted
+      } finally s.close()
     }
   }
+  private val PageFile = "page_(\\d+)\\.json".r
+
+  /** Streaming high-water mark: max landed index + 1 — NOT the file
+    * count, so consumed pages can be rotated/archived out of the landing
+    * dir without the offset walking backwards (FeedPager writes pages in
+    * index order, one atomic write per page, so every index < the max is
+    * already landed or intentionally rotated away).
+    */
+  def pageCount(dir: String): Long =
+    pageIndices(dir).lastOption.map(_ + 1L).getOrElse(0L)
 
   def pagePath(dir: String, idx: Long): java.nio.file.Path =
     Paths.get(dir, f"page_$idx%05d.json")
@@ -77,8 +89,11 @@ private class FeedPageScan(dir: String) extends Scan {
   override def readSchema(): StructType = FeedPageSource.schema
   override def description(): String = s"FeedPageScan($dir)"
   override def toBatch: Batch = new Batch {
+    // batch (backfill) plans the pages that EXIST — a rotated landing
+    // dir backfills its remaining window instead of failing on gaps
     override def planInputPartitions(): Array[InputPartition] =
-      FeedPageStream.partitions(dir, 0L, FeedPageSource.pageCount(dir))
+      FeedPageSource.pageIndices(dir)
+        .map(i => FeedPagePartition(dir, i): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory = new FeedPageReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -43,7 +43,7 @@ class FeedPageSourceSpec extends SparkSpec {
 
     // the scraper appends 2 more pages; a restarted query picks up ONLY
     // those — the committed offset survives in the checkpoint
-    FeedPager.run(landing, st1, maxPages = 5, maxTries = 1)(fetch)
+    val st2in = FeedPager.run(landing, st1, maxPages = 5, maxTries = 1)(fetch)
     drainStream()
     val all = spark.read.parquet(outDir)
     assert(all.count() == 5) // no page re-read, none skipped
@@ -57,5 +57,25 @@ class FeedPageSourceSpec extends SparkSpec {
       .option("path", landing).load()
     assert(batch.count() == 5)
     assert(batch.schema == FeedPageSource.schema)
+
+    // ---- no-refetch proof: ROTATE (delete) every consumed page file.
+    // If the resumed query re-planned ANY committed page, its partition
+    // read would now throw FileNotFound and fail the query — passing
+    // proves the restart fetches only beyond the committed offset. This
+    // also pins the high-water mark to max-index+1 (a file COUNT would
+    // walk the offset backwards after rotation and drop the new pages).
+    (0L until 5L).foreach(i =>
+      Files.delete(FeedPageSource.pagePath(landing, i)))
+    val st2 = FeedPager.run(landing, st2in, maxPages = 7, maxTries = 1)(fetch)
+    assert(st2.pagesFetched == 7)
+    drainStream()
+    val afterRotate = spark.read.parquet(outDir)
+    assert(afterRotate.count() == 7) // 5 committed + the 2 new pages
+    assert(afterRotate.select("page_idx").as[Long].collect().sorted.toSeq ==
+      (0L to 6L))
+    // batch over the rotated dir backfills exactly the remaining window
+    val batch2 = spark.read.format("graft.sources.FeedPageSource")
+      .option("path", landing).load()
+    assert(batch2.select("page_idx").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
   }
 }
