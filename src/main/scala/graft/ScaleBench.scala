@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Asymptotic scale bench: runs the operators whose VALUE is their scale
+  * shape (near-dup family, components, ANN pairs, curation, span-dedup,
+  * decontamination) against the [[ScaleData]] tiers and records per-tier
+  * wall time + growth ratios, plus the incremental-ingestion experiment
+  * (fixed batch admitted against a 1×/10×/100× store).
+  *
+  * Usage: `tools/run.sh graft.ScaleBench <scaleRoot> <outJson>`
+  * where `<scaleRoot>/{1x,10x,100x}` are ScaleData outputs (missing tiers
+  * are skipped).
+  *
+  * Reading the numbers: data grows 10× tier-to-tier, so a sub-quadratic
+  * operator must show time growth ≪ 100×; the near-dup family's band
+  * equi-joins are designed to grow ~linearly in rows + pairs (the true
+  * pair count is linear by ScaleData's construction). The incremental
+  * batch times should stay near-flat as the store grows 100× — per-batch
+  * work is O(batch) plus a narrow store key/signature scan.
+  */
+object ScaleBench {
+  // gate queries with no data-size tuning knob: run verbatim per tier
+  private val DocQueries = Seq(
+    "m01_minhash_lsh", "s01_simhash_pairs", "g02_dedup_groups",
+    "c02_curation_full", "t09_span_dedup", "t11_decontaminate")
+  // relational heavies: only at tiers generated in `full` mode
+  private val RelQueries = Seq("a08_correlation", "x01_exact_dedup")
+
+  def main(args: Array[String]): Unit = {
+    val Array(scaleRoot, outJson) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val tiers = Seq("1x", "10x", "100x")
+      .filter(t => java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$scaleRoot/$t")))
+    def hasTable(t: String, name: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$scaleRoot/$t/$name.parquet"))
+
+    def timed(thunk: () => Long, runs: Int): (Double, Long) = {
+      var rows = 0L
+      val secs = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        rows = thunk()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (secs.min, rows)
+    }
+
+    /** The tier's operator set. Gate queries run verbatim; the two ANN
+      * operators whose candidate volume is governed by an explicit
+      * resolution knob get the knob scaled the way the algorithms are
+      * deployed — LSH planes ∝ log n (constant bucket occupancy),
+      * SemDeDup centroids ∝ n (constant cluster size). Running them with
+      * the 2k-vector gate constants at 100× would measure a mis-tuned
+      * quadratic configuration, not the operator.
+      */
+    def tierOps(dir: String, factor: Int): Seq[(String, () => Long)] = {
+      val gates = (DocQueries ++ RelQueries.filter(_ => hasTable(
+        dir.split('/').last, "lineitem"))).map { q =>
+        q -> (() => SparkEntry.queries(q)(spark, dir).count())
+      }
+      val planes = 6 + (math.log(factor.toDouble) / math.log(2.0)).round.toInt
+      // k ∝ √n balances SemDeDup's two stages (brute assignment is n·k,
+      // within-cluster pairs are n²/k ⇒ both n^1.5); k ∝ n would need an
+      // ANN coarse quantizer for assignment to avoid n·k = O(n²)
+      val centroids = math.round(8.0 * math.sqrt(factor.toDouble))
+      val tuned = Seq(
+        s"e05_lsh_pairs[planes=$planes]" -> (() =>
+          graft.operators.Similarity.lshPairs(
+            Tables.embeddings(spark, dir), "vec_id", "embedding", planes, 64).count()),
+        s"e06_semdedup[k=$centroids]" -> (() =>
+          graft.operators.Similarity.semDedupRemovals(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("id") < centroids, 0.38).count()),
+        // production SimHash config (64-bit fingerprint, 4×16-bit chunks,
+        // hamming ≤ 3 guaranteed recall) — the gate's 32-bit/2-chunk form
+        // has a resolution CEILING that pockets candidates quadratically
+        // on this closed-vocabulary corpus
+        "s01_simhash[bits=64]" -> (() =>
+          graft.operators.Dedup.simHashPairs(
+            Tables.documents(spark, dir), "doc_id", "text", 64, 16,
+            mix64 = true).count()),
+        // force the distributed pointer-jumping path (the 100 TB worst
+        // case) even where the union-find fast path would engage
+        "g02_components_distributed" -> (() => {
+          val pairs = graft.operators.Dedup.nearDupPairs(
+            Tables.documents(spark, dir), "doc_id", "text", 2, 16, 8)
+          graft.operators.Dedup.connectedComponents(
+            pairs.select("id_a", "id_b"), localEdgeLimit = 0L).count()
+        }))
+      gates ++ tuned
+    }
+
+    val tierResults = tiers.map { t =>
+      val dir = s"$scaleRoot/$t"
+      val factor = t.stripSuffix("x").toInt
+      val docsRows = spark.read.parquet(s"$dir/documents.parquet").count()
+      val embRows = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      // scale the shuffle-partition count with the tier so per-partition
+      // shuffle bytes stay ~constant — the sizing a real cluster applies
+      // as data grows (static 32 partitions at the 100× tier spills: m01
+      // measured 37s at 32 partitions vs 19s at 96 on this machine).
+      val parts = math.max(cpus.toInt, (docsRows / 5000L).toInt)
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // best-of-2 on the small tiers; single run at 100× (multi-second
+      // times there, noise ≪ the 10× growth signal being measured)
+      val runs = if (t == "100x") 1 else 2
+      val results = tierOps(dir, factor).map { case (q, thunk) =>
+        val (sec, rows) = timed(thunk, runs)
+        println(f"[scalebench] $t $q: $sec%.2fs ($rows rows)")
+        q -> (sec, rows)
+      }
+      t -> (docsRows, embRows, results)
+    }
+
+    // incremental-ingestion experiment: fixed ~1k-doc batch (half novel,
+    // half colliding with the store) admitted against each tier's store
+    val incremental = tiers.map { t =>
+      val dir = s"$scaleRoot/$t"
+      val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      val batchBase = Tables.documents(spark, s"$scaleRoot/1x")
+        .select("doc_id", "source", "text").filter(col("doc_id") < 1000)
+      // novel half: new ids + per-token suffix → no shared keys/shingles
+      val novel = batchBase.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(990000000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1xb"))
+      val colliding = batchBase.filter(col("doc_id") % 2 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(991000000000L))
+      val batch = novel.unionByName(colliding).localCheckpoint()
+
+      val key = graft.functions.TextFunctions.rollingHash(col("text"))
+      val exactStore = queries.Dsl.tempStore(s"scale_x04_$t")
+      graft.operators.IncrementalDedup
+        .dedupeBatch(docs, key, Seq(col("doc_id")), exactStore).count()
+      val t0 = System.nanoTime()
+      val exAdmitted = graft.operators.IncrementalDedup
+        .dedupeBatch(batch, key, Seq(col("doc_id")), exactStore).count()
+      val exactSec = (System.nanoTime() - t0) / 1e9
+
+      val ndStore = queries.Dsl.tempStore(s"scale_x08_$t")
+      graft.operators.IncrementalNearDup
+        .dedupeBatch(docs, "doc_id", "text", ndStore).count()
+      val t1 = System.nanoTime()
+      val ndAdmitted = graft.operators.IncrementalNearDup
+        .dedupeBatch(batch, "doc_id", "text", ndStore).count()
+      val ndSec = (System.nanoTime() - t1) / 1e9
+      println(f"[scalebench] $t incremental: exact $exactSec%.2fs " +
+        f"($exAdmitted admitted), neardup $ndSec%.2fs ($ndAdmitted admitted)")
+      t -> (exactSec, exAdmitted, ndSec, ndAdmitted)
+    }
+
+    def j(d: Double): String = f"$d%.3f"
+    val tierJson = tierResults.map { case (t, (dr, er, timed)) =>
+      val qjson = timed.map { case (q, (sec, rows)) =>
+        s""""$q":{"sec":${j(sec)},"rows":$rows}""" }.mkString(",")
+      s""""$t":{"docs_rows":$dr,"emb_rows":$er,"queries":{$qjson}}"""
+    }.mkString(",")
+    // growth ratios per query between adjacent tiers (data grows 10×);
+    // tuned ops are matched by base name (the knob value differs per tier)
+    def base(q: String): String = q.takeWhile(_ != '[')
+    val byTier = tierResults.map { case (t, (_, _, res)) =>
+      t -> res.map { case (q, v) => base(q) -> v }.toMap
+    }.toMap
+    val allBases = tierResults.flatMap(_._2._3.map(r => base(r._1))).distinct
+    val growthJson = allBases.map { q =>
+      val ratios = tiers.sliding(2).flatMap {
+        case Seq(a, b) if byTier(a).contains(q) && byTier(b).contains(q) =>
+          Some(s""""${b}_over_$a":${j(byTier(b)(q)._1 / math.max(1e-9, byTier(a)(q)._1))}""")
+        case _ => None
+      }.mkString(",")
+      s""""$q":{$ratios}"""
+    }.mkString(",")
+    val incJson = incremental.map { case (t, (es, ea, ns, na)) =>
+      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":$ea,"neardup_batch_sec":${j(ns)},"neardup_admitted":$na}"""
+    }.mkString(",")
+    val out = s"""{"metric":"scale_tiers","unit":"sec","cpus":$cpus,""" +
+      s""""tiers":{$tierJson},"growth":{$growthJson},""" +
+      s""""incremental_fixed_batch":{$incJson}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), out)
+    println(out)
+    spark.stop()
+  }
+}
