@@ -75,10 +75,12 @@ object ScaleBench {
         q -> (() => SparkEntry.queries(q)(spark, dir).count())
       }
       val planes = 6 + (math.log(factor.toDouble) / math.log(2.0)).round.toInt
-      // k ∝ √n balances SemDeDup's two stages (brute assignment is n·k,
-      // within-cluster pairs are n²/k ⇒ both n^1.5); k ∝ n would need an
-      // ANN coarse quantizer for assignment to avoid n·k = O(n²)
+      // k ∝ √n balances BRUTE SemDeDup's two stages (assignment n·k,
+      // within-cluster pairs n²/k ⇒ both n^1.5); the two-level
+      // (coarse-quantized) assignment makes k ∝ n affordable —
+      // assignment n·2√k, pairs n²/k = O(n) — so it runs with k ∝ n
       val centroids = math.round(8.0 * math.sqrt(factor.toDouble))
+      val centroidsLinear = 8L * factor
       val tuned = Seq(
         s"e05_lsh_pairs[planes=$planes]" -> (() =>
           graft.operators.Similarity.lshPairs(
@@ -87,6 +89,10 @@ object ScaleBench {
           graft.operators.Similarity.semDedupRemovals(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             col("id") < centroids, 0.38).count()),
+        s"e06b_semdedup2l[k=$centroidsLinear]" -> (() =>
+          graft.operators.Similarity.semDedupRemovalsTwoLevel(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("id") < centroidsLinear, 0.38).count()),
         // production SimHash config (64-bit fingerprint, 4×16-bit chunks,
         // hamming ≤ 3 guaranteed recall) — the gate's 32-bit/2-chunk form
         // has a resolution CEILING that pockets candidates quadratically

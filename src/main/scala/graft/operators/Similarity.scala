@@ -448,6 +448,17 @@ object Similarity {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("id"), col("emb"), col("norm_f"), col("c_id").as("cluster"))
+    pruneWithinClusters(assigned, threshold, dims)
+  }
+
+  /** Shared SemDeDup tail: within-cluster threshold pairs → duplicate
+    * groups (connected components) → (removed_id, keep_id) with the min
+    * id kept per group. `assigned` must carry (id, emb, norm_f, cluster)
+    * and is persisted here because both self-join sides consume it.
+    */
+  private def pruneWithinClusters(assigned0: DataFrame, threshold: Double,
+                                  dims: Int): DataFrame = {
+    val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
@@ -460,6 +471,74 @@ object Similarity {
     Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("removed_id"), col("comp").as("keep_id"))
+  }
+
+  /** SemDeDup with a TWO-LEVEL (coarse-quantized) assignment — the FAISS
+    * IVF recipe that makes `k ∝ n` centroids affordable: a brute
+    * assignment is n·k dot products (quadratic when k grows with the
+    * corpus — measured 61× per 10× data at the 100× tier), while routing
+    * each vector through ~√k coarse centroids first costs
+    * n·(√k + k/√k) = n·2√k, with the within-cluster pair stage at
+    * n²/k = O(n) when k ∝ n.
+    *
+    * Structure (every stage a broadcast join or keyed window — no stage
+    * touches the O(n²) pair space, no driver collect):
+    *  1. coarse set = every ⌈√k⌉-th centroid in id-rank order
+    *     (deterministic, no training pass);
+    *  2. each fine centroid → its argmax-cosine coarse centroid
+    *     (k·√k dots, both sides broadcast-tiny);
+    *  3. each vector → argmax coarse (n·√k dots), then → argmax FINE
+    *     within that coarse group only (n·k/√k dots via a broadcast
+    *     equi-join on the coarse id);
+    *  4. within-cluster prune, identical to [[semDedupRemovals]].
+    *
+    * The assignment is approximate exactly the way IVF search is (a
+    * vector whose true nearest fine centroid lives under a different
+    * coarse centroid lands in the runner-up cluster — SemDeDup tolerates
+    * this: clusters only SCOPE the pair search), but it is fully
+    * DETERMINISTIC fixed-point arithmetic, so the e06b gate recomputes
+    * it exactly in SQL; on well-separated clusters it equals the brute
+    * assignment (spec'd).
+    */
+  def semDedupRemovalsTwoLevel(vectors: DataFrame, idCol: String, embCol: String,
+                               centroidPred: Column, threshold: Double,
+                               dims: Int = -1): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol, dims)
+    val cent = v.filter(centroidPred)
+      .select(col("id").as("c_id"), col("emb").as("c_emb"),
+        col("norm_f").as("c_norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = cent.count()
+    val stride = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    // single-partition window over k centroid rows — the centroid table
+    // is broadcast-class by contract (same size class as IVF models)
+    val coarse = cent
+      .withColumn("__r", row_number().over(Window.orderBy("c_id")))
+      .filter((col("__r") - 1) % stride === 0)
+      .select(col("c_id").as("g_id"), col("c_emb").as("g_emb"),
+        col("c_norm").as("g_norm"))
+    val wCg = Window.partitionBy("c_id").orderBy(desc("cg_cos"), asc("g_id"))
+    val centGroup = cent.crossJoin(broadcast(coarse))
+      .select(col("c_id"), col("c_emb"), col("c_norm"), col("g_id"),
+        cosineFromFixed(dotF(col("c_emb"), col("g_emb"), dims),
+          col("c_norm"), col("g_norm")).as("cg_cos"))
+      .withColumn("rn", row_number().over(wCg)).filter(col("rn") === 1)
+      .select(col("c_id"), col("c_emb"), col("c_norm"), col("g_id"))
+    val wVg = Window.partitionBy("id").orderBy(desc("vg_cos"), asc("g_id"))
+    val vCoarse = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("emb"), col("norm_f"), col("g_id"),
+        cosineFromFixed(dotF(col("emb"), col("g_emb"), dims),
+          col("norm_f"), col("g_norm")).as("vg_cos"))
+      .withColumn("rn", row_number().over(wVg)).filter(col("rn") === 1)
+      .select(col("id"), col("emb"), col("norm_f"), col("g_id"))
+    val wVc = Window.partitionBy("id").orderBy(desc("vc_cos"), asc("c_id"))
+    val assigned = vCoarse.join(broadcast(centGroup), "g_id")
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id"),
+        cosineFromFixed(dotF(col("emb"), col("c_emb"), dims),
+          col("norm_f"), col("c_norm")).as("vc_cos"))
+      .withColumn("rn", row_number().over(wVc)).filter(col("rn") === 1)
+      .select(col("id"), col("emb"), col("norm_f"), col("c_id").as("cluster"))
+    pruneWithinClusters(assigned, threshold, dims)
   }
 
   /** Brute-force top-k cosine pairs as a hand-written kernel: vectors

@@ -393,13 +393,17 @@ object DedupQueries {
        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
        |SELECT component, COUNT(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
-    val pairs = Dedup.nearDupPairs(
-      Tables.documents(spark, dir), "doc_id", "text", ShingleK, NumPerms, Bands)
-    // the label frames are |verts| rows — shuffling them over the
-    // session's 32 partitions makes every propagation round pure task
-    // overhead; at real scale the caller keeps the session parallelism
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // the label frames are |verts| rows — size the component loop's
+    // shuffle to the CORPUS, not the session: at gate scale (≤5k docs) 32
+    // partitions make every propagation round pure task overhead, while
+    // pinning a small constant starves the loop at 100× (measured ~40%
+    // slower end-to-end at the 500k-doc tier). docs.count() is a parquet
+    // metadata read; ~5k label rows per partition, floor 4.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ccParts = math.min(prevParts.toLong, math.max(4L, docs.count() / 5000L))
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
     val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     comps

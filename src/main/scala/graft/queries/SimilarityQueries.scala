@@ -174,6 +174,70 @@ object SimilarityQueries {
       .orderBy("removed_id")
   }
 
+  // gate-scale coarse stride = ⌈√NumCentroids⌉ (mirrors the operator's
+  // math.round(sqrt(k)) for k = 8 → 3)
+  private val CoarseStride = math.round(math.sqrt(NumCentroids.toDouble))
+
+  /** E6b — SemDeDup with the TWO-LEVEL (coarse-quantized) assignment
+    * ([[Similarity.semDedupRemovalsTwoLevel]]): the k ∝ n scale path —
+    * brute assignment is n·k dots (quadratic with k ∝ n), two-level is
+    * n·2√k. The assignment is approximate the way IVF search is, but
+    * fully deterministic fixed-point arithmetic, so the oracle replays
+    * every stage exactly: coarse set = every ⌈√k⌉-th centroid by id
+    * rank, fine→coarse argmax, vector→coarse argmax, vector→fine argmax
+    * within the coarse group, then the same within-cluster prune +
+    * recursive-closure grouping as e06.
+    */
+  val e06bSemDedupTwoLevel: GraftQuery = GraftQuery(
+    "e06b_semdedup_twolevel",
+    s"""WITH RECURSIVE v AS ($sqlV),
+       |cent AS (SELECT id AS c_id, emb AS c_emb, norm_f AS c_norm FROM v WHERE id < $NumCentroids),
+       |rc AS (SELECT *, row_number() OVER (ORDER BY c_id) AS r FROM cent),
+       |coarse AS (SELECT c_id AS g_id, c_emb AS g_emb, c_norm AS g_norm FROM rc
+       |           WHERE (r - 1) % $CoarseStride = 0),
+       |cg AS (
+       |  SELECT c_id, c_emb, c_norm, g_id,
+       |         ${sqlCos("c_emb", "c_norm", "g_emb", "g_norm")} AS cg_cos
+       |  FROM cent CROSS JOIN coarse),
+       |centgrp AS (
+       |  SELECT c_id, c_emb, c_norm, g_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY c_id ORDER BY cg_cos DESC, g_id) AS rn
+       |    FROM cg) WHERE rn = 1),
+       |vg AS (
+       |  SELECT v.id, v.emb, v.norm_f, g_id,
+       |         ${sqlCos("v.emb", "v.norm_f", "g_emb", "g_norm")} AS vg_cos
+       |  FROM v CROSS JOIN coarse),
+       |vcoarse AS (
+       |  SELECT id, emb, norm_f, g_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY vg_cos DESC, g_id) AS rn
+       |    FROM vg) WHERE rn = 1),
+       |vc AS (
+       |  SELECT vcoarse.id, vcoarse.emb, vcoarse.norm_f, centgrp.c_id,
+       |         ${sqlCos("vcoarse.emb", "vcoarse.norm_f", "centgrp.c_emb", "centgrp.c_norm")} AS vc_cos
+       |  FROM vcoarse JOIN centgrp ON vcoarse.g_id = centgrp.g_id),
+       |assigned AS (
+       |  SELECT id, emb, norm_f, c_id AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY vc_cos DESC, c_id) AS rn
+       |    FROM vc) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
+       |  WHERE ${sqlCos("a.emb", "a.norm_f", "b.emb", "b.norm_f")} >= $SemThreshold),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT id AS removed_id, component AS keep_id
+       |FROM comp WHERE id != component ORDER BY removed_id""".stripMargin) { (spark, dir) =>
+    Similarity.semDedupRemovalsTwoLevel(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", col("id") < NumCentroids, SemThreshold)
+      .orderBy("removed_id")
+  }
+
   /** E7 — int8 scalar-quantized brute KNN
     * ([[Similarity.knnQuantized]]): the 4×-compressed scan path (one
     * byte per dimension instead of a four-byte float) with fully
@@ -282,5 +346,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
-    e05LshPairs, e06SemDedup, e07KnnQuantized, e08CoarseRerank, e09CenterNormalize)
+    e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
+    e08CoarseRerank, e09CenterNormalize)
 }

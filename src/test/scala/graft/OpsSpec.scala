@@ -153,6 +153,30 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("semDedupRemovalsTwoLevel ≡ brute semDedupRemovals on separated clusters") {
+    // four orthogonal-axis clusters of near-duplicates in 8 dims; the
+    // first member of each cluster (ids 0..3) is a centroid. With
+    // clusters this separated the coarse routing cannot misassign, so
+    // the two-level output must equal the brute assignment's exactly.
+    val vecs = (0 until 32).map { i =>
+      val cluster = i % 4
+      val e = Array.fill(8)(0.001f * (i / 4)) // tiny jitter, high cosine in-cluster
+      e(cluster * 2) = 1.0f
+      (i.toLong, e.toSeq)
+    }.toDF("vid", "emb")
+    val brute = Similarity.semDedupRemovals(vecs, "vid", "emb",
+      col("id") < 4, threshold = 0.9).collect().toSet
+    val twoLevel = Similarity.semDedupRemovalsTwoLevel(vecs, "vid", "emb",
+      col("id") < 4, threshold = 0.9).collect().toSet
+    assert(twoLevel == brute)
+    assert(brute.nonEmpty) // the clusters really contain near-dups
+    // structural SemDeDup invariants hold for the two-level output
+    twoLevel.foreach { r =>
+      val (removed, keep) = (r.getLong(0), r.getLong(1))
+      assert(keep < removed) // min id is always the kept representative
+    }
+  }
+
   test("connectedComponents labels chains, cliques and isolates-by-edge correctly") {
     // two components: a 4-chain (1-2-3-4) and a triangle (10,11,12);
     // vertex 20-21 pair; labels must converge to each component's min id
