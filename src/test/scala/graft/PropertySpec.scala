@@ -263,4 +263,36 @@ class PropertySpec extends SparkSpec {
       least(Dedup.minHashSig($"xs", a, b), Dedup.minHashSig($"ys", a, b)).as("mn"))
     assert(checked.filter($"su" =!= $"mn").isEmpty)
   }
+
+  test("mix64 simhash: 64-bit fingerprints are non-degenerate; banded hamming is exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(300)
+    val n = docs.count()
+    // high 32 bits must vary across docs (without mix64 they are a
+    // constant 0 — the raw rolling hashes are mod 1e9+7 — and banding
+    // degenerates to all-pairs)
+    val sims = Dedup.withSimHash(docs, "doc_id", "text", 64, mix64 = true)
+      .persist()
+    assert(sims.select(countDistinct(shiftright($"sim", 32))).as[Long].head() > 1L)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 64, 16, mix64 = true)
+      .persist()
+    // candidates are a strict subset of the pair space, not all-pairs
+    assert(pairs.count() < n * (n - 1) / 2)
+    // the banded path's hamming equals brute bit_count over the same sims
+    val mismatches = pairs.as("p")
+      .join(sims.select($"id".as("id_a"), $"sim".as("sim_a")), "id_a")
+      .join(sims.select($"id".as("id_b"), $"sim".as("sim_b")), "id_b")
+      .filter($"hamming" =!= expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .count()
+    assert(mismatches == 0)
+    // banding guarantee: any pair agreeing on a full 16-bit chunk is found
+    val found = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val mustFind = sims.as("x").join(sims.as("y"), expr(
+        "x.id < y.id AND (" + (0 until 4).map(c =>
+          s"((x.sim >> ${c * 16}) & 65535) = ((y.sim >> ${c * 16}) & 65535)")
+          .mkString(" OR ") + ")"))
+      .select($"x.id", $"y.id").as[(Long, Long)].collect().toSet
+    assert(found == mustFind)
+    sims.unpersist(); pairs.unpersist()
+  }
 }
