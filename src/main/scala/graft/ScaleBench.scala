@@ -101,6 +101,12 @@ object ScaleBench {
           graft.operators.Dedup.simHashPairs(
             Tables.documents(spark, dir), "doc_id", "text", 64, 16,
             mix64 = true).count()),
+        // the 100 TB verification form: estimator verify (16 sig longs
+        // per side) vs m01's exact verify (full shingle arrays per pair)
+        "m03_neardup_estimated" -> (() =>
+          graft.operators.Dedup.nearDupPairsEstimated(
+            Tables.documents(spark, dir), "doc_id", "text", 2, 16, 8,
+            minEstimate = 0.25).count()),
         // force the distributed pointer-jumping path (the 100 TB worst
         // case) even where the union-find fast path would engage
         "g02_components_distributed" -> (() => {
@@ -123,9 +129,10 @@ object ScaleBench {
       // measured 37s at 32 partitions vs 19s at 96 on this machine).
       val parts = math.max(cpus.toInt, (docsRows / 5000L).toInt)
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      // best-of-2 on the small tiers; single run at 100× (multi-second
-      // times there, noise ≪ the 10× growth signal being measured)
-      val runs = if (t == "100x") 1 else 2
+      // best-of-2 everywhere: single runs at the 100× tier showed ±40%
+      // run-to-run variance on the heavy queries (GC/page-cache state),
+      // which is real noise against a 10× growth signal
+      val runs = 2
       val results = tierOps(dir, factor).map { case (q, thunk) =>
         val (sec, rows) = timed(thunk, runs)
         println(f"[scalebench] $t $q: $sec%.2fs ($rows rows)")

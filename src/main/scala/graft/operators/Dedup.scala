@@ -134,6 +134,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("shs_a"), col("shs_b")).as("jaccard"))
   }
 
+  /** MinHash near-dup pairs verified by the SIGNATURE ESTIMATOR instead
+    * of exact Jaccard — the 100 TB verification form: exact verify
+    * ([[nearDupPairs]]) re-joins every candidate pair to both documents'
+    * full shingle sets, which is the dominant shuffle at scale (the
+    * arrays ship once per PAIR); the estimator needs only the numPerms
+    * signature ints the band join already computed — 16 longs instead of
+    * a whole shingle array per side — and the estimator's fidelity to
+    * exact Jaccard is itself oracle-gated (m02). `minEstimate` is the
+    * production dedup threshold (matching signature positions /
+    * numPerms ≥ t). Returns (id_a, id_b, jaccard_est).
+    */
+  def nearDupPairsEstimated(docs: DataFrame, idCol: String, textCol: String,
+                            shingleK: Int, numPerms: Int, bands: Int,
+                            minEstimate: Double = 0.0): DataFrame = {
+    require(numPerms == bands * 2, "2 rows per band")
+    // one persisted frame feeds the two band-join sides AND the two
+    // estimator sides — nothing else is ever rejoined
+    val withSigs = withShingleHashes(docs, idCol, textCol, shingleK)
+      .select(col("id"),
+        graft.plans.DedupExprs.minHashSigs(col("shs"), numPerms).as("__sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = (0 until bands).map(bd =>
+      (element_at(col("__sigs"), 2 * bd + 1) * P +
+        element_at(col("__sigs"), 2 * bd + 2)).as(s"band_$bd"))
+    val banded = withSigs
+      .select(col("id") +: bandKeys: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
+        .as(Seq("band_id", "band_key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sigs = withSigs.select(col("id"), col("__sigs"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("__sigs").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("__sigs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).cast("double") / numPerms).as("jaccard_est"))
+      .filter(col("jaccard_est") >= minEstimate)
+  }
+
   /** Standalone (id, band_id, band_key) banded LSH signature frame — the
     * INDEX rows incremental near-dup maintenance persists and joins
     * against ([[IncrementalNearDup]]). Same tokenize→shingle→minhash→band

@@ -160,8 +160,11 @@ object CurationQueries {
     val docs = Tables.documents(spark, dir)
     // 1. near-dup groups → drop non-representatives
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // component-loop shuffle sized to the corpus, not the session (same
+    // sizing rule and rationale as g02)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4") // label frames are tiny (g02)
+    val ccParts = math.min(prevParts.toLong, math.max(4L, docs.count() / 5000L))
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
     val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val dupRemoved = comps.filter(col("id") =!= col("comp"))

@@ -186,6 +186,43 @@ object DedupQueries {
       .orderBy("id_a")
   }
 
+  /** M3 — estimator-verified near-dup ([[Dedup.nearDupPairsEstimated]]):
+    * the 100 TB verification form — candidates verified by matching
+    * signature positions (16 longs/side) instead of re-joining full
+    * shingle sets (the dominant shuffle of m01 at scale). Threshold
+    * ≥ 0.25 (4/16 positions); the estimator's fidelity to exact Jaccard
+    * is m02's gate. Top-100 by estimate + the thresholded-candidate
+    * audit count.
+    */
+  val m03NearDupEstimated: GraftQuery = GraftQuery(
+    "m03_neardup_estimated", {
+      val perms = Dedup.permConstants(NumPerms)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
+      }
+      val matches = (0 until NumPerms)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sqlCandCtes,
+         |est AS (
+         |  SELECT id_a, id_b, (CAST($matches AS DOUBLE) / $NumPerms.0) AS jaccard_est
+         |  FROM cand JOIN sigs a ON cand.id_a = a.id JOIN sigs b ON cand.id_b = b.id
+         |  WHERE (CAST($matches AS DOUBLE) / $NumPerms.0) >= 0.25),
+         |top AS (SELECT * FROM est ORDER BY jaccard_est DESC, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, jaccard_est, t.n_candidates
+         |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM est) t
+         |ORDER BY jaccard_est DESC, id_a, id_b""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = Dedup.nearDupPairsEstimated(
+      Tables.documents(spark, dir), "doc_id", "text", ShingleK, NumPerms, Bands,
+      minEstimate = 0.25)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.orderBy(desc("jaccard_est"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(desc("jaccard_est"), asc("id_a"), asc("id_b"))
+  }
+
   /** G1 — n-gram (word-bigram) Jaccard similarity over a deterministic
     * pair set (consecutive doc ids) — the exact-similarity scalar the LSH
     * pipelines approximate.
@@ -415,6 +452,6 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
-    m01MinHashLsh, m02MinHashEstimate, s01SimHash, g01NgramJaccard,
-    g02DedupGroups)
+    m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, s01SimHash,
+    g01NgramJaccard, g02DedupGroups)
 }
