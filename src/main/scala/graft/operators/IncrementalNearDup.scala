@@ -45,6 +45,13 @@ object IncrementalNearDup {
     val banded = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vsIndex = readIndex(spark, storeDir) match {
+      // NOTE (measured, round 5): bloom-pruning the index side by the
+      // batch's band keys does NOT pay here — the index rows are narrow
+      // (24 B) and the two bloom-construction jobs cost more than the
+      // scan they save (1.56 s vs 1.42 s per batch at a 4M-row index,
+      // and strictly worse at small stores). The scale lever for a truly
+      // corpus-independent batch is BUCKETING the store by band_key
+      // (operators/Bucketing) so the join co-locates without scanning.
       case Some(idx) => banded.as("b")
         .join(idx.as("i"),
           col("b.band_id") === col("i.band_id") &&
