@@ -110,10 +110,10 @@ object ScaleBench {
         // force the distributed pointer-jumping path (the 100 TB worst
         // case) even where the union-find fast path would engage
         "g02_components_distributed" -> (() => {
-          val pairs = graft.operators.Dedup.nearDupPairs(
+          val pairs = graft.operators.Dedup.lshCandidatePairs(
             Tables.documents(spark, dir), "doc_id", "text", 2, 16, 8)
           graft.operators.Dedup.connectedComponents(
-            pairs.select("id_a", "id_b"), localEdgeLimit = 0L).count()
+            pairs, localEdgeLimit = 0L).count()
         }))
       gates ++ tuned
     }

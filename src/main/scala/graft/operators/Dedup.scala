@@ -134,6 +134,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("shs_a"), col("shs_b")).as("jaccard"))
   }
 
+  /** Just the LSH candidate pairs (band collisions, deduped) — no
+    * verification stage. The consumer for duplicate-GROUPING pipelines
+    * (g02, c02), whose semantics are defined over the candidate edge
+    * set: routing them through [[nearDupPairs]] would pay the exact
+    * Jaccard verify joins (each candidate pair re-joins both documents'
+    * shingle arrays) only to drop the column, and Catalyst cannot
+    * eliminate the joins (they are not provably non-filtering).
+    * Measured at the 500k-doc tier the end-to-end saving is modest
+    * (~5% — the grouping gates are dominated by the component loop, and
+    * m03 shows the verify stage itself at ~4 s there), but the edge set
+    * is also the semantically RIGHT input: the oracles define groups
+    * over band collisions.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
+    require(numPerms == bands * 2, "2 rows per band")
+    val withSigs = withShingleHashes(docs, idCol, textCol, shingleK)
+      .select(col("id"),
+        graft.plans.DedupExprs.minHashSigs(col("shs"), numPerms).as("__sigs"))
+    val bandKeys = (0 until bands).map(bd =>
+      (element_at(col("__sigs"), 2 * bd + 1) * P +
+        element_at(col("__sigs"), 2 * bd + 2)).as(s"band_$bd"))
+    val banded = withSigs
+      .select(col("id") +: bandKeys: _*)
+      .select(col("id"), posexplode(array((0 until bands).map(bd => col(s"band_$bd")): _*))
+        .as(Seq("band_id", "band_key")))
+      // both self-join sides read this; (id, band_id, band_key) is 24 B/row
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash near-dup pairs verified by the SIGNATURE ESTIMATOR instead
     * of exact Jaccard — the 100 TB verification form: exact verify
     * ([[nearDupPairs]]) re-joins every candidate pair to both documents'

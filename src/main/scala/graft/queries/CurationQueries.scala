@@ -159,7 +159,10 @@ object CurationQueries {
     import graft.queries.DedupQueries.{Bands, NumPerms, ShingleK}
     val docs = Tables.documents(spark, dir)
     // 1. near-dup groups → drop non-representatives
-    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // candidate edges only — the grouping is defined over band
+    // collisions (the oracle's `cand`), so the exact-verify join would
+    // be paid and discarded (see lshCandidatePairs)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
     // component-loop shuffle sized to the corpus, not the session (same
     // sizing rule and rationale as g02)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -431,7 +431,9 @@ object DedupQueries {
        |SELECT component, COUNT(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // the grouping semantics are defined over the CANDIDATE edge set —
+    // the verify-free pipeline (the oracle's `cand` CTE exactly)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
     // the label frames are |verts| rows — size the component loop's
     // shuffle to the CORPUS, not the session: at gate scale (≤5k docs) 32
     // partitions make every propagation round pure task overhead, while
