@@ -169,7 +169,11 @@ object Enrich {
     *    batch per partition and concurrent partitions never contend;
     *  - the external call sits inside an executor-wide semaphore
     *    ([[TranslationLimiter]]) — bounded concurrency against the
-    *    rate-limited service;
+    *    rate-limited service. The unit is CALLS, not texts: up to
+    *    `maxConcurrentPerExecutor` concurrent `translateBatch` calls of
+    *    ≤ `serviceBatch` texts each, so the in-flight text ceiling per
+    *    executor is their product — size the pair together against the
+    *    service's rate limit;
     *  - target-language high-confidence and empty rows short-circuit to
     *    identity without touching the service (Translator.py:128-130).
     *
@@ -225,6 +229,9 @@ object Enrich {
             sem.acquire()
             val outs = try translator.translateBatch(needy.map(_._1._2), targetLang)
               finally sem.release()
+            require(outs.size == needy.size,
+              s"Translator.translateBatch contract violation: sent " +
+                s"${needy.size} texts, got ${outs.size} translations back")
             needy.map(_._2).zip(outs).toMap
           }
         parsed.zipWithIndex.foreach { case ((k, t, lang, score), i) =>

@@ -432,6 +432,14 @@ object Similarity {
     * count exactly as SemDeDup tunes k — and grouping reuses
     * [[Dedup.connectedComponents]] (bounded union-find / O(log d)
     * propagation). No stage touches the O(n²) global pair space.
+    *
+    * CHOOSE THE VARIANT BY HOW k SCALES: this brute assignment is n·k
+    * dot products — the right tool at k ∝ √n (both stages balance at
+    * n^1.5). If you grow k ∝ n to hold cluster size constant (the
+    * published SemDeDup deployment at corpus scale), n·k is QUADRATIC —
+    * measured 17.3× per 10× data at the 100× tier — and you want
+    * [[semDedupRemovalsTwoLevel]], whose coarse-quantized assignment
+    * keeps k ∝ n linear (measured 1.2×/7.6× per 10×).
     */
   def semDedupRemovals(vectors: DataFrame, idCol: String, embCol: String,
                        centroidPred: Column, threshold: Double,

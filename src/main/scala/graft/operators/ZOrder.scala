@@ -37,12 +37,17 @@ object ZOrder {
 
   /** `c` if within [0, 65535], else a runtime error naming the column —
     * the guard rides inside the z-value expression so column pruning
-    * cannot drop it.
+    * cannot drop it. NULL keys pass through (z-value null, row sorts into
+    * the null range of `repartitionByRange` and survives clustering) —
+    * a null is missing data, not an out-of-range key, and dropping or
+    * failing on it would make clustering lossy.
     */
   private def checked16(c: Column, name: String): Column =
-    when(c.cast("long").between(0L, 65535L), c).otherwise(raise_error(concat(
-      lit(s"ZOrder.clusterByZ: $name must be in [0, 65535] (16-bit z-order key), got "),
-      c.cast("string"))))
+    when(c.isNull, c)
+      .when(c.cast("long").between(0L, 65535L), c)
+      .otherwise(raise_error(concat(
+        lit(s"ZOrder.clusterByZ: $name must be in [0, 65535] (16-bit z-order key), got "),
+        c.cast("string"))))
 
   /** Morton z-value of two 16-bit keys: a's bits on even positions, b's
     * on odd — z(a,b) = spread(a) | spread(b)<<1.

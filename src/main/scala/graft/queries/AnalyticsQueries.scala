@@ -215,8 +215,12 @@ object AnalyticsQueries {
       (lo <= v && v <= hi).cast("long")
     approx.join(moments, "metric").join(bands, "metric")
       .select(col("metric"), col("cnt"), col("min_v"), col("max_v"),
+        // 1e-7 relative: naive single-pass IEEE summation error grows
+        // ~n·eps (≈1e-9 at sf0.1 but ≈1e-8 at sf1 and beyond, and it
+        // varies with partition/combine order) — the band must hold at
+        // any SF/parallelism while staying orders below any wiring bug
         (abs(col("mean_a") - exMean) <=
-          lit(1e-9) * greatest(lit(1.0), abs(exMean))).cast("long").as("mean_ok"),
+          lit(1e-7) * greatest(lit(1.0), abs(exMean))).cast("long").as("mean_ok"),
         (abs(col("std_a") - exStd) <=
           lit(1e-6) * greatest(lit(1e-9), exStd)).cast("long").as("std_ok"),
         inBand(col("q")(0), col("q1_lo"), col("q1_hi")).as("q1_ok"),

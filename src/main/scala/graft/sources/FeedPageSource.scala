@@ -106,7 +106,11 @@ private case class PagesOffset(n: Long) extends Offset {
 }
 
 private class FeedPageStream(dir: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = PagesOffset(0L)
+  // a FRESH query over an already-rotated landing dir starts at the
+  // lowest page still present (backfilling the remaining window like
+  // toBatch does), not at 0 — index 0 may have been archived away
+  override def initialOffset(): Offset =
+    PagesOffset(FeedPageSource.pageIndices(dir).headOption.getOrElse(0L))
   override def latestOffset(): Offset = PagesOffset(FeedPageSource.pageCount(dir))
   override def deserializeOffset(json: String): Offset = PagesOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = () // page files stay for replay/backfill
@@ -119,10 +123,17 @@ private class FeedPageStream(dir: String) extends MicroBatchStream {
 
 private object FeedPageStream {
   /** One partition per page: fetch-bound work parallelizes per page, and
-    * a straggler page never blocks the rest of the batch.
+    * a straggler page never blocks the rest of the batch. Planned pages
+    * are intersected with the files that EXIST (same gap tolerance as
+    * the batch path): pages inside [start, end) can be rotated away
+    * between runs — or between offset resolution and planning — and a
+    * partition for a rotated page would fail the whole query.
     */
-  def partitions(dir: String, start: Long, end: Long): Array[InputPartition] =
-    (start until end).map(i => FeedPagePartition(dir, i): InputPartition).toArray
+  def partitions(dir: String, start: Long, end: Long): Array[InputPartition] = {
+    val existing = FeedPageSource.pageIndices(dir).toSet
+    (start until end).filter(existing)
+      .map(i => FeedPagePartition(dir, i): InputPartition).toArray
+  }
 }
 
 private case class FeedPagePartition(dir: String, idx: Long) extends InputPartition

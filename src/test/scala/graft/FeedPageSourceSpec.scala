@@ -78,4 +78,25 @@ class FeedPageSourceSpec extends SparkSpec {
       .option("path", landing).load()
     assert(batch2.select("page_idx").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
   }
+
+  test("a FRESH query over a rotated landing dir backfills the remaining window") {
+    val landing = Files.createTempDirectory("graft-dsv2-rot").toString
+    val outDir = Files.createTempDirectory("graft-dsv2-rot-out").toString + "/rows"
+    val cp = Files.createTempDirectory("graft-dsv2-rot-cp").toString
+
+    FeedPager.run(landing, FeedPager.initialState, maxPages = 5, maxTries = 1)(fetch)
+    // rotate the first three pages away BEFORE any checkpoint exists:
+    // a fresh query must start at the lowest surviving index (not 0,
+    // which would plan partitions for archived files and fail)
+    (0L until 3L).foreach(i => Files.delete(FeedPageSource.pagePath(landing, i)))
+    val q = spark.readStream.format("graft.sources.FeedPageSource")
+      .option("path", landing).load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).select("page_idx").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L))
+  }
 }

@@ -158,6 +158,17 @@ class MergeRangeSpec extends SparkSpec {
     assert(messages(ex).exists(_.contains("16-bit z-order key")))
   }
 
+  test("ZOrder.clusterByZ: NULL keys pass through and the row survives clustering") {
+    import graft.operators.ZOrder
+    val df = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("a", "b")
+    // nulls are missing data, not out-of-range keys: no raise_error, no
+    // row loss — null z-values sort into repartitionByRange's null range
+    val out = ZOrder.clusterByZ(df, $"a", $"b", 2)
+    assert(out.count() == 3)
+    assert(out.filter($"a".isNull || $"b".isNull).count() == 2)
+  }
+
   test("ZOrder.clusterByZ: partitions carry disjoint z ranges") {
     import graft.operators.ZOrder
     val df = (0 until 400).map(i => (i.toLong % 20, (i.toLong / 20) % 20)).toDF("a", "b")
