@@ -48,7 +48,31 @@ object Bench {
     val failedList = results.collect { case (k, _, true) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}"""
+    // full-precision record: every query, written to a file AND printed
+    // (the file is the self-contained artifact; the printed copy may be
+    // cut by log-capture tail windows)
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_history/latest_full.json"))
+    Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(fullPath, fullJson)
+    println(fullJson)
+    // The FINAL stdout line must parse from a bounded tail capture
+    // (observed: a 2000-char window, with the runner's epilogue line
+    // after ours), so it carries the total + the slowest queries only —
+    // as many as fit a 1700-char budget — and points at the full file.
+    val slowest = results.sortBy(-_._2)
+    val budget = 1700
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
+    val tail0 = s"""},"queries_n":${results.size},"queries_full":"$fullPath","failed":$failedList,"sf":"$sfDir"}"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + tail0.length
+    slowest.foreach { case (k, v, _) =>
+      val e = f""""$k":$v%.3f"""
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tail0)
     spark.stop()
   }
 }
