@@ -322,6 +322,82 @@ object Dedup {
       s"CASE WHEN list_sum([((h >> $b) & 1) * 2 - 1 for h in $hsE]) > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  // ---- DuckDB replica of Spark's xxhash64 on a BIGINT input (seed 42) ----
+  // The production 64-bit SimHash widens each ~30-bit rolling hash through
+  // xxhash64 (withSimHash mix64=true). DuckDB ships no xxhash64 SQL
+  // function, so the oracle re-derives the published xxHash64
+  // single-8-byte-lane arithmetic in unsigned-64 space: UBIGINT carries
+  // values (logical shifts + xor are exact there), HUGEINT carries the
+  // wrap-around multiplies, split 32/32 so no intermediate exceeds 2^127.
+  // Bit-for-bit agreement with the JVM is pinned two ways: ExpressionSpec
+  // fixes xxhash64 sample values, and the s01b gate hashes the full
+  // pipeline against DuckDB at sf0.01.
+  private val M64 = "18446744073709551616" // 2^64
+  private val XxP1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val XxP2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val XxP3 = "1609587929392839161"  // 0x165667B19E3779F9
+  private val XxP4 = "9650029242287828579"  // 0x85EBCA77C2B2AE63
+  private val XxSeedState = "2870177450012600311" // seed 42 + PRIME64_5 + 8
+
+  // (a * c) mod 2^64 for a in [0, 2^64): al*c ≤ 2^96 and (ah*c mod 2^32)
+  // * 2^32 ≤ 2^64 both fit HUGEINT, their sum reassembles the low 64 bits
+  private def sqlMulMod(a: String, c: String): String =
+    s"CAST((((CAST($a AS HUGEINT) % 4294967296) * $c + " +
+      s"(((CAST($a AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296) " +
+      s"% $M64) AS UBIGINT)"
+  private def sqlAddMod(a: String, c: String): String =
+    s"CAST(((CAST($a AS HUGEINT) + $c) % $M64) AS UBIGINT)"
+  // rotl(a, k): low part a·2^k mod 2^64 and high part a >> (64-k) occupy
+  // disjoint bit ranges, so + is |
+  private def sqlRotl(a: String, k: Int): String =
+    s"CAST(((CAST($a AS HUGEINT) * ${BigInt(1) << k}) % $M64 + " +
+      s"CAST($a AS HUGEINT) // ${BigInt(1) << (64 - k)}) AS UBIGINT)"
+  private def sqlXorShr(a: String, k: Int): String = s"xor($a, ($a >> $k))"
+
+  /** xxhash64-of-a-long as per-element STAGES (input: one nonnegative
+    * BIGINT named `h`; output: the hash as UBIGINT). Kept as a stage list
+    * so callers apply them as successive list comprehensions over a hash
+    * column — inlining the chain into one expression would duplicate
+    * subtrees ~2^9× (rotl and xor-shift each reference their argument
+    * twice).
+    */
+  private def sqlXxh64Stages: Seq[String] = Seq(
+    sqlMulMod("h", XxP2), sqlRotl("h", 31), sqlMulMod("h", XxP1),
+    s"xor(CAST($XxSeedState AS UBIGINT), h)",
+    sqlRotl("h", 27), sqlMulMod("h", XxP1), sqlAddMod("h", XxP4),
+    sqlXorShr("h", 33), sqlMulMod("h", XxP2),
+    sqlXorShr("h", 29), sqlMulMod("h", XxP3),
+    sqlXorShr("h", 32))
+
+  /** CTE chain applying [[sqlXxh64Stages]] element-wise to list column
+    * `listCol` of CTE `srcCte` (which must also carry `id`); the final
+    * CTE is named `mixed` with UBIGINT list column `mh`.
+    */
+  def sqlXxh64Ctes(srcCte: String, listCol: String): String = {
+    val stages = sqlXxh64Stages
+    stages.zipWithIndex.map { case (st, i) =>
+      val (src, c) = if (i == 0) (srcCte, listCol) else (s"mx$i", s"m$i")
+      val (name, outc) =
+        if (i == stages.size - 1) ("mixed", "mh") else (s"mx${i + 1}", s"m${i + 1}")
+      s"$name AS (SELECT id, [$st for h in $c] AS $outc FROM $src)"
+    }.mkString(",\n")
+  }
+
+  /** SimHash over an UNSIGNED (UBIGINT) hash list, emitted as a signed
+    * BIGINT fingerprint — bit 63 becomes the sign bit, matching the JVM
+    * long the native kernel returns. Same majority-bit vote as
+    * [[sqlSimHash]].
+    */
+  def sqlSimHashU(mhE: String, bits: Int): String =
+    (0 until bits).map { b =>
+      val vote =
+        s"list_sum([CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END for h in $mhE]) > 0"
+      val term =
+        if (b == 63) "(-9223372036854775807 - 1)"
+        else s"CAST(${1L << b} AS BIGINT)"
+      s"CASE WHEN $vote THEN $term ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** Banded Hamming candidate pairs over SimHash fingerprints: pairs that
     * agree on at least one `chunkBits`-bit chunk, with exact Hamming
     * distance. Same join-shape scale story as LSH.
@@ -385,6 +461,11 @@ object Dedup {
     * so most runs take the fast path even at large SF, while a 100 TB
     * worst case degrades gracefully to O(log d) shuffles instead of OOM.
     *
+    * Loop parallelism is SELF-TUNED from the measured edge count (see
+    * the inline rule): callers never size shuffle partitions for the
+    * label table, and the same invocation stays efficient from a 5k-doc
+    * gate corpus to a forced-distributed 100× tier.
+    *
     * Fault tolerance: by default rounds are cut with `localCheckpoint`
     * (blocks live on executors — fast, but an executor loss kills the
     * job, acceptable in local mode and on reliable clusters). Pass
@@ -409,40 +490,61 @@ object Dedup {
     // pipeline (LSH join + verify) would otherwise run once per side
     val edges = cut(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")))
-    if (edges.count() <= localEdgeLimit) return localComponents(edges)
-    val sym = cut(edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = cut(sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIters) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      // 1-hop min propagation; checkpointed because the pointer jump
-      // self-joins it (an un-materialized self-join plans the whole
-      // aggregate subtree once per side)
-      val hop = cut(labels.select(col("id"), col("comp")).union(prop)
-        .groupBy("id").agg(min(col("comp")).as("comp")))
-      // pointer jump: comp(v) := comp(comp(v)) — rename one side fully so
-      // the self-join has no shared attribute ids
-      val next = cut(hop
-        .join(hop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
-          col("comp") === col("__cid"))
-        .select(col("id"), col("__ccomp").as("comp")))
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
-      labels = next
-      converged = s == prevSum
-      prevSum = s
-      i += 1
-    }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents hit maxIters=$maxIters before the label sum " +
-          "stabilized — returned labels may split true components. Raise " +
-          "maxIters for pathologically deep graphs.")
-    labels
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeLimit) return localComponents(edges)
+    // SELF-TUNED loop parallelism: the frames the loop shuffles are the
+    // label table (≈ vertex count ≤ 2·edges rows of 16 B) and the
+    // symmetrized edge list — both sized by the GRAPH, not by whatever
+    // the session's shuffle-partition setting was tuned for. Derive the
+    // loop's partition count from the edge count (the rows-per-partition
+    // rule the scale bench applied externally): a 5k-doc gate corpus
+    // stops paying 32-partition task overhead per round, and a 100×
+    // corpus stops starving on a small pinned constant — the same code
+    // path serves both without caller tuning. Capped at 4× the session
+    // setting so a huge edge list cannot explode the partition count
+    // past what the cluster was provisioned for; `sum()` convergence
+    // probes and checkpoint cuts are partition-count invariant, so the
+    // override cannot change results (the g02 oracle pins that).
+    val spark = pairs.sparkSession
+    val sessParts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong).getOrElse(200L)
+    val tuned = math.max(4L, math.min(2L * nEdges / 5000L, sessParts * 4))
+    spark.conf.set("spark.sql.shuffle.partitions", tuned.toString)
+    try {
+      val sym = cut(edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      var labels = cut(sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+      var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+      var i = 0
+      var converged = false
+      while (!converged && i < maxIters) {
+        val prop = sym.join(labels, sym("src") === labels("id"))
+          .select(col("dst").as("id"), col("comp"))
+        // 1-hop min propagation; checkpointed because the pointer jump
+        // self-joins it (an un-materialized self-join plans the whole
+        // aggregate subtree once per side)
+        val hop = cut(labels.select(col("id"), col("comp")).union(prop)
+          .groupBy("id").agg(min(col("comp")).as("comp")))
+        // pointer jump: comp(v) := comp(comp(v)) — rename one side fully so
+        // the self-join has no shared attribute ids
+        val next = cut(hop
+          .join(hop.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+            col("comp") === col("__cid"))
+          .select(col("id"), col("__ccomp").as("comp")))
+        val s = next.agg(sum(col("comp"))).head().getLong(0)
+        labels = next
+        converged = s == prevSum
+        prevSum = s
+        i += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents hit maxIters=$maxIters before the label sum " +
+            "stabilized — returned labels may split true components. Raise " +
+            "maxIters for pathologically deep graphs.")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessParts.toString)
   }
 
   /** Driver-side union-find over a collected edge list — the bounded

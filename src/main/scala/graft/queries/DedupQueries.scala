@@ -147,6 +147,45 @@ object DedupQueries {
       .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
   }
 
+  /** S1b — the PRODUCTION SimHash config under a full oracle:
+    * `withSimHash(bits = 64, mix64 = true)` with 4×16-bit chunks — the
+    * scale path (the 32-bit gate form's 16-bit chunk ceiling pockets
+    * candidates quadratically at ≥500k docs, measured in BENCH_SCALE).
+    * mix64 widens each ~30-bit rolling hash through xxhash64 so all 64
+    * fingerprint bits carry signal; the oracle re-derives that exact
+    * arithmetic ([[Dedup.sqlXxh64Ctes]]) plus the 64-bit majority vote
+    * with a signed bit-63, then the identical chunk join / Hamming /
+    * top-100 shape as `s01`.
+    */
+  val s01bSimHash64: GraftQuery = GraftQuery(
+    "s01b_simhash64_pairs", {
+      val bits = 64
+      val hsE = Dedup.sqlTokenHashes("text")
+      val chunkSelects = (0 until bits / ChunkBits).map(c =>
+        s"SELECT id, sim, $c AS chunk_id, (sim >> ${c * ChunkBits}) & ${(1L << ChunkBits) - 1} AS chunk_key FROM sims")
+      s"""WITH hs AS (SELECT doc_id AS id, $hsE AS hs FROM documents),
+         |${Dedup.sqlXxh64Ctes("hs", "hs")},
+         |sims AS (SELECT id, ${Dedup.sqlSimHashU("mh", bits)} AS sim FROM mixed),
+         |chunked AS (${chunkSelects.mkString("\nUNION ALL\n")}),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         |         CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+         |  FROM chunked x JOIN chunked y
+         |    ON x.chunk_id = y.chunk_id AND x.chunk_key = y.chunk_key AND x.id < y.id),
+         |top AS (SELECT * FROM cand ORDER BY hamming, id_a, id_b LIMIT 100)
+         |SELECT id_a, id_b, hamming, t.n_candidates
+         |FROM top CROSS JOIN (SELECT COUNT(*) AS n_candidates FROM cand) t
+         |ORDER BY hamming, id_a, id_b""".stripMargin
+    }) { (spark, dir) =>
+    val pairs = Dedup.simHashPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 64, ChunkBits, mix64 = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = pairs.agg(count(lit(1)).as("n_candidates"))
+    pairs.orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(100)
+      .crossJoin(broadcast(total))
+      .orderBy(asc("hamming"), asc("id_a"), asc("id_b"))
+  }
+
   /** M2 — MinHash ESTIMATOR quality against exact Jaccard, per
     * consecutive-id pair: the estimate (matching signature positions /
     * numPerms) sits next to the exact set Jaccard, so the estimator the
@@ -434,12 +473,13 @@ object DedupQueries {
     // the grouping semantics are defined over the CANDIDATE edge set —
     // the verify-free pipeline (the oracle's `cand` CTE exactly)
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
-    // the label frames are |verts| rows — size the component loop's
-    // shuffle to the CORPUS, not the session: at gate scale (≤5k docs) 32
-    // partitions make every propagation round pure task overhead, while
-    // pinning a small constant starves the loop at 100× (measured ~40%
-    // slower end-to-end at the 500k-doc tier). docs.count() is a parquet
-    // metadata read; ~5k label rows per partition, floor 4.
+    // size the CANDIDATE-GENERATION shuffles (band join, distinct) to
+    // the corpus, not the session: at gate scale (≤5k docs) 32
+    // partitions make them pure task overhead, while pinning a small
+    // constant starves them at 100× (measured ~40% slower end-to-end at
+    // the 500k-doc tier). The component loop itself now self-tunes from
+    // the edge count inside [[Dedup.connectedComponents]]. docs.count()
+    // is a parquet metadata read; ~5k rows per partition, floor 4.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val ccParts = math.min(prevParts.toLong, math.max(4L, docs.count() / 5000L))
     spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
@@ -455,5 +495,5 @@ object DedupQueries {
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, s01SimHash,
-    g01NgramJaccard, g02DedupGroups)
+    s01bSimHash64, g01NgramJaccard, g02DedupGroups)
 }

@@ -40,6 +40,23 @@ class ExpressionSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_rolling_hash"))
   }
 
+  test("xxhash64-on-long matches the published xxHash64 single-lane arithmetic") {
+    // These constants were computed independently from the published
+    // xxHash64 algorithm (seed 42, one 8-byte little-endian lane) — the
+    // SAME derivation the s01b DuckDB oracle re-implements in SQL
+    // (Dedup.sqlXxh64Ctes). If Spark ever changed seed or algorithm,
+    // this pins the break to the mixer rather than a silent s01b drift.
+    val expected = Map(
+      0L -> -5252525462095825812L,
+      1L -> -7001672635703045582L,
+      42L -> -6876166290308861218L,
+      1073741823L -> 8860711335876174261L,
+      1000000006L -> 2327131347132978967L)
+    val out = expected.keys.toSeq.toDF("x")
+      .select($"x", xxhash64($"x").as("h")).as[(Long, Long)].collect().toMap
+    expected.foreach { case (k, v) => assert(out(k) == v, s"xxhash64($k)") }
+  }
+
   test("GraftExtensions injects the function into a fresh session") {
     // builder extensions apply at session construction; with an existing
     // SparkContext a cloned session demonstrates the injection path
