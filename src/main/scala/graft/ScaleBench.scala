@@ -25,8 +25,15 @@ object ScaleBench {
   private val DocQueries = Seq(
     "m01_minhash_lsh", "s01_simhash_pairs", "g02_dedup_groups",
     "c02_curation_full", "t09_span_dedup", "t11_decontaminate")
-  // relational heavies: only at tiers generated in `full` mode
-  private val RelQueries = Seq("a08_correlation", "x01_exact_dedup")
+  // events-backed heavies: batch-relational, stateful-batch, and the
+  // five STREAMING gates (AvailableNow file stream + state stores) —
+  // the state-store growth curve is the thing to measure per tier
+  private val EventQueries = Seq(
+    "x01_exact_dedup", "x06_upsert_merge", "w02_rolling_time_window",
+    "st03_funnel", "sm01_stream_window", "sm02_stream_dedup",
+    "sm03_stream_sessions", "sm04_stream_join", "sm05_stream_static_join")
+  // lineitem-backed heavies: only at tiers generated in `full` mode
+  private val RelQueries = Seq("a08_correlation")
 
   def main(args: Array[String]): Unit = {
     val Array(scaleRoot, outJson) = args
@@ -70,8 +77,10 @@ object ScaleBench {
       * quadratic configuration, not the operator.
       */
     def tierOps(dir: String, factor: Int): Seq[(String, () => Long)] = {
-      val gates = (DocQueries ++ RelQueries.filter(_ => hasTable(
-        dir.split('/').last, "lineitem"))).map { q =>
+      val tier = dir.split('/').last
+      val gates = (DocQueries ++
+        EventQueries.filter(_ => hasTable(tier, "events")) ++
+        RelQueries.filter(_ => hasTable(tier, "lineitem"))).map { q =>
         q -> (() => SparkEntry.queries(q)(spark, dir).count())
       }
       val planes = 6 + (math.log(factor.toDouble) / math.log(2.0)).round.toInt

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * scaled corpus has N× the distinct entities, not N copies of the same
   * ones.
   *
-  * Usage: `tools/run.sh graft.ScaleData <srcSfDir> <outDir> <copies> <full|docs>`
+  * Usage: `tools/run.sh graft.ScaleData <srcSfDir> <outDir> <copies> <full|docs|events>`
   *
   * Replication rules (copy index c ∈ [0, N)):
   *  - every key column gets `+ c·10^8` (referential integrity preserved
@@ -31,7 +31,12 @@ import org.apache.spark.sql.functions._
   *
   * `docs` mode writes only documents + embeddings (+ dims) — the 100×
   * tier feeds the near-dup/text/ANN family only, so the 6 GB of unused
-  * 100× relational tables are skipped.
+  * 100× relational tables are skipped. `events` mode adds the events
+  * table on top of `docs` (timestamps shifted per copy so the time axis
+  * grows with the data — a verbatim 100× replication of one week of
+  * events would measure watermark state at 100× the per-window density
+  * instead of 100× the window count, which is not how ingestion scales),
+  * still skipping orders/lineitem.
   */
 object ScaleData {
   private val KeyOffset = 100000000L // 10^8 per copy; source keys ≪ 10^8
@@ -93,11 +98,28 @@ object ScaleData {
         "orders", math.max(4, copies))
       write(replicated("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
         .drop("__copy"), "lineitem", math.max(4, copies * 2))
+    }
+    if (mode == "full" || mode == "events") {
       // events.parquet carries TIMESTAMP(NANOS); go through Tables.events
-      // (nanos→micros rebuild) and write standard micros timestamps
-      write(Tables.events(spark, srcDir).crossJoin(broadcast(copyIdx))
+      // (nanos→micros rebuild) and write standard micros timestamps.
+      // Each copy is time-shifted by the source span + 1h: the tier covers
+      // N× the wall-clock range at the SOURCE's per-window density — the
+      // continuous-ingestion axis, which is what watermark eviction and
+      // per-key state are designed around. (Verbatim-time replication
+      // would instead pack N× the rows into the same windows — a
+      // density experiment, not a scale-up of the stream.) Keys are
+      // remapped per copy as everywhere else, so sessions/joins never
+      // cross copies and true session/pair counts grow exactly linearly.
+      val ev0 = Tables.events(spark, srcDir)
+      val Array(spanMicros) = ev0
+        .select((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))
+          + 3600L * 1000000L).as("span"))
+        .collect().map(_.getLong(0))
+      write(ev0.crossJoin(broadcast(copyIdx))
         .withColumn("event_id", col("event_id") + col("__copy") * KeyOffset)
         .withColumn("user_id", col("user_id") + col("__copy") * KeyOffset)
+        .withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) + col("__copy") * spanMicros))
         .drop("__copy"), "events", math.max(4, copies))
     }
     spark.stop()

@@ -37,14 +37,32 @@ object StreamingQueries {
     val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // peek the landed file once (footer-only): the driver's source dirs
+    // carry TIMESTAMP(NANOS) `ts` (read as long, rebuilt below); scale
+    // tiers re-write standard micros timestamps — both shapes stream
+    // through the same pipeline. The row count also sizes the state
+    // stores: `partitions` is a FLOOR (gate corpus pays 8 store
+    // init+commits per batch, not 32), and a scaled tier grows stores
+    // with the data (~250k rows per partition) instead of starving on
+    // the gate constant.
+    val peek = spark.read.parquet(s"$dir/events.parquet")
+    val tsIsLong = peek.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val parts = math.max(partitions.toLong, peek.count() / 250000L)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val staging = java.nio.file.Files.createTempDirectory(prefix)
     try {
       java.nio.file.Files.createSymbolicLink(
         staging.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      body(spark.readStream.schema(eventsStreamSchema).parquet(staging.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      val schema =
+        if (tsIsLong) eventsStreamSchema
+        else org.apache.spark.sql.types.StructType(eventsStreamSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f))
+      val src = spark.readStream.schema(schema).parquet(staging.toString)
+      body(if (tsIsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+           else src)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNanos match {

@@ -43,22 +43,10 @@ object FeedPageSource {
     StructField("page_idx", LongType, nullable = false),
     StructField("json", StringType)))
 
+  private val Prefix = "page"
+
   /** Page indices currently landed (batch reads plan exactly these). */
-  def pageIndices(dir: String): Seq[Long] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case PageFile(idx) => idx.toLong }
-          .toSeq.sorted
-      } finally s.close()
-    }
-  }
-  private val PageFile = "page_(\\d+)\\.json".r
+  def pageIndices(dir: String): Seq[Long] = IndexedFiles.indices(dir, Prefix)
 
   /** Streaming high-water mark: max landed index + 1 — NOT the file
     * count, so consumed pages can be rotated/archived out of the landing
@@ -66,11 +54,10 @@ object FeedPageSource {
     * index order, one atomic write per page, so every index < the max is
     * already landed or intentionally rotated away).
     */
-  def pageCount(dir: String): Long =
-    pageIndices(dir).lastOption.map(_ + 1L).getOrElse(0L)
+  def pageCount(dir: String): Long = IndexedFiles.highWater(dir, Prefix)
 
   def pagePath(dir: String, idx: Long): java.nio.file.Path =
-    Paths.get(dir, f"page_$idx%05d.json")
+    IndexedFiles.path(dir, Prefix, idx)
 }
 
 private class FeedPageTable(dir: String) extends Table with SupportsRead {
