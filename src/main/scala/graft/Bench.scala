@@ -25,10 +25,18 @@ object Bench {
     // best-of-2: the second run strips codegen-compile + GC noise left by
     // neighboring heavy queries, so per-query numbers are comparable
     // across rounds (measured: a trivial query read 5s after a heavy one,
-    // 0.25s in isolation)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // 0.25s in isolation). SPARK_GRAFT_BENCH_ONLY (comma-separated names)
+    // and SPARK_GRAFT_BENCH_RUNS narrow/deepen a measurement session —
+    // e.g. best-of-3 on just a suspect query family when settling whether
+    // a delta is plan-caused or machine noise; the driver sets neither.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         // operators that persist() intermediates would otherwise serve run 2
         // from run 1's cache (CacheManager matches canonicalized plans) —
         // clear so every timed run pays the query's real cost
