@@ -38,6 +38,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val Array(scaleRoot, outJson) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // targeted-session knobs (mirror Bench's SPARK_GRAFT_BENCH_ONLY):
+    // comma-separated query-name prefixes / tier names; ONLY also skips
+    // the incremental experiment (it is not a named query)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(q: String): Boolean = only.forall(_.exists(q.startsWith))
+    val tierFilter = sys.env.get("SPARK_GRAFT_SCALE_TIERS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +61,7 @@ object ScaleBench {
     val tiers = Seq("1x", "10x", "100x")
       .filter(t => java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(s"$scaleRoot/$t")))
+      .filter(t => tierFilter.forall(_.contains(t)))
     def hasTable(t: String, name: String): Boolean =
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$scaleRoot/$t/$name.parquet"))
@@ -124,7 +133,7 @@ object ScaleBench {
           graft.operators.Dedup.connectedComponents(
             pairs, localEdgeLimit = 0L).count()
         }))
-      gates ++ tuned
+      (gates ++ tuned).filter { case (q, _) => keep(q) }
     }
 
     val tierResults = tiers.map { t =>
@@ -152,7 +161,7 @@ object ScaleBench {
 
     // incremental-ingestion experiment: fixed ~1k-doc batch (half novel,
     // half colliding with the store) admitted against each tier's store
-    val incremental = tiers.map { t =>
+    val incremental = (if (only.isDefined) Seq.empty else tiers).map { t =>
       val dir = s"$scaleRoot/$t"
       val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
       val batchBase = Tables.documents(spark, s"$scaleRoot/1x")

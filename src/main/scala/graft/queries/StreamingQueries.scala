@@ -51,10 +51,23 @@ object StreamingQueries {
     val parts = math.max(partitions.toLong, peek.count() / 250000L)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val staging = java.nio.file.Files.createTempDirectory(prefix)
+    // the source may be a single parquet FILE (driver testdata) or a
+    // Spark-written DIRECTORY of part-files (scale tiers). The file
+    // stream source does not descend into a symlinked directory, so
+    // stage one link PER DATA FILE — which is also the landing-dir
+    // deployment shape (files arrive individually).
+    val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val landed: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(srcPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(srcPath).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } else Seq(srcPath)
     try {
-      java.nio.file.Files.createSymbolicLink(
-        staging.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      landed.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.createSymbolicLink(
+          staging.resolve(f"landed-$i%05d.parquet"), f)
+      }
       val schema =
         if (tsIsLong) eventsStreamSchema
         else org.apache.spark.sql.types.StructType(eventsStreamSchema.map(f =>
@@ -69,7 +82,8 @@ object StreamingQueries {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
-      java.nio.file.Files.deleteIfExists(staging.resolve("events.parquet"))
+      landed.indices.foreach(i =>
+        java.nio.file.Files.deleteIfExists(staging.resolve(f"landed-$i%05d.parquet")))
       java.nio.file.Files.deleteIfExists(staging)
     }
   }
