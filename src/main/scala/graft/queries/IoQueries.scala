@@ -41,8 +41,10 @@ object IoQueries {
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.option("header", "true").option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt) // sink owns BOTH flavors' formats
       .mode("overwrite").csv(out)
     spark.read.option("header", "true").option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt)
       .schema(eventsCsvSchema).csv(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -71,8 +73,11 @@ object IoQueries {
     val out = Dsl.tempStore("io02_json")
     Tables.events(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.option("timestampFormat", tsFmt).mode("overwrite").json(out)
+      .write.option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt) // sink owns BOTH flavors' formats
+      .mode("overwrite").json(out)
     spark.read.option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt)
       .schema(eventsCsvSchema).json(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

@@ -38,16 +38,15 @@ object StreamingQueries {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // peek the landed file once (footer-only): the driver's source dirs
-    // carry TIMESTAMP(NANOS) `ts` (read as long, rebuilt below); scale
-    // tiers re-write standard micros timestamps — both shapes stream
-    // through the same pipeline. The row count also sizes the state
-    // stores: `partitions` is a FLOOR (gate corpus pays 8 store
-    // init+commits per batch, not 32), and a scaled tier grows stores
-    // with the data (~250k rows per partition) instead of starving on
-    // the gate constant.
+    // have shipped `ts` as TIMESTAMP(NANOS) (read as long, rebuilt below),
+    // TIMESTAMP_NTZ, and plain TIMESTAMP across generations; all three
+    // stream through the same pipeline via Tables.normalizedEventTs. The
+    // row count also sizes the state stores: `partitions` is a FLOOR
+    // (gate corpus pays 8 store init+commits per batch, not 32), and a
+    // scaled tier grows stores with the data (~250k rows per partition)
+    // instead of starving on the gate constant.
     val peek = spark.read.parquet(s"$dir/events.parquet")
-    val tsIsLong = peek.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
+    val tsType = peek.schema("ts").dataType
     val parts = math.max(partitions.toLong, peek.count() / 250000L)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val staging = java.nio.file.Files.createTempDirectory(prefix)
@@ -68,14 +67,15 @@ object StreamingQueries {
         java.nio.file.Files.createSymbolicLink(
           staging.resolve(f"landed-$i%05d.parquet"), f)
       }
-      val schema =
-        if (tsIsLong) eventsStreamSchema
-        else org.apache.spark.sql.types.StructType(eventsStreamSchema.map(f =>
-          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
-          else f))
+      // declare the stream schema with the file's own ts encoding (a
+      // TIMESTAMP schema over an NTZ file fails the parquet dtype check),
+      // then normalize to TIMESTAMP exactly as the batch loader does.
+      val schema = org.apache.spark.sql.types.StructType(
+        eventsStreamSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f))
       val src = spark.readStream.schema(schema).parquet(staging.toString)
-      body(if (tsIsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-           else src)
+      body(if (tsType == org.apache.spark.sql.types.TimestampType) src
+           else src.withColumn("ts", Tables.normalizedEventTs(tsType)))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNanos match {

@@ -55,8 +55,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(src, dirP.resolve("events.parquet"))
     val dir = dirP.toString
     val schema = spark.read.parquet(dir).schema
+    val tsType = schema("ts").dataType
     val rebuild = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", Tables.normalizedEventTs(tsType))
     val streamed = EventStreams.windowedTypeCounts(
       rebuild(spark.readStream.schema(schema).parquet(dir)), "1 hour", "1 day")
     val q = streamed.writeStream.format("memory").queryName("filewtc")
