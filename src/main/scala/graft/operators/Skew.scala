@@ -40,6 +40,24 @@ object Skew {
       .withColumnRenamed("__key", "key")
   }
 
+  /** As [[saltedAggregate]] but keyed by multiple columns and keeping the
+    * EXACT DECIMAL(28,6) sum — for callers composing further exact
+    * arithmetic on the partials (e.g. a rolling window over per-(user,
+    * day) pre-aggregates), where the double cast would re-introduce
+    * float-order divergence. Output columns: the keys (original names),
+    * `n`, `sum_value` (decimal).
+    */
+  def saltedAggregateExact(df: DataFrame, keys: Seq[String], valueCol: Column,
+                           saltBuckets: Int): DataFrame = {
+    val salted = df.select(keys.map(col) :+ valueCol.as("__v") :+
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)).as("__salt"): _*)
+    val partial = salted.groupBy(keys.head, keys.tail :+ "__salt": _*)
+      .agg(count(lit(1)).as("__pn"), sum(col("__v").cast("decimal(28,6)")).as("__ps"))
+    partial.groupBy(keys.head, keys.tail: _*)
+      .agg(sum(col("__pn")).as("n"),
+        sum(col("__ps")).cast("decimal(28,6)").as("sum_value"))
+  }
+
   /** Skew-resistant equi-join of a big frame against a small (but not
     * broadcast-tiny) frame: the small side is replicated `saltBuckets`
     * times, the big side salted deterministically, and the join runs on

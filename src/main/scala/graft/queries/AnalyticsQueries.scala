@@ -469,6 +469,49 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** W2b — w02's production path for HEAVY KEYS, gated: remap 90% of
+    * events onto one user (SkewSpec's shape, derived deterministically so
+    * the oracle can reproduce it), pre-aggregate per (user, day) through
+    * [[graft.operators.Skew.saltedAggregateExact]] — the hot user's rows
+    * spread over 16 salt reducers before any single task sees them — then
+    * run the trailing-7-day frame over the DAILY partials instead of raw
+    * events. Per-user window state drops from O(events) to O(days), which
+    * is what makes the frame sort survive a user with 10^8 events at
+    * 100 TB. The decimal partial sum stays exact through the window so
+    * the single double conversion at the end matches DuckDB bit-for-bit.
+    */
+  val w02bRollingSkewed: GraftQuery = GraftQuery(
+    "w02b_rolling_skewed",
+    """WITH skewed AS (
+      |  SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS user_id,
+      |         epoch_us(ts) // 86400000000 AS day_num, value
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day_num, COUNT(*) AS n_day,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS sum_day
+      |  FROM skewed GROUP BY user_id, day_num)
+      |SELECT user_id, day_num, n_day,
+      |  CAST(SUM(n_day) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(sum_day) OVER w AS DOUBLE) AS sum_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day_num""".stripMargin) { (spark, dir) =>
+    val skewed = Tables.events(spark, dir).select(
+      when(col("event_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+        .as("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day_num"),
+      col("value"))
+    val daily = graft.operators.Skew.saltedAggregateExact(
+      skewed, Seq("user_id", "day_num"), col("value"), saltBuckets = 16)
+    val w = Window.partitionBy("user_id").orderBy("day_num").rangeBetween(-6, 0)
+    daily.select(
+      col("user_id"), col("day_num"), col("n").as("n_day"),
+      sum(col("n")).over(w).as("n_7d"),
+      sum(col("sum_value")).over(w).cast("double").as("sum_7d"))
+      .orderBy("user_id", "day_num")
+  }
+
   /** A17 — grouped EXACT quantiles by rank selection (type-1, no
     * interpolation): per event type, the p50/p90/p99 of value is the
     * element at rank ceil(p·n) of the sorted group. Rank selection keeps
@@ -846,5 +889,5 @@ object AnalyticsQueries {
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, j02TimeAlign, w01Windows,
-    w02RollingTime, w03RankFunctions)
+    w02RollingTime, w02bRollingSkewed, w03RankFunctions)
 }

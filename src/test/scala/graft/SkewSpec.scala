@@ -27,6 +27,21 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedAggregateExact equals direct composite-key groupBy, keeps decimal") {
+    val withDay = skewed.withColumn("day", $"id" % 5)
+    val direct = withDay.groupBy("k", "day")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(28,6)")).cast("decimal(28,6)").as("sum_value"))
+      .collect().toSet
+    val salted = Skew.saltedAggregateExact(withDay, Seq("k", "day"), $"v",
+        saltBuckets = 8).collect().toSet
+    assert(salted == direct)
+    val sumType = Skew.saltedAggregateExact(withDay, Seq("k", "day"), $"v", 8)
+      .schema("sum_value").dataType
+    assert(sumType == org.apache.spark.sql.types.DecimalType(28, 6),
+      s"exact variant must keep the DECIMAL partial, got $sumType")
+  }
+
   test("saltedBroadcastableJoin equals the plain inner join") {
     val dim = (0L to 49L).map(k => (k, s"name_$k")).toDF("k", "name")
     val plain = skewed.join(dim, Seq("k"), "inner")
