@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through VERBATIM instead of via the
+// sbt logger: the logger's "[info] " prefix makes Bench's final JSON
+// line unparseable for any consumer doing json.loads(last_line) on
+// `sbt runMain graft.Bench` output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

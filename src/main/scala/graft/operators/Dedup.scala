@@ -170,6 +170,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Connectivity-preserving candidate edges for COMPONENT GROUPING: per
+    * (band_id, band_key) bucket, a STAR to the bucket-minimum id instead
+    * of the full clique. Connected components over the stars equal
+    * components over [[lshCandidatePairs]]' cliques — a bucket's clique
+    * and its star connect exactly the same vertex set — but the edge
+    * count is Σ|bucket| instead of Σ|bucket|², which is what survives a
+    * hot bucket at 100 TB: one 10^4-doc bucket emits 10^4 star edges
+    * where the clique form emits 10^8 pairs (and pair-count, not doc
+    * count, is what made the clique form super-linear on a
+    * closed-vocabulary corpus). One window shuffle on the bucket key
+    * replaces the band self-join + pair distinct entirely. Use this for
+    * grouping (g02/c02); keep [[lshCandidatePairs]] where each PAIR is
+    * consumed downstream (m01's verify).
+    */
+  def lshComponentEdges(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
+    val bucketMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_key")
+    bandedSignatures(docs, idCol, textCol, shingleK, numPerms, bands)
+      .select(col("id"), min(col("id")).over(bucketMin).as("__root"))
+      .filter(col("id") =!= col("__root"))
+      .select(col("__root").as("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash near-dup pairs verified by the SIGNATURE ESTIMATOR instead
     * of exact Jaccard — the 100 TB verification form: exact verify
     * ([[nearDupPairs]]) re-joins every candidate pair to both documents'

@@ -159,10 +159,11 @@ object CurationQueries {
     import graft.queries.DedupQueries.{Bands, NumPerms, ShingleK}
     val docs = Tables.documents(spark, dir)
     // 1. near-dup groups → drop non-representatives
-    // candidate edges only — the grouping is defined over band
-    // collisions (the oracle's `cand`), so the exact-verify join would
-    // be paid and discarded (see lshCandidatePairs)
-    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // the grouping is defined over band collisions (the oracle's `cand`)
+    // but only their CONNECTIVITY is consumed — per-bucket star edges
+    // give identical components at Σ|bucket| instead of Σ|bucket|² edges
+    // (see lshComponentEdges)
+    val pairs = Dedup.lshComponentEdges(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
     // component-loop shuffle sized to the corpus, not the session (same
     // sizing rule and rationale as g02)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

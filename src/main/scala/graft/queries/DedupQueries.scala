@@ -470,9 +470,11 @@ object DedupQueries {
        |SELECT component, COUNT(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    // the grouping semantics are defined over the CANDIDATE edge set —
-    // the verify-free pipeline (the oracle's `cand` CTE exactly)
-    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // the grouping semantics are defined over the CANDIDATE edge set (the
+    // oracle's `cand` CTE) — but only its CONNECTIVITY matters here, so
+    // generate per-bucket stars, not cliques: identical components,
+    // Σ|bucket| edges instead of Σ|bucket|² (see lshComponentEdges).
+    val pairs = Dedup.lshComponentEdges(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
     // size the CANDIDATE-GENERATION shuffles (band join, distinct) to
     // the corpus, not the session: at gate scale (≤5k docs) 32
     // partitions make them pure task overhead, while pinning a small

@@ -35,6 +35,58 @@ class OnnxVisionSpec extends SparkSpec {
         s"channel $c pixel $px: ${t(c * 64 + px)} vs ${expect(c)}")
   }
 
+  test("preprocess: per-pixel golden tensor on a gradient (pins CHW indexing)") {
+    // identity-size input (8x8 into inputSize=8) so resize is pass-through
+    // and every pixel's expected value is the closed-form
+    // ((v/255) - mean_c) / std_c. A constant image cannot catch x/y
+    // transposition or plane-order bugs; this gradient pins both: every
+    // (x, y, channel) has a distinct hand-computable value.
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 30) << 16) | ((y * 25) << 8) | (x * 10 + y * 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val t = model.preprocess(bos.toByteArray).get
+    val mean = Seq(0.485f, 0.456f, 0.406f); val std = Seq(0.229f, 0.224f, 0.225f)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val raw = Seq(x * 30, y * 25, x * 10 + y * 5)
+      for (c <- 0 until 3) {
+        val expect = (raw(c) / 255.0f - mean(c)) / std(c)
+        val got = t(c * 64 + y * 8 + x)
+        assert(math.abs(got - expect) < 1e-5,
+          s"(x=$x,y=$y,c=$c): $got vs $expect")
+      }
+    }
+  }
+
+  test("preprocess: 2x downscale of a 2x2-block image hits the block values") {
+    // 16x16 built from 2x2 constant blocks, resized to 8x8: the sample
+    // grid lands inside equal-valued blocks for ANY sane interpolation,
+    // so the expected tensor is kernel-independent — this pins that the
+    // resize path actually runs (and scales, not crops) without coupling
+    // the test to AWT's exact bilinear weights.
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (bx, by) = (x / 2, y / 2)
+      img.setRGB(x, y, ((bx * 31) << 16) | ((by * 29) << 8) | ((bx + by) * 15))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val t = model.preprocess(bos.toByteArray).get
+    val mean = Seq(0.485f, 0.456f, 0.406f); val std = Seq(0.229f, 0.224f, 0.225f)
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      val raw = Seq(bx * 31, by * 29, (bx + by) * 15)
+      for (c <- 0 until 3) {
+        val expect = (raw(c) / 255.0f - mean(c)) / std(c)
+        val got = t(c * 64 + by * 8 + bx)
+        assert(math.abs(got - expect) < 2e-2, // interpolation headroom only
+          s"(bx=$bx,by=$by,c=$c): $got vs $expect")
+      }
+    }
+  }
+
   test("preprocess: corrupt input and B/W images → None (reference skip)") {
     assert(model.preprocess("not an image".getBytes).isEmpty)
     val bw = new java.awt.image.BufferedImage(
