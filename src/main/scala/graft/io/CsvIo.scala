@@ -60,6 +60,13 @@ object CsvIo {
       // RFC-4180 quote doubling (pandas to_csv convention) — must mirror
       // the readers' escape setting or embedded quotes break the round-trip
       .option("escape", "\"")
+      // the SINK owns its timestamp formats, for BOTH flavors: an NTZ
+      // column otherwise falls back to the default timestampNTZFormat and
+      // silently truncates to millis (the io01/io02 lesson). Space-
+      // separated 6-digit form is pandas' to_csv shape and parses back
+      // exactly through the readers' lenient default parser.
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
   }
 }

@@ -109,4 +109,25 @@ class GoldenFixtureSpec extends SparkSpec {
     val r = back.filter($"id" === 2117660727242468851L).head()
     assert(r.getSeq[String](r.fieldIndex("hashtags")).length == 21)
   }
+
+  test("CSV sink is microsecond-lossless for BOTH timestamp flavors") {
+    // the sink pins timestampFormat AND timestampNTZFormat: a µs-precision
+    // value of either flavor must survive write → declared-schema read
+    // exactly (the default NTZ format silently truncates to millis)
+    import org.apache.spark.sql.types._
+    val us = 1618000000123456L // ...123456 µs — truncation-sensitive
+    val df = Seq(1L).toDF("id")
+      .withColumn("ts_ltz", timestamp_micros(lit(us)))
+      .withColumn("ts_ntz", timestamp_micros(lit(us)).cast(TimestampNTZType))
+    val dir = Files.createTempDirectory("graft-csv-us").resolve("t.csv").toString
+    CsvIo.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts_ltz", TimestampType),
+      StructField("ts_ntz", TimestampNTZType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+      .select(unix_micros($"ts_ltz"),
+        unix_micros($"ts_ntz".cast(TimestampType)))
+      .as[(Long, Long)].head()
+    assert(back == ((us, us)))
+  }
 }

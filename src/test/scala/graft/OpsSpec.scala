@@ -194,6 +194,22 @@ class OpsSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("lshComponentEdges: star edges yield the exact clique-edge components") {
+    // the contraction claim itself, on real documents: components over
+    // the per-bucket STARS must equal components over the per-bucket
+    // CLIQUES (lshCandidatePairs), vertex for vertex — stars are only
+    // valid for grouping because of this equivalence
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaCliques = Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", 2, 16, 8))
+      .as[(Long, Long)].collect().toMap
+    val viaStars = Dedup.connectedComponents(
+      Dedup.lshComponentEdges(docs, "doc_id", "text", 2, 16, 8))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaCliques)
+    assert(viaStars.nonEmpty)
+  }
+
   test("connectedComponents: reliable checkpointing survives the iterative loop on a deep chain") {
     // a 120-vertex path is the pointer-jump worst case (diameter 119 →
     // ~7 doubling rounds); run the DISTRIBUTED loop with the opt-in
