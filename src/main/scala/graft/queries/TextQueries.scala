@@ -439,7 +439,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T13 — context-window chunk split (K=64 tokens, stride 48 ⇒ 16-token
+    * overlap): the standard pretraining/RAG chunker — every document is
+    * cut into K-token windows advancing by K−overlap so adjacent chunks
+    * share the overlap; the final chunk is the remainder (never empty).
+    * One row per chunk with its exact content hash, so the oracle checks
+    * both the chunk GEOMETRY (count, sizes) and CONTENT (rolling hash of
+    * the joined window).
+    *
+    * Scale: chunking is a per-row projection + generate — no shuffle but
+    * the gate's final ORDER BY (which a real pipeline drops). The chunk
+    * string is bound to its own attribute before hashing (the c01
+    * HOF-rebinding lesson).
+    */
+  val t13ChunkSplit: GraftQuery = GraftQuery(
+    "t13_chunk_split", {
+      val tkE = sqlTokens("text")
+      val chunkE = "array_to_string(tk[st+1:LEAST(st+64, n)], ' ')"
+      s"""WITH tok AS (SELECT doc_id, $tkE AS tk, len($tkE) AS n FROM documents),
+         |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 48)) AS st
+         |       FROM tok WHERE n > 0)
+         |SELECT doc_id, st // 48 AS chunk_id,
+         |  CAST(LEAST(st + 64, n) - st AS BIGINT) AS n_chunk,
+         |  ${sqlRollingHash(chunkE)} AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+    }) { (spark, dir) =>
+    val tk = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(48)))
+          .as(Seq("chunk_id", "st")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (least(col("st") + 64, col("n")) - col("st")).cast("long").as("n_chunk"),
+        array_join(
+          slice(col("tk"), col("st") + 1, least(lit(64), col("n") - col("st"))),
+          " ").as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk"),
+        rollingHash(col("__chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
-    t11Decontaminate, t12Rarity)
+    t11Decontaminate, t12Rarity, t13ChunkSplit)
 }
