@@ -22,6 +22,19 @@ object Bench {
     // otherwise pays (~0.5s misattributed to a01)
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // CONTENTION CANARY: a fixed, data-independent workload timed
+    // best-of-3. Machine contention inflates it in the same proportion
+    // as the query suite (observed: a contended runner read the whole
+    // suite ~2× slow with no plan change), so a round-over-round rise in
+    // `canary_sec` at a flat `value/canary_sec` ratio says "noisy
+    // machine", while a flat canary with a risen total says "real
+    // regression" — the artifact carries its own control.
+    val canary = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // modulo keeps the sum far from long overflow under ANSI mode
+      spark.range(200000000L).selectExpr("sum(id % 9973)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // best-of-2: the second run strips codegen-compile + GC noise left by
     // neighboring heavy queries, so per-query numbers are comparable
     // across rounds (measured: a trivial query read 5s after a heavy one,
@@ -57,7 +70,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedList,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":$qs,"failed":$failedList,"sf":"$sfDir"}"""
     // full-precision record: every query, written to a file AND printed
     // (the file is the self-contained artifact; the printed copy may be
     // cut by log-capture tail windows)
@@ -73,7 +86,7 @@ object Bench {
     val slowest = results.sortBy(-_._2)
     val budget = 1700
     val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
-    val tail0 = s"""},"queries_n":${results.size},"queries_full":"$fullPath","failed":$failedList,"sf":"$sfDir"}"""
+    val tail0 = f"""},"queries_n":${results.size},"canary_sec":$canary%.3f,"queries_full":"$fullPath","failed":$failedList,"sf":"$sfDir"}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail0.length
     slowest.foreach { case (k, v, _) =>
