@@ -147,6 +147,15 @@ object ScaleBench {
       // measured 37s at 32 partitions vs 19s at 96 on this machine).
       val parts = math.max(cpus.toInt, (docsRows / 5000L).toInt)
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // per-tier contention canary (same rationale as Bench's): a fixed
+      // data-independent workload whose time exposes machine contention
+      // DURING this tier's measurements — growth ratios are only
+      // trustworthy between tiers whose canaries agree
+      val canary = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(200000000L).selectExpr("sum(id % 9973)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       // best-of-2 everywhere: single runs at the 100× tier showed ±40%
       // run-to-run variance on the heavy queries (GC/page-cache state),
       // which is real noise against a 10× growth signal
@@ -156,7 +165,7 @@ object ScaleBench {
         println(f"[scalebench] $t $q: $sec%.2fs ($rows rows)")
         q -> (sec, rows)
       }
-      t -> (docsRows, embRows, results)
+      t -> (docsRows, embRows, canary, results)
     }
 
     // incremental-ingestion experiment: fixed ~1k-doc batch (half novel,
@@ -166,48 +175,61 @@ object ScaleBench {
       val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
       val batchBase = Tables.documents(spark, s"$scaleRoot/1x")
         .select("doc_id", "source", "text").filter(col("doc_id") < 1000)
-      // novel half: new ids + per-token suffix → no shared keys/shingles
-      val novel = batchBase.filter(col("doc_id") % 2 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(990000000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1xb"))
-      val colliding = batchBase.filter(col("doc_id") % 2 === 1)
-        .withColumn("doc_id", col("doc_id") + lit(991000000000L))
-      val batch = novel.unionByName(colliding).localCheckpoint()
+      // novel half: new ids + per-token suffix → no shared keys/shingles.
+      // TWO batches in disjoint id/text spaces make the admit measurable
+      // best-of-2 (a repeat of ONE batch would admit 0 — the store
+      // remembers it); batch 2's novel suffix differs so it collides with
+      // neither the store nor batch 1's admissions, so both runs admit
+      // the identical shape. Single runs here measured up to 10× apart
+      // on page-cache state — exactly the noise best-of-2 strips.
+      def mkBatch(suffix: String, idOff: Long) = {
+        val novel = batchBase.filter(col("doc_id") % 2 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(990000000000L + idOff))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + suffix))
+        val colliding = batchBase.filter(col("doc_id") % 2 === 1)
+          .withColumn("doc_id", col("doc_id") + lit(991000000000L + idOff))
+        novel.unionByName(colliding).localCheckpoint()
+      }
+      val batches = Seq(mkBatch("xb", 0L), mkBatch("xc", 10000000000L))
 
       val key = graft.functions.TextFunctions.rollingHash(col("text"))
       val exactStore = queries.Dsl.tempStore(s"scale_x04_$t")
       graft.operators.IncrementalDedup
         .dedupeBatch(docs, key, Seq(col("doc_id")), exactStore).count()
-      val t0 = System.nanoTime()
-      val exAdmitted = graft.operators.IncrementalDedup
-        .dedupeBatch(batch, key, Seq(col("doc_id")), exactStore).count()
-      val exactSec = (System.nanoTime() - t0) / 1e9
+      val (exactSec, exAdmitted) = batches.map { b =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.IncrementalDedup
+          .dedupeBatch(b, key, Seq(col("doc_id")), exactStore).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }.minBy(_._1)
 
       val ndStore = queries.Dsl.tempStore(s"scale_x08_$t")
       graft.operators.IncrementalNearDup
         .dedupeBatch(docs, "doc_id", "text", ndStore).count()
-      val t1 = System.nanoTime()
-      val ndAdmitted = graft.operators.IncrementalNearDup
-        .dedupeBatch(batch, "doc_id", "text", ndStore).count()
-      val ndSec = (System.nanoTime() - t1) / 1e9
+      val (ndSec, ndAdmitted) = batches.map { b =>
+        val t1 = System.nanoTime()
+        val n = graft.operators.IncrementalNearDup
+          .dedupeBatch(b, "doc_id", "text", ndStore).count()
+        ((System.nanoTime() - t1) / 1e9, n)
+      }.minBy(_._1)
       println(f"[scalebench] $t incremental: exact $exactSec%.2fs " +
         f"($exAdmitted admitted), neardup $ndSec%.2fs ($ndAdmitted admitted)")
       t -> (exactSec, exAdmitted, ndSec, ndAdmitted)
     }
 
     def j(d: Double): String = f"$d%.3f"
-    val tierJson = tierResults.map { case (t, (dr, er, timed)) =>
+    val tierJson = tierResults.map { case (t, (dr, er, cn, timed)) =>
       val qjson = timed.map { case (q, (sec, rows)) =>
         s""""$q":{"sec":${j(sec)},"rows":$rows}""" }.mkString(",")
-      s""""$t":{"docs_rows":$dr,"emb_rows":$er,"queries":{$qjson}}"""
+      s""""$t":{"docs_rows":$dr,"emb_rows":$er,"canary_sec":${j(cn)},"queries":{$qjson}}"""
     }.mkString(",")
     // growth ratios per query between adjacent tiers (data grows 10×);
     // tuned ops are matched by base name (the knob value differs per tier)
     def base(q: String): String = q.takeWhile(_ != '[')
-    val byTier = tierResults.map { case (t, (_, _, res)) =>
+    val byTier = tierResults.map { case (t, (_, _, _, res)) =>
       t -> res.map { case (q, v) => base(q) -> v }.toMap
     }.toMap
-    val allBases = tierResults.flatMap(_._2._3.map(r => base(r._1))).distinct
+    val allBases = tierResults.flatMap(_._2._4.map(r => base(r._1))).distinct
     val growthJson = allBases.map { q =>
       val ratios = tiers.sliding(2).flatMap {
         case Seq(a, b) if byTier(a).contains(q) && byTier(b).contains(q) =>
