@@ -210,6 +210,21 @@ class OpsSpec extends SparkSpec {
     assert(viaStars.nonEmpty)
   }
 
+  test("lshComponentEdges: a hot bucket emits linear edges where cliques go quadratic") {
+    // 400 identical documents land in the same band buckets; the clique
+    // form emits ~n²/2 pairs from that one bucket while the star form
+    // emits n−1 per bucket — the asymmetry the 100 TB path depends on
+    val hot = (0L until 400L).map(i => (i, "the same exact document text"))
+      .toDF("doc_id", "text")
+    val stars = Dedup.lshComponentEdges(hot, "doc_id", "text", 2, 16, 8)
+    val cliques = Dedup.lshCandidatePairs(hot, "doc_id", "text", 2, 16, 8)
+    assert(stars.count() == 399L)          // one star edge per non-min doc
+    assert(cliques.count() == 399L * 400L / 2)  // every pair
+    // and the components still agree: all 400 in one group rooted at 0
+    val comps = Dedup.connectedComponents(stars).as[(Long, Long)].collect()
+    assert(comps.length == 400 && comps.forall(_._2 == 0L))
+  }
+
   test("connectedComponents: reliable checkpointing survives the iterative loop on a deep chain") {
     // a 120-vertex path is the pointer-jump worst case (diameter 119 →
     // ~7 doubling rounds); run the DISTRIBUTED loop with the opt-in
