@@ -60,9 +60,12 @@ object Preprocess {
   def imagesOnly(df: DataFrame): DataFrame =
     df.filter(col("is_video") === false)
 
-  /** P10 — half-open year range [min, max) (ref: Preprocessor.py:172-180). */
+  /** P10 — half-open year range [min, max) (ref: Preprocessor.py:172-180).
+    * Expressed as range comparisons on the timestamp itself (not
+    * `year(timestamp)`) so the predicate pushes into the file scan.
+    */
   def filterByYear(df: DataFrame, minYear: Int, maxYear: Int): DataFrame =
-    df.filter(year(col("timestamp")) >= minYear && year(col("timestamp")) < maxYear)
+    df.filter(graft.queries.Dsl.yearRange(col("timestamp"), minYear, maxYear))
 
   /** P19 — lowercase hashtags (ref: Preprocessor.py:219-221). */
   def lowercaseHashtags(df: DataFrame): DataFrame =

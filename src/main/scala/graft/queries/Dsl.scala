@@ -20,6 +20,25 @@ object Dsl {
     df.orderBy(key: _*).limit(n).crossJoin(broadcast(total))
   }
 
+  /** Half-open year range `[minYear, maxYear)` as plain comparisons on the
+    * datetime column itself — semantically identical to
+    * `year(c) >= minYear && year(c) < maxYear` (year is monotone in the
+    * underlying date/timestamp), but scan-pushable: Catalyst cannot push a
+    * function of a column, so `year(c) = K` is evaluated post-scan, while
+    * `c >= lit && c < lit` reaches `PushedFilters` and prunes Parquet row
+    * groups on min/max stats (and partitions on a date-partitioned lake).
+    * String literals coerce to the column's own datetime type (DATE,
+    * TIMESTAMP or TIMESTAMP_NTZ) and constant-fold, so one helper serves
+    * all three encodings. ref: Preprocessor.py:172-180 year-window filter.
+    */
+  def yearRange(c: Column, minYear: Int, maxYear: Int): Column =
+    c >= lit(s"$minYear-01-01") && c < lit(s"$maxYear-01-01")
+
+  /** `year(c) === y`, scan-pushable form of the reference's single-year
+    * filter (Preprocessor.py:172-180).
+    */
+  def yearIs(c: Column, y: Int): Column = yearRange(c, y, y + 1)
+
   def sqlTopNWithTotal(base: String, proj: String, order: String, n: Int): String =
     s"""WITH base AS ($base),
        |top_n AS (SELECT * FROM base ORDER BY $order LIMIT $n)

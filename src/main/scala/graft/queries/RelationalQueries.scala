@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *  - every result carries an unambiguous ORDER BY.
   */
 object RelationalQueries {
-  import Dsl.{topNWithTotal, sqlTopNWithTotal}
+  import Dsl.{topNWithTotal, sqlTopNWithTotal, yearIs, yearRange}
 
   // ---------------------------------------------------------------- flagship
   /** Flagship pricing-summary aggregation: P4 arithmetic derive + A1-style
@@ -66,7 +66,7 @@ object RelationalQueries {
       |WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1995
       |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1995),
+      .join(Tables.orders(spark, dir).filter(yearIs(col("o_orderdate"), 1995)),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
@@ -142,7 +142,7 @@ object RelationalQueries {
       "SELECT o_orderkey, o_orderdate FROM orders WHERE year(o_orderdate) >= 1996 AND year(o_orderdate) < 1998",
       "o_orderkey, o_orderdate", "o_orderkey", 1000)) { (spark, dir) =>
     val df = Tables.orders(spark, dir)
-      .filter(year(col("o_orderdate")) >= 1996 && year(col("o_orderdate")) < 1998)
+      .filter(yearRange(col("o_orderdate"), 1996, 1998))
       .select("o_orderkey", "o_orderdate")
     topNWithTotal(df, 1000, col("o_orderkey"))
   }
@@ -218,7 +218,7 @@ object RelationalQueries {
     Tables.customer(spark, dir)
       .join(
         Tables.orders(spark, dir)
-          .filter(year(col("o_orderdate")) === 1995 && col("o_custkey").isNotNull),
+          .filter(yearIs(col("o_orderdate"), 1995) && col("o_custkey").isNotNull),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -319,7 +319,7 @@ object RelationalQueries {
       |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir)
-          .filter(year(col("o_orderdate")).between(1995, 1996)),
+          .filter(yearRange(col("o_orderdate"), 1995, 1997)),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(Tables.supplier(spark, dir),

@@ -27,6 +27,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("o_totalprice")) // unread column never scanned
   }
 
+  /** The year filters are written as half-open range comparisons on the
+    * date column itself (Dsl.yearRange) precisely so they reach the scan:
+    * at 100 TB `year(col)=K` post-scan means a full fact-table read under
+    * the suite's most selective predicate.
+    */
+  test("year filters push into the orders scan as date ranges (q02/q03/j03/p10)") {
+    for (q <- Seq("q02_revenue_by_nation", "q03_local_supplier",
+                  "j03_anti_join", "p10_year_range")) {
+      val plan = planOf(q)
+      assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+        s"$q: no pushed lower date bound on orders scan:\n$plan")
+      assert(plan.contains("LessThan(o_orderdate"),
+        s"$q: no pushed upper date bound on orders scan:\n$plan")
+    }
+  }
+
   test("flagship aggregation reads only the six needed lineitem columns (q01)") {
     val plan = planOf("q01_pricing_summary")
     assert(!plan.contains("l_shipdate") && !plan.contains("l_partkey"))
