@@ -25,6 +25,17 @@ object Verify {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    // A typo'd filter selecting zero queries must not masquerade as a
+    // clean (vacuously green) run.
+    if (selected.isEmpty)
+      sys.error(s"SPARK_GRAFT_VERIFY_ONLY=${only.get.mkString(",")} matched " +
+        s"no query names (${SparkEntry.queries.size} registered)")
+    // Manifest of what this dump was SUPPOSED to contain: check.py fails
+    // any manifest-listed query whose output dir is missing (a crashed
+    // query writes no dir) and skips only names outside the manifest
+    // (deliberately filtered out).
+    Files.writeString(Paths.get(s"$outDir/manifest.txt"),
+      selected.keys.toSeq.sorted.mkString("", "\n", "\n"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

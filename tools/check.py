@@ -42,12 +42,24 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes manifest.txt naming every query it selected. An absent
+    # output dir for a manifest-listed name means the query CRASHED
+    # (Verify logs and continues) — that must fail the gate, while names
+    # outside the manifest were deliberately filtered out. Without a
+    # manifest (pre-manifest dump), every absent dir is a failure.
+    manifest_path = f"{out_dir}/manifest.txt"
+    manifest = None
+    if os.path.isfile(manifest_path):
+        manifest = {l.strip() for l in open(manifest_path) if l.strip()}
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracles.items()):
-        # a SPARK_GRAFT_VERIFY_ONLY-filtered dump only contains the
-        # selected queries; absent dirs are "not run", not failures
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if manifest is not None and name not in manifest:
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: no output dir — query crashed in Verify "
+                  "(see its '[verify] ... failed:' stderr line)")
+            n_fail += 1
             continue
         try:
             mine = canon(pd.read_parquet(f"{out_dir}/{name}"))
