@@ -565,21 +565,33 @@ object Similarity {
     * At 100 TB you never brute-force all pairs (that's [[lshPairs]]);
     * when you do want the exact baseline on a sample, the broadcast
     * bound is the sample size (vectors must fit an executor), the
-    * compute parallelizes over row-slices. `maxVectors` ENFORCES that
-    * bound: the collect fails fast (with a pointer to the scale path)
-    * instead of OOMing the driver when handed a full table. The probe is
-    * a limit(max+1).count() — it stops scanning after max+1 rows, never
-    * a full count.
+    * compute parallelizes over row-slices. The bound is enforced in
+    * BYTES, not rows: one row is probed for dimensionality and the row
+    * cap becomes `maxBroadcastBytes / (dims × 4)` (capped at
+    * `maxVectors`), so a 2048-d input is rejected long before the ~8 GB
+    * collect a row-count-only guard would have admitted. The row probe
+    * is a limit(cap+1).count() — it stops scanning after cap+1 rows,
+    * never a full count.
     */
   def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,
-                      maxVectors: Int = 1000000): DataFrame = {
+                      maxVectors: Int = 1000000,
+                      maxBroadcastBytes: Long = 128L << 20): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val probe = vectors.select(col(idCol)).limit(maxVectors + 1).count()
-    require(probe <= maxVectors,
-      s"cosinePairsTopK is a driver-side all-pairs kernel bounded to $maxVectors vectors; " +
-        s"input exceeds it — sample the input or use Similarity.lshPairs (bucketed, " +
-        s"distributed) for near-dup pairs at scale")
+    val dims = vectors.select(col(embCol)).as[Array[Float]].head(1) match {
+      case Array(v) if v != null => v.length
+      case _                     => 0 // empty input: nothing to bound
+    }
+    val byteCap =
+      if (dims == 0) maxVectors.toLong
+      else maxBroadcastBytes / (dims.toLong * 4)
+    val rowCap = math.min(maxVectors.toLong, math.max(byteCap, 1L))
+    val probe = vectors.select(col(idCol)).limit((rowCap + 1).toInt).count()
+    require(probe <= rowCap,
+      s"cosinePairsTopK is a driver-side all-pairs kernel bounded to " +
+        s"$maxBroadcastBytes broadcast bytes = $rowCap vectors at $dims dims " +
+        s"(row cap $maxVectors); input exceeds it — sample the input or use " +
+        s"Similarity.lshPairs (bucketed, distributed) for near-dup pairs at scale")
     val vecs = vectors.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(vecs)

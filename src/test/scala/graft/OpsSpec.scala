@@ -153,6 +153,24 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("cosinePairsTopK bound is byte-accurate, not row-count-only") {
+    // 10 rows of 2048-d vectors = 80 KB of floats: far under any row cap
+    // but over a 64 KB broadcast budget — the guard must reject on BYTES
+    // (rows × dims × 4), the invariant that actually protects the driver.
+    val wide = (0L until 10L)
+      .map(i => (i, Seq.tabulate(2048)(d => (i + d).toFloat)))
+      .toDF("vid", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsTopK(wide, "vid", "emb", k = 3,
+        maxBroadcastBytes = 64L << 10)
+    }
+    assert(e.getMessage.contains("2048 dims") && e.getMessage.contains("lshPairs"))
+    // same rows under a budget that admits them: computes fine
+    val ok = Similarity.cosinePairsTopK(wide, "vid", "emb", k = 3,
+      maxBroadcastBytes = 1L << 20)
+    assert(ok.count() == 3)
+  }
+
   test("semDedupRemovalsTwoLevel ≡ brute semDedupRemovals on separated clusters") {
     // four orthogonal-axis clusters of near-duplicates in 8 dims; the
     // first member of each cluster (ids 0..3) is a centroid. With
