@@ -199,8 +199,29 @@ object Enrich {
       .withColumn("__score", det.getField("score"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
     pending.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val sem = TranslationLimiter.get(maxConcurrentPerExecutor)
+      // Task-retry hygiene: a retried attempt re-reads its whole partition
+      // iterator, but everything this partition already flushed sits on
+      // disk under part-$pid-* — load those keys (first retry only; the
+      // happy path pays nothing) and skip them, so a retry re-sends at
+      // most the one in-flight batch to the service, never checkpointed
+      // rows. The anti-join above gives the same guarantee ACROSS runs;
+      // this gives it within one job. Stage resubmission (new attempt 0)
+      // falls back to at-least-once; the state dedupe keeps output exact.
+      val alreadyFlushed = new java.util.HashSet[String]()
+      if (tc.attemptNumber() > 0) {
+        val dir = java.nio.file.Paths.get(stateDir)
+        val s = java.nio.file.Files.list(dir)
+        try s.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(s"part-$pid-") && n.endsWith(".state"))
+            java.nio.file.Files.readAllLines(p).forEach { l =>
+              if (l.nonEmpty) alreadyFlushed.add(StateCodec.dec(l)._1)
+            }
+        } finally s.close()
+      }
       val batch = scala.collection.mutable.ArrayBuffer.empty[String]
       var batchIdx = 0
       def flush(): Unit = if (batch.nonEmpty) {
@@ -217,7 +238,8 @@ object Enrich {
       // service calls are batched (one translateBatch per ≤serviceBatch
       // needy texts, one semaphore hold per call); short-circuited rows
       // never touch the service. State-file order is irrelevant (KV).
-      rows.grouped(serviceBatch).foreach { grp =>
+      rows.filter(r => !alreadyFlushed.contains(r.getString(0)))
+        .grouped(serviceBatch).foreach { grp =>
         val parsed = grp.map(r =>
           (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
         val needy = parsed.zipWithIndex.filter { case ((_, _, lang, score), _) =>

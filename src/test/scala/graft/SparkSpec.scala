@@ -13,7 +13,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // local[threads, maxFailures]: allow ONE task retry, like any real
+    // cluster — retry-safety specs (TranslationJobSpec) need a genuinely
+    // retried task, and passing tests never fail a task anyway.
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

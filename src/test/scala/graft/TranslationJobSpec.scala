@@ -75,6 +75,35 @@ class TranslationJobSpec extends SparkSpec {
     assert(TranslationProbe.calls.get() == 0)
   }
 
+  test("a retried task never re-sends flushed rows to the service") {
+    val stateDir = Files.createTempDirectory("graft-trans-retry").toString
+    // one partition; every row needs the service; flush after every row
+    // (checkpointEvery=1, serviceBatch=1) so the failing attempt has
+    // nothing in flight when it dies — the strongest exactly-once claim
+    // the path can make under a task retry
+    val input = (1 to 20).map(i => (i.toLong, s"stream batch value v$i"))
+      .toDF("id", "text").repartition(1)
+    Enrich.TranslationLimiter.reset()
+    RetryTransProbe.reset()
+    val out = Enrich.runTranslationJob(input, stateDir, "id", "text", "text_en",
+      "datish", PoisonOnceTranslator(), maxConcurrentPerExecutor = 2,
+      checkpointEvery = 1, serviceBatch = 1)
+    // the poison throw really killed a task and Spark really retried it
+    assert(RetryTransProbe.threw.get(), "poison translator never fired")
+    assert(RetryTransProbe.sawRetryAttempt.get(),
+      "no task ran with attemptNumber > 0 — the job was never retried")
+    // every row translated EXACTLY once across both attempts
+    import scala.jdk.CollectionConverters._
+    val counts = RetryTransProbe.perText.asScala
+    assert(counts.values.forall(_ == 1),
+      s"rows translated more than once: ${counts.filter(_._2 > 1)}")
+    assert(counts.size == 20)
+    // and the job's output is complete and correct
+    assert(out.filter($"text_en".isNull).count() == 0)
+    assert(out.filter($"id" === 13L).head().getAs[String]("text_en")
+      == "STREAM BATCH VALUE V13")
+  }
+
   test("target-language and empty rows short-circuit without service calls") {
     val stateDir = Files.createTempDirectory("graft-trans2").toString
     val input = Seq(
@@ -112,6 +141,31 @@ class TranslationJobSpec extends SparkSpec {
     }
     assert(sizes.sum == 10 && sizes.forall(_ <= 4) && sizes.max == 4,
       s"expected ≤4-bounded service batches over the 10 needy rows, got $sizes")
+  }
+}
+
+/** Probe for the task-retry spec: per-text successful-translation counts
+  * plus whether the poison fired and a retried attempt was observed.
+  */
+object RetryTransProbe {
+  val perText = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  val threw = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val sawRetryAttempt = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = { perText.clear(); threw.set(false); sawRetryAttempt.set(false) }
+}
+
+/** Throws on one specific text the FIRST time it is seen (a transient
+  * service failure), succeeding on the retry; records every successful
+  * translation and the task attempt number it ran under.
+  */
+final case class PoisonOnceTranslator() extends Enrich.Translator {
+  def translate(text: String, targetLang: String): String = {
+    if (org.apache.spark.TaskContext.get().attemptNumber() > 0)
+      RetryTransProbe.sawRetryAttempt.set(true)
+    if (text.endsWith("v13") && RetryTransProbe.threw.compareAndSet(false, true))
+      throw new RuntimeException("transient service failure (simulated)")
+    RetryTransProbe.perText.merge(text, 1, (a, b) => a + b)
+    text.toUpperCase
   }
 }
 
