@@ -29,12 +29,6 @@ object Bench {
     // `canary_sec` at a flat `value/canary_sec` ratio says "noisy
     // machine", while a flat canary with a risen total says "real
     // regression" — the artifact carries its own control.
-    val canary = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      // modulo keeps the sum far from long overflow under ANSI mode
-      spark.range(200000000L).selectExpr("sum(id % 9973)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }.min
     // best-of-2: the second run strips codegen-compile + GC noise left by
     // neighboring heavy queries, so per-query numbers are comparable
     // across rounds (measured: a trivial query read 5s after a heavy one,
@@ -44,6 +38,17 @@ object Bench {
     // a delta is plan-caused or machine noise; the driver sets neither.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // Canary only matters for cross-round comparability of the full
+    // suite; a BENCH_ONLY debugging session skips its several seconds and
+    // records null so consumers can tell "not measured" from "fast".
+    val canary: Option[Double] =
+      if (only.isDefined) None
+      else Some((1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        // modulo keeps the sum far from long overflow under ANSI mode
+        spark.range(200000000L).selectExpr("sum(id % 9973)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -62,15 +67,21 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, failed)
+      (name, times.min, failed, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val canaryJson = canary.map(_.toString).getOrElse("null")
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true) => s"\"" + k + "\"" }
+    // every raw sample, not just the minima: two samples that disagree 3×
+    // flag contention on the specific query, which a lone minimum hides
+    val samples = results.map { case (k, _, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canary,"queries":$qs,"failed":$failedList,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canaryJson,"queries":$qs,"query_samples":$samples,"failed":$failedList,"sf":"$sfDir"}"""
     // full-precision record: every query, written to a file AND printed
     // (the file is the self-contained artifact; the printed copy may be
     // cut by log-capture tail windows)
@@ -85,11 +96,12 @@ object Bench {
     // as many as fit a 1700-char budget — and points at the full file.
     val slowest = results.sortBy(-_._2)
     val budget = 1700
+    val canaryShort = canary.map(c => f"$c%.3f").getOrElse("null")
     val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
-    val tail0 = f"""},"queries_n":${results.size},"canary_sec":$canary%.3f,"queries_full":"$fullPath","failed":$failedList,"sf":"$sfDir"}"""
+    val tail0 = s"""},"queries_n":${results.size},"canary_sec":$canaryShort,"queries_full":"$fullPath","failed":$failedList,"sf":"$sfDir"}"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail0.length
-    slowest.foreach { case (k, v, _) =>
+    slowest.foreach { case (k, v, _, _) =>
       val e = f""""$k":$v%.3f"""
       if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
     }
