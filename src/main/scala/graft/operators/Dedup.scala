@@ -499,10 +499,16 @@ object Dedup {
     * that directory, so the loop survives executor loss at the cost of
     * one filesystem round-trip per round — the right trade on a
     * 1000-executor preemptible fleet.
+    *
+    * `onRound` is an attribution hook: called after each distributed
+    * round with (1-based round index, seconds). Default no-op; the scale
+    * bench uses it to pin whether tier-to-tier growth sits in round
+    * COUNT (graph diameter) or per-round time (shuffle volume).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           localEdgeLimit: Long = 2000000L,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     // Cut lineage EVERY round (checkpoint, not persist): each round's
     // plan references the previous round's, so un-truncated lineage
     // grows exponentially and OOMs the DRIVER in plan optimization
@@ -544,6 +550,7 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < maxIters) {
+        val roundT0 = System.nanoTime()
         val prop = sym.join(labels, sym("src") === labels("id"))
           .select(col("dst").as("id"), col("comp"))
         // 1-hop min propagation; checkpointed because the pointer jump
@@ -562,6 +569,7 @@ object Dedup {
         converged = s == prevSum
         prevSum = s
         i += 1
+        onRound(i, (System.nanoTime() - roundT0) / 1e9)
       }
       if (!converged)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -155,4 +155,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"t06 must stay generator-free:\n$plan")
     assert(!plan.contains("PushedFilters: [IsNotNull"), "no inferred scan filter expected")
   }
+
+  /** Suite-wide pushdown audit (VERDICT r7 #6): over the PlanDump
+    * representative set, every plain single-column comparison against a
+    * literal that survives as a post-scan Filter must ALSO appear in some
+    * scan's `PushedFilters` — a scan-expressible predicate evaluated only
+    * post-scan is a full-table read under the query's most selective
+    * condition at 100 TB. Predicates that are functions of a column
+    * (modulo slices, bloom membership, timestamp arithmetic) are excluded
+    * by construction: no Parquet source can evaluate them, so the atom
+    * regex deliberately matches bare `attr#id op literal` shapes only.
+    */
+  test("every scan-expressible literal predicate is pushed (suite-wide audit)") {
+    val opName = Map("=" -> "EqualTo", "<" -> "LessThan", "<=" -> "LessThanOrEqual",
+      ">" -> "GreaterThan", ">=" -> "GreaterThanOrEqual")
+    // bare attribute `name#123L` compared to a literal (no `#`, no parens,
+    // no casts in the value) — the exact shape Parquet pushdown accepts
+    val atom = """\(([a-z][A-Za-z0-9_]*)#\d+L? (=|<=|>=|<|>) ([^()#]+?)\)""".r
+    // columns that exist on the physical scans of this plan: FileScan
+    // output lists `[c1#1,c2#2,...]`
+    val scanOut = """FileScan parquet [^\[\n]*\[([^\]]*)\]""".r
+    var checked = 0
+    for (n <- PlanDump.AuditQueries) {
+      val plan = planOf(n)
+      val scanCols = scanOut.findAllMatchIn(plan).flatMap(
+        _.group(1).split(',').map(_.trim.takeWhile(_ != '#'))).toSet
+      for (m <- atom.findAllMatchIn(plan)) {
+        val (c, op) = (m.group(1), m.group(2))
+        if (scanCols(c)) {
+          checked += 1
+          assert(plan.contains(s"${opName(op)}($c"),
+            s"$n: scan-expressible predicate `$c ${m.group(2)} ${m.group(3)}` " +
+              s"is evaluated post-scan but missing from PushedFilters")
+        }
+      }
+    }
+    // vacuity guard: the suite is known to carry at least the four orders
+    // date ranges, r_name/o_orderstatus equalities, event_type equalities
+    // and the vec_id probe bounds — if the regexes stop matching the plan
+    // format, fail loudly instead of green-by-matching-nothing
+    assert(checked >= 10, s"audit matched only $checked atoms — plan format drift?")
+  }
 }
