@@ -107,7 +107,7 @@ object ScaleAttrib {
       val (ccForcedSec, _) = bestOf3 { () =>
         rounds = Vector.empty
         withCcParts(operators.Dedup.connectedComponents(
-          matEdges, localEdgeLimit = 0L,
+          matEdges, localEdgeLimit = 0L, streamEdgeLimit = 0L,
           onRound = (_, sec) => rounds :+= sec).count())
       }
 

@@ -131,7 +131,7 @@ object ScaleBench {
           val pairs = graft.operators.Dedup.lshCandidatePairs(
             Tables.documents(spark, dir), "doc_id", "text", 2, 16, 8)
           graft.operators.Dedup.connectedComponents(
-            pairs, localEdgeLimit = 0L).count()
+            pairs, localEdgeLimit = 0L, streamEdgeLimit = 0L).count()
         }))
       (gates ++ tuned).filter { case (q, _) => keep(q) }
     }

@@ -486,6 +486,21 @@ object Dedup {
     * so most runs take the fast path even at large SF, while a 100 TB
     * worst case degrades gracefully to O(log d) shuffles instead of OOM.
     *
+    * STREAMED middle path: union-find state is O(vertices), not
+    * O(edges) — an edge is consumed the moment it is union'd. So between
+    * the collect bound and the distributed loop there is a regime where
+    * the driver can hold the VERTEX arrays but not the edge list: stream
+    * the edges partition-at-a-time (`toLocalIterator`) through an
+    * index-compressed union-find (sorted vertex-id array + Int parents:
+    * ~13 B/vertex, ~100 MB at the 8M default). Engages when
+    * `nEdges ≤ streamEdgeLimit` (driver pull throughput bound — edges
+    * transit the driver once but are never held) AND
+    * `nVertices ≤ localVertexLimit` (resident-state bound). Same min-id
+    * labels as both other paths (OpsSpec pins the three-way agreement).
+    * This is what keeps the near-dup graph of a 50M-doc corpus off the
+    * iterative loop: 2M docs in dup groups is 2M vertices — driver-sized
+    * — even when band collisions emit 30M edges.
+    *
     * Loop parallelism is SELF-TUNED from the measured edge count (see
     * the inline rule): callers never size shuffle partitions for the
     * label table, and the same invocation stays efficient from a 5k-doc
@@ -508,7 +523,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           localEdgeLimit: Long = 2000000L,
                           checkpointDir: Option[String] = None,
-                          onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+                          onRound: (Int, Double) => Unit = (_, _) => (),
+                          streamEdgeLimit: Long = 50000000L,
+                          localVertexLimit: Long = 8000000L): DataFrame = {
     // Cut lineage EVERY round (checkpoint, not persist): each round's
     // plan references the previous round's, so un-truncated lineage
     // grows exponentially and OOMs the DRIVER in plan optimization
@@ -523,6 +540,17 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")))
     val nEdges = edges.count()
     if (nEdges <= localEdgeLimit) return localComponents(edges)
+    if (nEdges <= streamEdgeLimit) {
+      // probe-and-collect in ONE job: pull at most limit+1 distinct
+      // vertex ids — if the limit+1'th exists the graph is beyond driver
+      // state and the distributed loop runs (the bounded collect is the
+      // probe; a separate count_distinct pass would scan the edges twice)
+      val verts = edges
+        .select(explode(array(col("src"), col("dst"))).as("id"))
+        .distinct().limit(localVertexLimit.toInt + 1)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      if (verts.length <= localVertexLimit) return streamedComponents(edges, verts)
+    }
     // SELF-TUNED loop parallelism: the frames the loop shuffles are the
     // label table (≈ vertex count ≤ 2·edges rows of 16 B) and the
     // symmetrized edge list — both sized by the GRAPH, not by whatever
@@ -616,6 +644,57 @@ object Dedup {
     }
     val labeled = parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v))))
     spark.createDataFrame(labeled).toDF("id", "comp")
+  }
+
+  /** The O(vertices)-state middle path of [[connectedComponents]]:
+    * given the collected distinct vertex ids (the caller's bounded
+    * probe-and-collect), run an index-compressed union-find over
+    * primitive Int arrays and STREAM the edges through the driver
+    * partition-at-a-time — each edge is union'd and dropped, never held. Driver residency is
+    * verts(8 B) + parent(4 B) + rank(1 B) ≈ 13 B/vertex; the edge list
+    * transits once (a coalesce keeps toLocalIterator's one-job-per-
+    * partition fetch count small). Labels are the component-minimum id,
+    * identical to both sibling paths: ids stream in ascending order in
+    * the final pass, so the first vertex to reach a root is its min.
+    */
+  private def streamedComponents(edges: DataFrame, vertsUnsorted: Array[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts: Array[Long] = vertsUnsorted.sorted
+    val parent = Array.tabulate(verts.length)(identity)
+    val rank = new Array[Byte](verts.length)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val it = edges.coalesce(8).as[(Long, Long)].toLocalIterator()
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      val ra = find(java.util.Arrays.binarySearch(verts, a))
+      val rb = find(java.util.Arrays.binarySearch(verts, b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val minOfRoot = new Array[Long](verts.length)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    var i = 0
+    while (i < verts.length) {
+      val r = find(i)
+      if (minOfRoot(r) == Long.MaxValue) minOfRoot(r) = verts(i)
+      i += 1
+    }
+    // parallelize (not createDataFrame-from-Seq): a LocalRelation emits
+    // its rows from one partition, serializing the downstream shuffle —
+    // slicing the label array keeps the consumer parallel
+    val labeled = verts.indices.map(i => (verts(i), minOfRoot(find(i))))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      labeled, math.max(1, math.min(32, labeled.length / 50000)))).toDF("id", "comp")
   }
 
   /** Exact dedup keeping the first row per key by a stable order (ref:

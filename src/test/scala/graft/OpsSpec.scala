@@ -205,11 +205,18 @@ class OpsSpec extends SparkSpec {
     // small-graph fast path (driver union-find)
     val local = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(local == expected)
-    // distributed pointer-jump loop, forced by a zero local budget —
-    // must produce the identical fixpoint
-    val dist = Dedup.connectedComponents(edges, localEdgeLimit = 0L)
+    // distributed pointer-jump loop, forced by zeroing BOTH driver
+    // budgets — must produce the identical fixpoint
+    val dist = Dedup.connectedComponents(edges, localEdgeLimit = 0L,
+        streamEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == expected)
+    // streamed union-find middle path (state O(V), edges via
+    // toLocalIterator), forced by zeroing only the collect budget —
+    // the three paths must agree label for label
+    val streamed = Dedup.connectedComponents(edges, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == expected)
   }
 
   test("lshComponentEdges: star edges yield the exact clique-edge components") {
@@ -252,7 +259,7 @@ class OpsSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val chain = (0 until 119).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(chain, localEdgeLimit = 0L,
-        checkpointDir = Some(ckpt.toString))
+        streamEdgeLimit = 0L, checkpointDir = Some(ckpt.toString))
       .as[(Long, Long)].collect().toMap
     assert(labels == (0 to 119).map(v => v.toLong -> 0L).toMap)
     val files = {
