@@ -348,6 +348,41 @@ object Similarity {
     centLocal.toDF("c_id", "c_emb")
   }
 
+  /** One Lloyd ROUND as a verifiable DataFrame — the oracle-gated body
+    * of [[trainIvfCentroids]]: assign every vector to its argmax-cosine
+    * seed centroid (ties to the lower c_id, exactly the training loop's
+    * window), then recompute each centroid as the per-dimension
+    * decimal-exact member mean, quantized to the 1e-6 grid so the means
+    * are engine-portable. Returns one row per (c_id, dim) with the
+    * cluster size and quantized mean — k×dims rows, the model-state
+    * delta a training round ships.
+    *
+    * Scale shape: centroids broadcast (k×dims floats), assignment is one
+    * scan + per-id argmax window, means are one keyed agg over
+    * (c_id, dim) — the same per-round cost [[trainIvfCentroids]] pays,
+    * now pinned by the e10 oracle instead of spec-only.
+    */
+  def kmeansRound(vectors: DataFrame, idCol: String, embCol: String,
+                  seedPred: Column): DataFrame = {
+    val v = withNormFixed(vectors, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = v.filter(seedPred)
+      .select(col("id").as("c_id"), col("emb").as("c_emb"), col("norm_f").as("c_norm"))
+    val wAssign = Window.partitionBy("id").orderBy(desc("c_cos"), asc("c_id"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .select(col("id"), col("emb"), col("c_id"),
+        cosineFromFixed(dotFixed(col("emb"), col("c_emb")),
+          col("norm_f"), col("c_norm")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        floor((sum(col("x").cast("decimal(28,8)")).cast("double") / count(lit(1)))
+          * lit(1000000.0)).cast("long").as("m_q"))
+  }
+
   /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)
     * — e.g. [[trainIvfCentroids]] output.
     */

@@ -345,7 +345,31 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** E10 — one k-means Lloyd ROUND ([[Similarity.kmeansRound]]): the
+    * training-loop body of [[Similarity.trainIvfCentroids]], previously
+    * spec-only, now oracle-gated. Seeds are the $NumCentroids lowest-id
+    * vectors; the gate pins the fixed-point argmax assignment (ties to
+    * the lower centroid id) AND the decimal-exact per-dimension member
+    * means on the 1e-6 grid — k×dims rows of model-state delta.
+    */
+  val e10KmeansRound: GraftQuery = GraftQuery(
+    "e10_kmeans_round",
+    s"""WITH v AS ($sqlV),
+       |c AS (SELECT id AS c_id, emb AS c_emb, norm_f AS c_norm FROM v WHERE id < $NumCentroids),
+       |a AS (SELECT id, emb, c_id, ${sqlCos("emb", "norm_f", "c_emb", "c_norm")} AS c_cos
+       |      FROM v CROSS JOIN c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY c_cos DESC, c_id) AS rn FROM a)
+       |SELECT c_id, d AS dim, COUNT(*) AS n_members,
+       |       CAST(floor((CAST(SUM(CAST(CAST(emb[d] AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+       |                   / COUNT(*)) * 1000000.0) AS BIGINT) AS m_q
+       |FROM r, range(1, $Dims + 1) t(d) WHERE rn = 1
+       |GROUP BY c_id, d ORDER BY c_id, dim""".stripMargin) { (spark, dir) =>
+    Similarity.kmeansRound(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumCentroids)
+      .orderBy("c_id", "dim")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
-    e08CoarseRerank, e09CenterNormalize)
+    e08CoarseRerank, e09CenterNormalize, e10KmeansRound)
 }

@@ -481,7 +481,84 @@ object TextQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** T14 — hashed-feature linear QUALITY CLASSIFIER (the fastText-style
+    * filter every web-corpus pipeline runs before training: RefinedWeb /
+    * FineWeb / GPT-3's LR filter). Each token hashes to a fixed integer
+    * weight w = (rollingHash(tok) % 1001) − 500; the document score is
+    * Σ w with intercept −100 per token, label = keep iff score > 100·n.
+    * The weights stand in for a trained model's coefficient table — the
+    * PLAN is the real thing: hash → weight lookup → linear sum.
+    *
+    * Scale shape: entirely per-row HOFs (transform + aggregate over the
+    * token array) — no explode, no shuffle except the gate's ORDER BY;
+    * at 100 TB this is a pure map over the corpus. The oracle replays
+    * the same math in unnest form (DuckDB has no HOF-in-HOF comfort,
+    * and semantics — not plan shape — is what the gate pins).
+    */
+  val t14QualityClassifier: GraftQuery = GraftQuery(
+    "t14_quality_classifier",
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+       |w AS (SELECT doc_id, (${sqlRollingHash("t")} % 1001) - 500 AS w FROM tok)
+       |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS score,
+       |       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CASE WHEN SUM(w) > 100 * COUNT(*) THEN 'keep' ELSE 'drop' END AS label
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // bind the token array to its own attribute before the weight HOF
+    // (the t11 HOF-inlining lesson), and the weight array before the
+    // three consumers below — inlined, the per-token hash re-evaluates
+    // once per consumer
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        transform(col("tk"), t => rollingHash(t) % 1001 - 500).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(col("w"), lit(0L), _ + _).as("score"),
+        size(filter(col("w"), _ > 0)).cast("long").as("n_pos"))
+      .withColumn("label",
+        when(col("score") > col("n_tokens") * 100, lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
+
+  /** T15 — SOURCE-MIXTURE weighting (training-data mixing: compute the
+    * per-source sampling multiplier that moves the token distribution to
+    * the uniform target, capped at 4 epochs — the static-reweighting
+    * pass behind Pile/LLaMA-style mixture tables). All ratios are ppm
+    * integers (exact integer division), so the table is bit-identical
+    * across engines — no float shares.
+    *
+    * Scale shape: one map-side-combinable agg to per-source totals
+    * (|sources| rows), one broadcast of the 1-row corpus total. The
+    * per-source table feeds both the total and the final projection, so
+    * it is persisted (the t10 two-consumer lesson).
+    */
+  val t15SourceMixture: GraftQuery = GraftQuery(
+    "t15_source_mixture",
+    s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+       |             CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+       |       FROM documents GROUP BY source),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s)
+       |SELECT source, n_docs, n_tokens,
+       |       (n_tokens * 1000000) // total AS share_ppm,
+       |       (total * 1000000) // (n_sources * n_tokens) AS weight_ppm,
+       |       LEAST((total * 1000000) // (n_sources * n_tokens), 4000000) AS capped_ppm
+       |FROM s CROSS JOIN t ORDER BY source""".stripMargin) { (spark, dir) =>
+    val s = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = s.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    s.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div total").as("share_ppm"),
+        expr("(total * 1000000) div (n_sources * n_tokens)").as("weight_ppm"),
+        least(expr("(total * 1000000) div (n_sources * n_tokens)"), lit(4000000L))
+          .as("capped_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
-    t11Decontaminate, t12Rarity, t13ChunkSplit)
+    t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture)
 }

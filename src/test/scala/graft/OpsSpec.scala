@@ -326,6 +326,61 @@ class OpsSpec extends SparkSpec {
     assert(b3.select("id").as[Long].collect().toSet == Set(8L))
   }
 
+  test("kmeansRound: exact assignment and decimal-exact quantized means") {
+    // two separated groups hugging orthogonal axes; seeds = ids 0 and 1
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(0.8f, 0.2f))).toDF("vid", "emb")
+    val out = Similarity.kmeansRound(vecs, "vid", "emb", col("id") < 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, d, n, m) => (c, d) -> (n, m) }.toMap
+    // cluster 0 = {0, 2, 4}: dim-1 mean (1.0+0.9+0.8)/3 = 0.9 exactly on
+    // the decimal grid (floats 0.9f/0.8f are not exact, so compute the
+    // expected mean from the actual float values the way the operator does)
+    def mq(xs: Seq[Float]): Long =
+      math.floor(xs.map(x => BigDecimal(x.toDouble).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.size * 1e6).toLong
+    assert(out((0L, 1L)) == ((3L, mq(Seq(1.0f, 0.9f, 0.8f)))))
+    assert(out((0L, 2L)) == ((3L, mq(Seq(0.0f, 0.1f, 0.2f)))))
+    assert(out((1L, 1L)) == ((2L, mq(Seq(0.0f, 0.1f)))))
+    assert(out((1L, 2L)) == ((2L, mq(Seq(1.0f, 0.9f)))))
+    // every (c_id, dim) cell present; member counts consistent across dims
+    assert(out.keySet == Set((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+  }
+
+  test("t14 classifier: per-row HOF score equals the explode formulation") {
+    val docs = Seq((0L, "key agg row"), (1L, "scan slow fast table"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val w = TextFunctions.rollingHash($"t") % 1001 - 500
+    val exploded = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("t"))
+      .select($"doc_id", w.as("w"))
+      .groupBy("doc_id").agg(sum($"w").as("score"))
+      .as[(Long, Long)].collect().toMap
+    val hof = docs
+      .select($"doc_id", TextFunctions.tokens($"text").as("tk"))
+      .select($"doc_id",
+        aggregate(transform($"tk", t => TextFunctions.rollingHash(t) % 1001 - 500),
+          lit(0L), _ + _).as("score"))
+      .as[(Long, Long)].collect().toMap
+    assert(hof == exploded)
+  }
+
+  test("t15 mixture: shares sum to ~1e6 and weights invert the shares") {
+    val out = SparkEntry.queries("t15_source_mixture")(spark, "/root/testdata/sf0.001")
+      .select("n_tokens", "share_ppm", "weight_ppm", "capped_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = out.length
+    val shareSum = out.map(_._2).sum
+    // integer floors: each source loses < 1 ppm
+    assert(shareSum <= 1000000L && shareSum > 1000000L - n)
+    // fewer tokens -> strictly larger (uncapped) weight; cap respected
+    val byTokens = out.sortBy(_._1)
+    assert(byTokens.zip(byTokens.tail).forall { case (a, b) => a._3 >= b._3 })
+    assert(out.forall(r => r._4 <= 4000000L && r._4 <= r._3))
+  }
+
   test("ReprList codec round-trips single-quoted python reprs") {
     val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
       .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
