@@ -198,5 +198,56 @@ object CurationQueries {
       .orderBy("source", "pack_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull)
+  /** C3 — MIXTURE APPLICATION: materialize the t15 source-mixture table
+    * into the actual upsampled corpus — each document is repeated
+    * floor(weight) times plus one deterministic fractional copy (kept
+    * iff hash(doc_id) falls under the weight's fractional ppm — the
+    * same portable-hash Bernoulli d10 samples with), so the emitted
+    * token distribution converges on the uniform target while every
+    * engine/rerun/cluster-size produces the byte-identical corpus. The
+    * repeat cap (4 epochs) bounds upsampling of tiny sources.
+    *
+    * Scale shape: the weight table is |sources| rows (broadcast); copy
+    * expansion is a per-row generate — no shuffle beyond the gate's
+    * ORDER BY. Composes t15 (weights) with d10's determinism contract,
+    * oracle-checked end to end.
+    */
+  val c03MixtureApply: GraftQuery = GraftQuery(
+    "c03_mixture_apply", {
+      val hb = graft.operators.Sampling.sqlHashBucket("doc_id")
+      s"""WITH s AS (SELECT source, CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+         |       FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s),
+         |w AS (SELECT source,
+         |             LEAST((total * 1000000) // (n_sources * n_tokens), 4000000) AS w_ppm
+         |      FROM s CROSS JOIN t),
+         |d AS (SELECT doc_id, d.source, w_ppm,
+         |             w_ppm // 1000000
+         |             + CASE WHEN $hb < w_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+         |      FROM documents d JOIN w USING (source))
+         |SELECT doc_id, source, w_ppm, unnest(range(1, n_copies + 1)) AS copy_id
+         |FROM d WHERE n_copies > 0 ORDER BY doc_id, copy_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, dir)
+    val s = docs.groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = s.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_sources"))
+    val w = s.crossJoin(broadcast(t))
+      .select(col("source"),
+        least(expr("(total * 1000000) div (n_sources * n_tokens)"), lit(4000000L))
+          .as("w_ppm"))
+    docs.join(broadcast(w), "source")
+      .select(col("doc_id"), col("source"), col("w_ppm"),
+        (expr("w_ppm div 1000000")
+          + when(Sampling.hashBucket(col("doc_id")) < col("w_ppm") % 1000000, lit(1L))
+            .otherwise(lit(0L))).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("w_ppm"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply)
 }

@@ -256,8 +256,44 @@ object RowOpsQueries {
       .select("n_both", "n_click_only", "sum_both", "sum_click_only")
   }
 
+  /** D13 — deterministic SHARD SHUFFLE: the global training-order
+    * shuffle + shard assignment every pretraining run materializes
+    * before the data loader reads it. Each document's order key is the
+    * portable hash of its id (same scramble across reruns, engines and
+    * cluster sizes — the d10 determinism contract applied to ORDERING,
+    * not sampling); shard = key mod 16; position = rank within the
+    * shard by (key, doc_id). Restarting the job, adding executors or
+    * switching engines reproduces byte-identical shards — which is what
+    * makes a training run resumable at a sample boundary.
+    *
+    * Scale shape: hashing is a codegen'd per-row projection; the
+    * per-shard rank is one shuffle on the shard key + a within-shard
+    * sort — exactly the `repartition(shard).sortWithinPartitions(key)`
+    * write every sharded-corpus writer executes (with thousands of
+    * shards in production, each a writer task).
+    */
+  val d13ShardShuffle: GraftQuery = GraftQuery(
+    "d13_shard_shuffle", {
+      val h = graft.operators.Sampling.sqlHashBucket("doc_id")
+      s"""WITH k AS (SELECT doc_id, $h AS okey FROM documents)
+         |SELECT doc_id, okey, okey % 16 AS shard,
+         |       row_number() OVER (PARTITION BY okey % 16
+         |                          ORDER BY okey, doc_id) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin
+    }) { (spark, dir) =>
+    import graft.operators.Sampling
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("okey", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("okey"))
+      .withColumn("shard", col("okey") % 16)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "okey", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder, d12SetOps)
+    d11ZOrder, d12SetOps, d13ShardShuffle)
 }

@@ -381,6 +381,38 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r._4 <= 4000000L && r._4 <= r._3))
   }
 
+  test("d13 shard shuffle: dense per-shard positions, partition-count invariant") {
+    val out = SparkEntry.queries("d13_shard_shuffle")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // positions are dense 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the assignment is a pure function of doc_id: a repartitioned input
+    // yields the identical (doc_id, shard, pos) triples
+    val again = SparkEntry.queries("d13_shard_shuffle")(spark, "/root/testdata/sf0.001")
+      .repartition(7).select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
+  test("c03 mixture apply: per-doc copies are floor(w) or floor(w)+1, token mass moves toward uniform") {
+    val out = SparkEntry.queries("c03_mixture_apply")(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "w_ppm", "copy_id").as[(Long, Long, Long)].collect()
+    val perDoc = out.groupBy(_._1).map { case (_, rows) =>
+      (rows.head._2, rows.length.toLong)
+    }
+    perDoc.foreach { case (wPpm, copies) =>
+      val fl = wPpm / 1000000L
+      assert(copies == fl || copies == fl + 1,
+        s"w_ppm=$wPpm produced $copies copies")
+    }
+    // copy_ids are dense 1..n per doc
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("ReprList codec round-trips single-quoted python reprs") {
     val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
       .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
