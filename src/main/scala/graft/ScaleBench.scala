@@ -24,7 +24,11 @@ object ScaleBench {
   // gate queries with no data-size tuning knob: run verbatim per tier
   private val DocQueries = Seq(
     "m01_minhash_lsh", "s01_simhash_pairs", "g02_dedup_groups",
-    "c02_curation_full", "t09_span_dedup", "t11_decontaminate")
+    "c02_curation_full", "t09_span_dedup", "t11_decontaminate",
+    // r8 additions — claimed linear, now measured: t14 is a pure per-row
+    // HOF map; c03 is a broadcast-weights generate; d13 is one shuffle
+    // on the shard key + per-shard sort
+    "t14_quality_classifier", "c03_mixture_apply", "d13_shard_shuffle")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -125,6 +129,14 @@ object ScaleBench {
           graft.operators.Dedup.nearDupPairsEstimated(
             Tables.documents(spark, dir), "doc_id", "text", 2, 16, 8,
             minEstimate = 0.25).count()),
+        // one Lloyd round at the IVF deployment shape (k ∝ √n): the
+        // n·k assignment is the training loop's per-round cost — the
+        // gate's fixed k=8 would measure a mis-provisioned index at
+        // 100×, not the operator (same rationale as e06's knob)
+        s"e10_kmeans_round[k=$centroids]" -> (() =>
+          graft.operators.Similarity.kmeansRound(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("id") < centroids).count()),
         // force the distributed pointer-jumping path (the 100 TB worst
         // case) even where the union-find fast path would engage
         "g02_components_distributed" -> (() => {

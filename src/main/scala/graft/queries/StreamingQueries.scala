@@ -54,8 +54,14 @@ object StreamingQueries {
     // Spark-written DIRECTORY of part-files (scale tiers). The file
     // stream source does not descend into a symlinked directory, so
     // stage one link PER DATA FILE — which is also the landing-dir
-    // deployment shape (files arrive individually).
+    // deployment shape (files arrive individually). Link targets MUST be
+    // absolute: the links live in a /tmp staging dir, so a relative
+    // source path (e.g. ScaleBench's `scale_data/1x`) would dangle and
+    // the file stream silently reads an EMPTY source — zero rows, no
+    // error (this shipped in r7's BENCH_SCALE: every sm* tier measured
+    // an empty stream).
     val srcPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize
     val landed: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(srcPath)) {
         import scala.jdk.CollectionConverters._
@@ -64,8 +70,12 @@ object StreamingQueries {
       } else Seq(srcPath)
     try {
       landed.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.createSymbolicLink(
-          staging.resolve(f"landed-$i%05d.parquet"), f)
+        val link = staging.resolve(f"landed-$i%05d.parquet")
+        java.nio.file.Files.createSymbolicLink(link, f)
+        // Files.exists follows the link: a dangling target means the
+        // stream would silently process nothing — fail loudly instead
+        require(java.nio.file.Files.exists(link),
+          s"staged stream link dangles: $link -> $f")
       }
       // declare the stream schema with the file's own ts encoding (a
       // TIMESTAMP schema over an NTZ file fails the parquet dtype check),

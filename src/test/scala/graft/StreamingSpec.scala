@@ -47,6 +47,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("staged stream gates work from a RELATIVE source dir (the ScaleBench shape)") {
+    // the r8 regression: staging symlinks with relative targets dangle in
+    // the /tmp staging dir and the file stream silently reads NOTHING —
+    // sm* measured empty streams at every scale tier in r7's BENCH_SCALE
+    val rel = java.nio.file.Paths.get("target/rel-events-test")
+    java.nio.file.Files.createDirectories(rel)
+    val dst = rel.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(dst)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"), dst)
+    assert(!rel.isAbsolute)
+    val rows = SparkEntry.queries("sm01_stream_window")(spark, rel.toString).count()
+    assert(rows > 0, "staged stream from a relative dir processed nothing")
+  }
+
   test("file-source micro-batch equals the batch plan (readStream over testdata)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source needs a directory; testdata is one file
