@@ -558,7 +558,53 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T16 — one BPE TOKENIZER-TRAINING round: the global adjacent-pair
+    * frequency count whose argmax is the next merge rule — the inner
+    * loop of byte-pair-encoding vocabulary training, run over every
+    * token occurrence (BPE weights pairs by corpus frequency, not
+    * distinct words). The gate emits the top-20 merge candidates with
+    * deterministic tie-break (pair asc), i.e. the next 20 rules a
+    * greedy trainer would consider. Iteration is driver-looped like
+    * Lloyd rounds (e10) — each round is this same plan over re-merged
+    * symbols.
+    *
+    * Scale shape: two explodes (word, then char-pair) into one
+    * map-side-combinable count — pair cardinality is bounded by the
+    * alphabet² (tiny), so the partial aggregate collapses almost
+    * everything before the shuffle; top-20 is a bounded sort
+    * (TakeOrdered), with the rank window applied only to the 20
+    * surviving rows.
+    */
+  val t16BpeMergeRound: GraftQuery = GraftQuery(
+    "t16_bpe_merge_round",
+    s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+       |pairs AS (
+       |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+       |  FROM tok WHERE len(w) >= 2),
+       |counted AS (
+       |  SELECT pair, COUNT(*) AS freq,
+       |         row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rank
+       |  FROM pairs GROUP BY pair)
+       |SELECT rank, pair, freq FROM counted WHERE rank <= 20
+       |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    // the rank window runs AFTER the bounded top-20 sort, so the
+    // single-partition window touches 20 rows, never the pair table
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("pair"))
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("pair")).limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "pair", "freq")
+      .orderBy("rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
-    t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture)
+    t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
+    t16BpeMergeRound)
 }

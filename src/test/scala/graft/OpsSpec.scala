@@ -413,6 +413,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("t16 BPE round: pair counts weight by occurrence; gate emits dense ranked merges") {
+    // "abab" contributes ab,ba,ab — BPE counts every occurrence, and the
+    // repeated word doubles its pairs
+    val words = Seq("abab", "abab", "xy", "z").toDF("text")
+    val pairs = words
+      .select(explode(TextFunctions.tokens($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toMap
+    assert(pairs == Map("ab" -> 4L, "ba" -> 2L, "xy" -> 1L))
+    val out = SparkEntry.queries("t16_bpe_merge_round")(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == (1L to 20L))
+    assert(out.forall(_._2.length == 2))
+    // frequencies non-increasing; ties broken by pair ascending
+    out.zip(out.tail).foreach { case (a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+    }
+  }
+
   test("ReprList codec round-trips single-quoted python reprs") {
     val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
       .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
