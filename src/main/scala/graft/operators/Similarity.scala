@@ -383,6 +383,51 @@ object Similarity {
           * lit(1000000.0)).cast("long").as("m_q"))
   }
 
+  /** PRODUCT-QUANTIZATION assignment — the encoding pass of PQ/IVF-PQ,
+    * the compression behind billion-scale ANN: the vector splits into
+    * `m` subvectors of `dsub` dims, each assigned to its nearest
+    * codeword in that subspace's codebook (here the subvector slices of
+    * the vectors matching `codebookPred`, codeword id = seed id). A
+    * 64-dim float vector becomes m=4 byte codes — 64× compression —
+    * and distances against it are table lookups. All math runs on the
+    * int8 grid ([[quantize]]): integer squared-L2 per subspace, argmin
+    * with ties to the lower codeword id, deterministic across engines.
+    *
+    * Returns one row per (vec, subspace): (vec_id, subspace, code,
+    * dist_q) where dist_q is the subspace quantization distortion.
+    *
+    * Scale shape: the codebook broadcasts (m × k × dsub ints); each
+    * vector meets k codewords per subspace through the broadcast join
+    * and the argmin is a map-side-combinable min-struct aggregate —
+    * one narrow shuffle of (id, s) keys. Codebook TRAINING is k-means
+    * per subspace — [[kmeansRound]]/[[trainIvfCentroids]] over the
+    * subvector slices, the same driver-looped rounds.
+    */
+  def pqAssign(vectors: DataFrame, idCol: String, embCol: String,
+               codebookPred: Column, m: Int = 4, dsub: Int = 16): DataFrame = {
+    val v = vectors
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = v.filter(codebookPred)
+      .select(col("id").as("c_id"), col("q").as("cq"))
+    def subs(qc: Column, out: String) =
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("long").as("s"),
+          slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
+    val sub = v.select(col("id"), subs(col("q"), "qs"))
+      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    val csub = cb.select(col("c_id"), subs(col("cq"), "cqs"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
+    sub.join(broadcast(csub), "s")
+      .select(col("id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("dist"))
+      .groupBy("id", "s")
+      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
+      .select(col("id").as("vec_id"), col("s").as("subspace"),
+        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
+  }
+
   /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)
     * — e.g. [[trainIvfCentroids]] output.
     */

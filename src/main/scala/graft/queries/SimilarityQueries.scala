@@ -369,7 +369,30 @@ object SimilarityQueries {
       .orderBy("c_id", "dim")
   }
 
+  /** E11 — product-quantization assignment ([[Similarity.pqAssign]]):
+    * the PQ encoding pass (4 subspaces × 16 dims, codebook = the 8
+    * seed vectors' subvector slices). The oracle replays the int8
+    * quantization, per-subspace integer squared-L2, and the
+    * lower-codeword tie-break exactly.
+    */
+  val e11PqAssign: GraftQuery = GraftQuery(
+    "e11_pq_assign",
+    s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+       |cb AS (SELECT id AS c_id, q AS cq FROM v WHERE id < $NumCentroids),
+       |sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM v, range(0, 4) t(s)),
+       |csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM cb, range(0, 4) t(s)),
+       |d AS (SELECT id, s, c_id,
+       |        CAST(list_sum([(qs[i]-cqs[i])*(qs[i]-cqs[i]) for i in range(1, 17)]) AS BIGINT) AS dist
+       |      FROM sub JOIN csub USING (s)),
+       |a AS (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM d)
+       |SELECT id AS vec_id, s AS subspace, c_id AS code, dist AS dist_q
+       |FROM a WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin) { (spark, dir) =>
+    Similarity.pqAssign(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumCentroids, m = 4, dsub = 16)
+      .orderBy("vec_id", "subspace")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
-    e08CoarseRerank, e09CenterNormalize, e10KmeansRound)
+    e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign)
 }

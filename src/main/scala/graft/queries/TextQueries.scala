@@ -603,8 +603,55 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** T17 — IMPORTANCE-WEIGHTING for targeted data selection (the
+    * DSIR family: score raw documents by how much their n-gram
+    * distribution resembles a small target set, then sample by the
+    * weight). Target = the doc_id % 97 slice (the t11 benchmark
+    * convention); every raw document scores
+    * Σ_bigram ⌊1e6·(tf+1)/(rf+1)⌋ — the smoothed target/raw frequency
+    * ratio kept RATIONAL per gram (log-likelihood ratios need `log`,
+    * which is not cross-engine reproducible; this is the same monotone
+    * resemblance family, integer-exact).
+    *
+    * Scale shape: one bigram explode feeds both frequency tables and
+    * the scoring join (persisted — the t10 multi-consumer lesson);
+    * both gram tables are vocabulary-sized (broadcast); the per-doc
+    * score is a map-side-combinable sum. The raw corpus never
+    * self-joins and is scanned once.
+    */
+  val t17DsirWeights: GraftQuery = GraftQuery(
+    "t17_dsir_weights",
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles("tk", 2)}) AS g FROM tok),
+       |tf AS (SELECT g, COUNT(*) AS tf FROM sh WHERE doc_id % 97 = 0 GROUP BY g),
+       |rf AS (SELECT g, COUNT(*) AS rf FROM sh WHERE doc_id % 97 != 0 GROUP BY g),
+       |scored AS (
+       |  SELECT s.doc_id,
+       |         (1000000 * (COALESCE(tf.tf, 0) + 1)) // (COALESCE(rf.rf, 0) + 1) AS ratio
+       |  FROM sh s LEFT JOIN tf ON s.g = tf.g LEFT JOIN rf ON s.g = rf.g
+       |  WHERE s.doc_id % 97 != 0)
+       |SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(ratio) AS BIGINT) AS importance
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // bind the token array before the shingle HOF (t11 lesson), persist
+    // the exploded grams across their three consumers (t10 lesson)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = sh.filter(col("doc_id") % 97 === 0).groupBy("g").agg(count(lit(1)).as("tf"))
+    val rf = sh.filter(col("doc_id") % 97 =!= 0).groupBy("g").agg(count(lit(1)).as("rf"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(tf), Seq("g"), "left")
+      .join(broadcast(rf), Seq("g"), "left")
+      .select(col("doc_id"),
+        expr("(1000000 * (coalesce(tf, 0) + 1)) div (coalesce(rf, 0) + 1)").as("ratio"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("ratio")).as("importance"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
-    t16BpeMergeRound)
+    t16BpeMergeRound, t17DsirWeights)
 }

@@ -435,6 +435,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pqAssign: codewords self-assign at zero distortion; nearest wins with integer L2") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f))).toDF("vid", "emb")
+    val out = Similarity.pqAssign(vecs, "vid", "emb", col("id") < 2, m = 2, dsub = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (v, s, c, d) => (v, s) -> (c, d) }.toMap
+    // seeds are their own codewords, distortion 0 in every subspace
+    assert(out((0L, 0L)) == ((0L, 0L)) && out((0L, 1L)) == ((0L, 0L)))
+    assert(out((1L, 0L)) == ((1L, 0L)) && out((1L, 1L)) == ((1L, 0L)))
+    // v2 ≈ seed 0: codes 0 with the hand-computed int8 squared-L2
+    // (floor(.9·127)=114, floor(.1·127)=12 → (114-127)²+(12-0)² = 313)
+    assert(out((2L, 0L)) == ((0L, 313L)))
+    assert(out((2L, 1L)) == ((0L, 313L)))
+  }
+
+  test("t17 DSIR weights: target-resembling raw docs outscore disjoint ones per gram") {
+    val out = SparkEntry.queries("t17_dsir_weights")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    // only raw docs appear, every score positive, smoothing bounds hold:
+    // each gram contributes at least floor(1e6·1/(rf+1)) ≥ 1 and at most
+    // 1e6·(tf+1)
+    assert(out.nonEmpty && out.forall { case (id, n, imp) =>
+      id % 97 != 0 && n >= 1 && imp >= n })
+  }
+
   test("ReprList codec round-trips single-quoted python reprs") {
     val out = Seq("['#a', '#b']", "[]", null.asInstanceOf[String]).toDF("s")
       .select(Schemas.ReprList.decode($"s").as("a")).as[Seq[String]].collect()
