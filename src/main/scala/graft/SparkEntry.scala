@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.all ++
       graft.queries.BucketingQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.IoQueries.all
+      graft.queries.IoQueries.all ++
+      graft.queries.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -883,11 +883,62 @@ object AnalyticsQueries {
       .orderBy("week_end")
   }
 
+  /** A23 — WINSORIZED group statistics (outlier-robust profiling: clamp
+    * each value to the group's exact [p05, p95] band before averaging —
+    * the standard robust-mean treatment for the reference's heavy-tailed
+    * engagement metrics, ref `exploratory_analysis.py` describe/outlier
+    * handling). Quantiles are a17's type-1 rank selection (no fp
+    * interpolation); the clamped mean routes through DECIMAL (the Det
+    * convention) so both engines agree bit-for-bit.
+    *
+    * Scale shape: pass 1 is a17's window sort (one shuffle on the group
+    * key) reduced to a |groups|-row quantile table; pass 2 broadcasts
+    * that table back and the clamp + mean is one map-side-combinable
+    * agg. Production swaps pass 1 for `percentile_approx` partials —
+    * same two-pass shape, no full sort.
+    */
+  val a23WinsorizedStats: GraftQuery = GraftQuery(
+    "a23_winsorized_stats",
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events),
+       |q AS (SELECT event_type, MAX(n) AS n,
+       |        MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS p05,
+       |        MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95
+       |      FROM r GROUP BY event_type)
+       |SELECT e.event_type, MAX(q.n) AS n, MAX(p05) AS p05, MAX(p95) AS p95,
+       |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       |  ${Det.sqlAvg("LEAST(GREATEST(value, p05), p95)")} AS winsorized_mean
+       |FROM events e JOIN q ON e.event_type = q.event_type
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val byType = Window.partitionBy("event_type")
+    val r = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        row_number().over(byType.orderBy("value")).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("value")))
+    val q = r.groupBy(col("event_type").as("q_type"))
+      .agg(max(col("n")).as("qn"), pick(0.05).as("p05"), pick(0.95).as("p95"))
+    val clamped = least(greatest(col("value"), col("p05")), col("p95"))
+    Tables.events(spark, dir)
+      .join(broadcast(q), col("event_type") === col("q_type"))
+      .groupBy("event_type")
+      .agg(max(col("qn")).as("n"), max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+        Det.davg(clamped).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    a20HllReagg, a21CohortRetention, a22Unpivot, j02TimeAlign, w01Windows,
-    w02RollingTime, w02bRollingSkewed, w03RankFunctions)
+    a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats, j02TimeAlign,
+    w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions)
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph-analytics rounds over the interaction graph derived from the
+  * event log (src = acting user, dst = the entity its payload points
+  * at) — the "who touches what" graph every social pipeline builds from
+  * exactly this kind of log (the reference materializes the edge list
+  * as nested comment threads, `DataStorage.py` comment extraction; here
+  * the graph ops themselves are first-class).
+  *
+  * Both gates keep ALL arithmetic in integers (ppb ranks, ord-scalar
+  * degree ordering) so the result is bit-identical across engines —
+  * the g02/e10 determinism convention.
+  */
+object GraphQueries {
+
+  /** The shared edge derivation: one directed edge per event,
+    * src = user_id, dst = the numeric payload key folded into the node
+    * id space. Both engines parse the payload with the same regex.
+    */
+  private def edgesSql: String =
+    "SELECT user_id AS src, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 150 AS dst FROM events"
+
+  private def edgesDf(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(spark, dir).select(
+      col("user_id").as("src"),
+      (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 150).as("dst"))
+
+  /** G03 — one PAGERANK power-iteration round (d = 0.85) in exact ppb
+    * integer arithmetic: rank'(v) = ⌊0.15·10⁹/N⌋ + ⌊0.85·(Σ_{u→v}
+    * ⌊rank(u)/outdeg(u)⌋ + dangling_share)⌋ from the uniform start
+    * ⌊10⁹/N⌋, where dangling_share redistributes the rank of nodes with
+    * NO out-edges uniformly (the textbook dangling-mass correction —
+    * without it the round leaks the mass of every sink node). Integer
+    * division everywhere — no float accumulation order to diverge
+    * between engines; GraphSpec pins conservation: one round loses only
+    * floor dust, bounded by edges + nodes. Iteration is driver-looped
+    * like the Lloyd round (e10) and the BPE round (t16), each round
+    * this same plan over the previous rank table.
+    *
+    * Scale shape: the canonical Pregel/GraphX superstep as two keyed
+    * shuffles — edges ⋈ out-degrees on src (co-located when the edge
+    * table is bucketed by src, the storage layout a rank loop would
+    * use), then a map-side-combinable contribution sum on dst. The
+    * node count, out-edge-node count, and dangling share are 1-row
+    * broadcasts; the teleport side is |nodes| rows. No collect — rank
+    * state lives in the cluster across rounds.
+    */
+  val g03PagerankRound: GraftQuery = GraftQuery(
+    "g03_pagerank_round",
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |outd AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |k AS (SELECT n, ((1000000000 // n) * (n - (SELECT COUNT(*) FROM outd))) // n AS dshare
+       |      FROM nn),
+       |contrib AS (
+       |  SELECT e.dst, SUM((1000000000 // k.n) // outd.deg) AS c
+       |  FROM edges e JOIN outd ON e.src = outd.src CROSS JOIN k GROUP BY e.dst)
+       |SELECT nodes.node,
+       |       CAST((150000000 // k.n) + (85 * (COALESCE(contrib.c, 0) + k.dshare)) // 100
+       |            AS BIGINT) AS rank_ppb
+       |FROM nodes CROSS JOIN k LEFT JOIN contrib ON contrib.dst = nodes.node
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    // edges feed nodes, out-degrees, and contributions — persist once
+    // (the t10/t17 multi-consumer lesson)
+    val edges = edgesDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val k = nn.crossJoin(outd.agg(count(lit(1)).as("n_out")))
+      .select(col("n"),
+        expr("((1000000000 div n) * (n - n_out)) div n").as("dshare"))
+    val contrib = edges.join(outd, "src")
+      .crossJoin(broadcast(k))
+      .select(col("dst"), expr("(1000000000 div n) div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("c"))
+    nodes.crossJoin(broadcast(k))
+      .join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (expr("150000000 div n") +
+          expr("(85 * (coalesce(c, 0) + dshare)) div 100")).as("rank_ppb"))
+      .orderBy("node")
+  }
+
+  /** G04 — TRIANGLE COUNTING by degree-ordered orientation (the
+    * MapReduce-era standard for counting triangles without quadratic
+    * wedge blowup): normalize to distinct undirected edges, orient
+    * every edge from the lower-(degree, id) endpoint to the higher, so
+    * each triangle is enumerated exactly once and a vertex's join
+    * fan-out is bounded by its ORIENTED out-degree (≤ O(√E) on any
+    * graph — the arboricity bound), never its raw degree. The total
+    * order is the scalar ord = deg·10⁶ + node, identical in both
+    * engines. Output: per-vertex triangle participation counts.
+    *
+    * Scale shape: distinct-edge dedup and the degree table are keyed
+    * aggs; wedges = oriented ⋈ oriented on the shared source (shuffle
+    * on node key, fan-out arboricity-bounded); the closing check is one
+    * more equi-join against the oriented edge table. No node ever sees
+    * more than its oriented neighborhood — the hot celebrity vertex
+    * that breaks naive triangle joins sits on the HIGH side of almost
+    * every ordered edge and so fans out almost nothing.
+    */
+  val g04TriangleCount: GraftQuery = GraftQuery(
+    "g04_triangle_count",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |        GROUP BY node),
+       |o AS (SELECT u, v, du.deg * 1000000 + u AS ou, dv.deg * 1000000 + v AS ov
+       |      FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+       |oe AS (SELECT CASE WHEN ou < ov THEN u ELSE v END AS a,
+       |              CASE WHEN ou < ov THEN v ELSE u END AS b,
+       |              GREATEST(ou, ov) AS ob
+       |       FROM o),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM oe e1 JOIN oe e2 ON e1.a = e2.a AND e1.ob < e2.ob
+       |        JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b)
+       |SELECT node, COUNT(*) AS n_tri FROM (
+       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |GROUP BY node ORDER BY node""".stripMargin) { (spark, dir) =>
+    val und = edgesDf(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("node").as("u"), (col("deg") * 1000000 + col("u")).as("ou")), "u")
+      .join(deg.select(col("node").as("v"), (col("deg") * 1000000 + col("v")).as("ov")), "v")
+    val oe = o.select(
+      when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("a"),
+      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("b"),
+      greatest(col("ou"), col("ov")).as("ob"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oe.select(col("a"), col("b").as("y"), col("ob").as("ob1"))
+    val e2 = oe.select(col("a"), col("b").as("z"), col("ob").as("ob2"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("ob1") < col("ob2"))
+    val closing = oe.select(col("a").as("y"), col("b").as("z"))
+    val tri = wedges.join(closing, Seq("y", "z"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount)
+}

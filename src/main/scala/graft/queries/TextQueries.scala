@@ -650,8 +650,131 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T18 — data-derived term-BLOCKLIST filter (the C4 badwords /
+    * RefinedWeb URL-blocklist family: drop any document containing a
+    * listed term). The list here is DERIVED from the corpus — the 20
+    * most frequent terms in a hash-defined slice of the vocabulary
+    * (rollingHash % 3 = 0), standing in for the curated list a real
+    * pipeline ships — so the plan genuinely needs the frequency
+    * aggregate, not just a per-token predicate.
+    *
+    * Scale shape: one vocabulary-sized agg → bounded top-20 sort → a
+    * ONE-ROW array that broadcasts into a per-row HOF membership count.
+    * The corpus pass itself is a pure map (no explode, no shuffle): at
+    * 100 TB the blocklist side is constant-size and the filter runs at
+    * scan speed.
+    */
+  val t18BlocklistFilter: GraftQuery = GraftQuery(
+    "t18_blocklist_filter",
+    s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS t FROM documents),
+       |freq AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+       |bl AS (SELECT list(t ORDER BY t) AS bl FROM (
+       |  SELECT t FROM freq WHERE (${sqlRollingHash("t")}) % 3 = 0
+       |  ORDER BY f DESC, t LIMIT 20)),
+       |d AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_filter(tk, t -> list_contains(bl, t))) AS BIGINT) AS n_blocked,
+       |       CASE WHEN len(list_filter(tk, t -> list_contains(bl, t))) = 0
+       |            THEN 'keep' ELSE 'drop' END AS label
+       |FROM d CROSS JOIN bl ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val bl = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .filter(rollingHash(col("t")) % 3 === 0)
+      .orderBy(desc("f"), asc("t")).limit(20)
+      .agg(sort_array(collect_list(col("t"))).as("bl"))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .crossJoin(broadcast(bl))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => array_contains(col("bl"), t)))
+          .cast("long").as("n_blocked"))
+      .withColumn("label",
+        when(col("n_blocked") === 0, lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
+  }
+
+  /** T19 — INVERTED-INDEX build (term → posting list), the search-side
+    * structure a corpus pipeline materializes for decontamination
+    * lookups and example retrieval. Indexed vocabulary is the
+    * rollingHash % 2 = 0 slice (a production build indexes everything;
+    * the slice bounds the GATE's output, not the plan). Posting lists
+    * are pinned content-wise by a rolling hash of the sorted doc-id
+    * string — the t13 convention for list-valued outputs.
+    *
+    * Scale shape: per-doc `array_distinct` dedups ON THE MAP SIDE
+    * (a per-row HOF) so the explode emits each (doc, term) once and the
+    * only shuffle is the groupBy term. The skew hazard at 100 TB is the
+    * stop-term posting list (df ≈ corpus); production splits postings
+    * into fixed-size blocks per (term, block_id) — the same salted-key
+    * shape as x03 — and this plan's agg is block-local then.
+    */
+  val t19InvertedIndex: GraftQuery = GraftQuery(
+    "t19_inverted_index",
+    s"""WITH dist AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS term
+       |    FROM documents)
+       |  WHERE (${sqlRollingHash("term")}) % 2 = 0)
+       |SELECT term, COUNT(*) AS df,
+       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |       ${sqlRollingHash("array_to_string(list_sort(list(doc_id)), ' ')")} AS postings_hash
+       |FROM dist GROUP BY term ORDER BY term""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(rollingHash(col("term")) % 2 === 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        rollingHash(array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          " ")).as("postings_hash"))
+      .orderBy("term")
+  }
+
+  /** T20 — CONJUNCTIVE POSTING INTERSECTION (boolean AND search over
+    * the t19 index): the two highest-df indexed terms (deterministic
+    * tie-break: term asc) are the query; a document matches iff it
+    * contains BOTH. The reference's hashtag co-occurrence filtering
+    * (`Preprocessor.py` hashtag membership) is this same shape with a
+    * hand-picked term pair.
+    *
+    * Scale shape: the 2-term query side is a bounded sort → broadcast;
+    * matching is the posting join (term equi-join after map-side
+    * array_distinct) + a per-doc count == |query| gate — one shuffle on
+    * doc_id. At 100 TB this runs off the stored t19 index, never the
+    * raw corpus.
+    */
+  val t20PostingIntersect: GraftQuery = GraftQuery(
+    "t20_posting_intersect",
+    s"""WITH dist AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS term
+       |    FROM documents)
+       |  WHERE (${sqlRollingHash("term")}) % 2 = 0),
+       |q AS (SELECT term FROM (
+       |  SELECT term, COUNT(*) AS df FROM dist GROUP BY term
+       |  ORDER BY df DESC, term LIMIT 2)),
+       |m AS (SELECT doc_id, COUNT(*) AS n_hit
+       |      FROM dist JOIN q USING (term) GROUP BY doc_id)
+       |SELECT doc_id, n_hit FROM m WHERE n_hit = 2 ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      val dist = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        .filter(rollingHash(col("term")) % 2 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = dist.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("term")).limit(2)
+        .select("term")
+      dist.join(broadcast(q), Seq("term"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === 2)
+        .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
-    t16BpeMergeRound, t17DsirWeights)
+    t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
+    t20PostingIntersect)
 }
