@@ -28,14 +28,21 @@ object ScaleBench {
     // r8 additions — claimed linear, now measured: t14 is a pure per-row
     // HOF map; c03 is a broadcast-weights generate; d13 is one shuffle
     // on the shard key + per-shard sort
-    "t14_quality_classifier", "c03_mixture_apply", "d13_shard_shuffle")
+    "t14_quality_classifier", "c03_mixture_apply", "d13_shard_shuffle",
+    // r8 second wave: t19 is map-side array_distinct + one shuffle on
+    // term (posting-list skew is the thing to watch); t18 is a
+    // broadcast-1-row HOF map like t14
+    "t18_blocklist_filter", "t19_inverted_index")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
   private val EventQueries = Seq(
     "x01_exact_dedup", "x06_upsert_merge", "w02_rolling_time_window",
     "st03_funnel", "sm01_stream_window", "sm02_stream_dedup",
-    "sm03_stream_sessions", "sm04_stream_join", "sm05_stream_static_join")
+    "sm03_stream_sessions", "sm04_stream_join", "sm05_stream_static_join",
+    // r8 second wave: Pregel-superstep shapes (two keyed shuffles) and
+    // the outer stream-stream join's band-bounded state
+    "g03_pagerank_round", "g04_triangle_count", "sm06_stream_outer_join")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

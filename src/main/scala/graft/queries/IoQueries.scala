@@ -142,6 +142,44 @@ object IoQueries {
       .orderBy("doc_id")
   }
 
+  /** IO4 — ORC round-trip (the columnar-sink alternative a lake running
+    * mixed engines keeps alongside Parquet): events written through
+    * Spark's built-in ORC codec and read back, gated by the same
+    * loss-free aggregate contract as io01/io02 — timestamp microseconds,
+    * doubles, and the JSON-bearing string column all survive bit-for-bit
+    * or the hash breaks. ORC stores TIMESTAMP natively (no format
+    * options to own, unlike the text codecs) — the gate proves the
+    * binary fidelity claim rather than a format-string choice.
+    *
+    * Scale shape: identical to the Parquet path — columnar scan with
+    * predicate/column pushdown; the round-trip is file-parallel both
+    * directions.
+    */
+  val io04OrcRoundtrip: GraftQuery = GraftQuery(
+    "io04_orc_roundtrip", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val out = Dsl.tempStore("io04_orc")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        sum(unix_micros(col("ts"))).as("sum_ts_us"),
+        sum(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("sum_props_hash"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
-    io03BinaryRoundtrip)
+    io03BinaryRoundtrip, io04OrcRoundtrip)
 }

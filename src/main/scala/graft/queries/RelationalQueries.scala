@@ -449,9 +449,88 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** J09 — FUZZY-MATCH join (entity resolution: blocking + edit-distance
+    * verify + best-match pick — the record-linkage shape behind user /
+    * account / merchant matching). The dirty side is a deterministic
+    * single-character corruption of every 31st customer name (position
+    * 10 + key mod 9, replaced with 'X'); matching blocks 2-OF-3: the
+    * digit tail splits into three DISJOINT 3-char windows and candidates
+    * must agree on a PAIR of windows (three equi-joins, one per window
+    * pair). A single substitution damages at most one window, leaving
+    * one pair fully intact — guaranteed recall for single-edit
+    * corruption — while each join key carries 6 characters of entropy
+    * (a single 3-char window key left a hot block doing 4M edit-distance
+    * checks at sf0.1; the pair keys cut candidates ~8x). Candidates
+    * verify with `levenshtein <= 2`; the winner per dirty record is the
+    * min-struct (dist, key) — deterministic under distance ties.
+    *
+    * Scale shape: LSH-for-strings — banded blocking equi-joins (never a
+    * cross join; the same band-key recall math as m01's MinHash bands),
+    * exact edit distance only on candidates and verified INSIDE each
+    * branch, and the best-pick is a map-side-combinable min-struct agg
+    * (d01's pattern), not a window sort — a pair surviving in several
+    * branches is absorbed by min, so no distinct over wide name pairs is
+    * ever materialized. A still-skewed block gets x03's salting.
+    */
+  val j09FuzzyMatch: GraftQuery = GraftQuery(
+    "j09_fuzzy_match",
+    """WITH dirty AS (
+      |  SELECT c_custkey AS dirty_id,
+      |         substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT)) || 'X' ||
+      |         substr(c_name, CAST(11 + c_custkey % 9 AS INT)) AS dirty_name
+      |  FROM customer WHERE c_custkey % 31 = 0),
+      |cand AS (
+      |  SELECT dirty_id, dirty_name, c.c_custkey, c.c_name
+      |  FROM dirty d JOIN customer c
+      |    ON substr(d.dirty_name, 10, 6) = substr(c.c_name, 10, 6)
+      |  UNION
+      |  SELECT dirty_id, dirty_name, c.c_custkey, c.c_name
+      |  FROM dirty d JOIN customer c
+      |    ON substr(d.dirty_name, 10, 3) || substr(d.dirty_name, 16, 3)
+      |     = substr(c.c_name, 10, 3) || substr(c.c_name, 16, 3)
+      |  UNION
+      |  SELECT dirty_id, dirty_name, c.c_custkey, c.c_name
+      |  FROM dirty d JOIN customer c
+      |    ON substr(d.dirty_name, 13, 6) = substr(c.c_name, 13, 6)),
+      |ver AS (
+      |  SELECT dirty_id, c_custkey, levenshtein(dirty_name, c_name) AS dist
+      |  FROM cand WHERE levenshtein(dirty_name, c_name) <= 2),
+      |best AS (
+      |  SELECT dirty_id, c_custkey, dist,
+      |         row_number() OVER (PARTITION BY dirty_id ORDER BY dist, c_custkey) AS rn
+      |  FROM ver)
+      |SELECT dirty_id, c_custkey AS matched_key, dist
+      |FROM best WHERE rn = 1 ORDER BY dirty_id""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val dirty = cust.filter(col("c_custkey") % 31 === 0)
+      .select(col("c_custkey").as("dirty_id"),
+        expr("concat(substr(c_name, 1, cast(9 + c_custkey % 9 as int)), 'X', " +
+          "substr(c_name, cast(11 + c_custkey % 9 as int)))").as("dirty_name"))
+    // verify INSIDE each blocking branch (before the union): edit
+    // distance runs only on that branch's candidates, and a pair
+    // surviving several branches is harmless — min-struct is
+    // duplicate-idempotent, so no distinct is ever materialized (the
+    // oracle's UNION dedup is absorbed the same way)
+    def block(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      dirty.withColumn("bk", key(col("dirty_name")))
+        .join(cust.withColumn("bk", key(col("c_name"))), "bk")
+        .select(col("dirty_id"), col("c_custkey"),
+          levenshtein(col("dirty_name"), col("c_name")).as("dist"))
+        .filter(col("dist") <= 2)
+    val ab = block(n => substring(n, 10, 6))
+    val ac = block(n => concat(substring(n, 10, 3), substring(n, 16, 3)))
+    val bc = block(n => substring(n, 13, 6))
+    ab.union(ac).union(bc)
+      .groupBy("dirty_id")
+      .agg(min(struct(col("dist"), col("c_custkey"))).as("m"))
+      .select(col("dirty_id"), col("m.c_custkey").as("matched_key"),
+        col("m.dist").as("dist"))
+      .orderBy("dirty_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
-    j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, a01TimeBucket)
+    j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, a01TimeBucket)
 }

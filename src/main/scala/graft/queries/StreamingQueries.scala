@@ -417,7 +417,69 @@ object StreamingQueries {
     }
   }
 
+  /** SM06 — stream-stream LEFT OUTER time-band join: every click emits,
+    * matched with its purchases inside the 6-hour band or NULL-padded
+    * once the watermark proves no purchase can still arrive — the
+    * attribution join where "no conversion" is itself the signal. Outer
+    * rows are watermark-DRIVEN: a click's null row exists only after
+    * event time passes click_ts + band + watermark delay, so the gate
+    * (and the batch oracle) restricts to the RESOLVED region — clicks
+    * older than max(ts) − 6 h − 1 day − 1 h margin; the unresolved tail
+    * is exactly the state the stream still holds. AvailableNow's final
+    * no-data micro-batch advances the watermark and flushes the resolved
+    * outer rows (same mechanism StreamingSpec pins for sm03 sessions).
+    *
+    * Scale shape: same dual-watermark bounded state as sm04 (state ∝
+    * keys in the band, never corpus) plus the outer-side row buffered
+    * until eviction — still band-bounded per key.
+    */
+  val sm06StreamOuterJoin: GraftQuery = GraftQuery(
+    "sm06_stream_outer_join",
+    """WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT click_id, user_id, click_ts, purchase_id, purchase_ts
+      |      FROM c LEFT JOIN p ON p_user = user_id
+      |        AND purchase_ts >= click_ts
+      |        AND purchase_ts <= click_ts + INTERVAL 6 HOUR)
+      |SELECT click_id, purchase_id, user_id, click_ts, purchase_ts,
+      |       CASE WHEN purchase_id IS NULL THEN 0 ELSE 1 END AS matched
+      |FROM j CROSS JOIN mx WHERE click_ts < mx - INTERVAL 31 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    // resolved-region threshold from the same (batch) table: 6 h band +
+    // 1 day watermark + 1 h boundary margin
+    val mx = Tables.events(spark, dir).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    withStagedEventsStream(spark, dir, "sm06_src", partitions = 4) { events =>
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 day")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+      val joined = clicks.join(purchases,
+        col("p_user_id") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"),
+        "leftOuter")
+      val sink = "sm06_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      spark.table(sink)
+        .filter(col("click_ts") < lit(mx) - expr("INTERVAL 31 HOURS"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"),
+          when(col("purchase_id").isNull, 0).otherwise(1).as("matched"))
+        .orderBy("click_id", "purchase_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
-    sm05StreamStaticJoin)
+    sm05StreamStaticJoin, sm06StreamOuterJoin)
 }
