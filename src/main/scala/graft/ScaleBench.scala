@@ -32,7 +32,10 @@ object ScaleBench {
     // r8 second wave: t19 is map-side array_distinct + one shuffle on
     // term (posting-list skew is the thing to watch); t18 is a
     // broadcast-1-row HOF map like t14
-    "t18_blocklist_filter", "t19_inverted_index")
+    "t18_blocklist_filter", "t19_inverted_index",
+    // d14: one keyed full-outer join over map-side fingerprints — output
+    // ∝ churn; the join itself is the linear part
+    "d14_snapshot_diff")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -42,7 +45,8 @@ object ScaleBench {
     "sm03_stream_sessions", "sm04_stream_join", "sm05_stream_static_join",
     // r8 second wave: Pregel-superstep shapes (two keyed shuffles) and
     // the outer stream-stream join's band-bounded state
-    "g03_pagerank_round", "g04_triangle_count", "sm06_stream_outer_join")
+    "g03_pagerank_round", "g04_triangle_count", "g05_labelprop_round",
+    "sm06_stream_outer_join")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

@@ -934,11 +934,49 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** A24 — EQUI-DEPTH histogram (decile boundaries per group): the
+    * boundary of decile i is the value at rank ⌈i·n/10⌉ of the sorted
+    * group — integer rank arithmetic ((i·n+9) div 10), no fp
+    * interpolation (a17's rule applied to a full boundary VECTOR).
+    * Equi-depth is what query optimizers and drift monitors keep (a07's
+    * equi-width bins say nothing about skewed tails).
+    *
+    * Scale: the same single window sort per group as a17; the 10-row
+    * decile index CROSS JOINs in as a broadcast generate. Production
+    * swaps the sort for `percentile_approx(col, array(...))` partials.
+    */
+  val a24EquidepthHist: GraftQuery = GraftQuery(
+    "a24_equidepth_hist",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |i AS (SELECT unnest(range(1, 11)) AS decile)
+      |SELECT event_type, decile,
+      |       MAX(CASE WHEN rn = (decile * n + 9) // 10 THEN value END) AS boundary
+      |FROM r CROSS JOIN i
+      |GROUP BY event_type, decile ORDER BY event_type, decile""".stripMargin) {
+    (spark, dir) =>
+      val byType = Window.partitionBy("event_type")
+      val r = Tables.events(spark, dir)
+        .select(col("event_type"), col("value"),
+          row_number().over(byType.orderBy("value")).as("rn"),
+          count(lit(1)).over(byType).as("n"))
+      val deciles = spark.range(1, 11).select(col("id").as("decile"))
+      r.crossJoin(broadcast(deciles))
+        .groupBy("event_type", "decile")
+        .agg(max(when(col("rn") === expr("(decile * n + 9) div 10"),
+          col("value"))).as("boundary"))
+        .orderBy("event_type", "decile")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
-    a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats, j02TimeAlign,
+    a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
+    a24EquidepthHist, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions)
 }

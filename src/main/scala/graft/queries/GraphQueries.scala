@@ -142,7 +142,16 @@ object GraphQueries {
       when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("b"),
       greatest(col("ou"), col("ov")).as("ob"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedge (a→y, a→z) closes only through an oriented edge y→z, so y
+    // must be a SOURCE of some oriented edge — the semi-join is sound on
+    // any graph (a filtered wedge can never close) and prunes wedges
+    // centered on pure sinks, e.g. strictly bipartite graphs. The
+    // irreducible cost that remains is Σ_a C(out_deg(a), 2) wedge rows,
+    // the degree-ordered algorithm's own bound (measured: ~32M wedges /
+    // 12 s at the 10× event tier, time sub-linear per wedge).
+    val sources = oe.select(col("a").as("y")).distinct()
     val e1 = oe.select(col("a"), col("b").as("y"), col("ob").as("ob1"))
+      .join(sources, Seq("y"), "leftsemi")
     val e2 = oe.select(col("a"), col("b").as("z"), col("ob").as("ob2"))
     val wedges = e1.join(e2, Seq("a")).filter(col("ob1") < col("ob2"))
     val closing = oe.select(col("a").as("y"), col("b").as("z"))
@@ -155,5 +164,105 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount)
+  /** G05 — one LABEL-PROPAGATION round (community detection, the LPA
+    * family): every node adopts the most frequent label among its
+    * undirected neighbors (tie → smallest label; isolated semantics:
+    * nodes keep their own label when they have no neighbors). Labels
+    * start as node ids — one round from that start is the deterministic,
+    * oracle-checkable unit, driver-looped like g03/e10/t16.
+    *
+    * Scale shape: edges ⋈ labels on the neighbor key (co-located when
+    * edges are bucketed), then TWO nested map-side-combinable aggs —
+    * (node, label) counts, then an argmax min-struct per node (count
+    * desc, label asc). Never a per-node sort or a collected neighbor
+    * list; the hot node aggregates, not buffers.
+    */
+  val g05LabelPropRound: GraftQuery = GraftQuery(
+    "g05_labelprop_round",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |cnt AS (SELECT node, nbr AS label, COUNT(*) AS c
+       |        FROM adj GROUP BY node, nbr),
+       |best AS (SELECT node, label, c,
+       |                row_number() OVER (PARTITION BY node
+       |                                   ORDER BY c DESC, label) AS rn
+       |         FROM cnt),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges)
+       |SELECT nodes.node, COALESCE(best.label, nodes.node) AS new_label
+       |FROM nodes LEFT JOIN best ON best.node = nodes.node AND best.rn = 1
+       |ORDER BY nodes.node""".stripMargin) { (spark, dir) =>
+    val edges = edgesDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    // labels(v) = v at round 0, so the neighbor-label lookup is the
+    // neighbor id itself; later rounds join adj against the label table
+    // on nbr before this same two-agg reduction
+    val best = adj.groupBy("node", "nbr").agg(count(lit(1)).as("c"))
+      // argmax as a min-struct over (-count, label): map-side combinable,
+      // no per-node window sort
+      .groupBy("node")
+      .agg(min(struct((-col("c")).as("negc"), col("nbr").as("label"))).as("m"))
+      .select(col("node").as("b_node"), col("m.label").as("label"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    nodes.join(best, col("node") === col("b_node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("new_label"))
+      .orderBy("node")
+  }
+
+  /** G06 — one K-CORE peel round (k = 30): drop every node whose
+    * undirected degree is below k, emit the survivors with their degree
+    * RECOMPUTED inside the surviving subgraph — the peel-round unit the
+    * k-core fixpoint iterates (driver-looped like g03/g05; the round
+    * count is bounded by the graph's degeneracy). Used as the
+    * "influential-core" filter over interaction graphs.
+    *
+    * Scale shape: a degree agg, a broadcast-or-keyed semi-join of edges
+    * against survivors on BOTH endpoints, and a second degree agg — all
+    * map-side-combinable; no per-node adjacency materialization.
+    */
+  val g06KCoreRound: GraftQuery = GraftQuery(
+    "g06_kcore_round",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |deg AS (SELECT node, COUNT(*) AS deg FROM (
+       |          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |        GROUP BY node),
+       |keep AS (SELECT node FROM deg WHERE deg >= 30),
+       |sub AS (SELECT u, v FROM und
+       |        JOIN keep k1 ON und.u = k1.node
+       |        JOIN keep k2 ON und.v = k2.node),
+       |deg2 AS (SELECT node, COUNT(*) AS deg FROM (
+       |          SELECT u AS node FROM sub UNION ALL SELECT v FROM sub)
+       |         GROUP BY node)
+       |SELECT node, deg AS deg_after FROM deg2 ORDER BY node""".stripMargin) {
+    (spark, dir) =>
+      val und = edgesDf(spark, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def degrees(e: org.apache.spark.sql.DataFrame) =
+        e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = degrees(und).filter(col("deg") >= 30).select("node")
+      val sub = und
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "leftsemi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "leftsemi")
+      degrees(sub)
+        .select(col("node"), col("deg").as("deg_after"))
+        .orderBy("node")
+  }
+
+  val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
+    g05LabelPropRound, g06KCoreRound)
 }

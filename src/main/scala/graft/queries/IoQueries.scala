@@ -180,6 +180,90 @@ object IoQueries {
       .orderBy("event_type")
   }
 
+  /** IO5 — SCHEMA-EVOLUTION merge read (the lake reality: batches landed
+    * months apart carry different column sets; the reader must unify).
+    * Two parquet batches are written with DISJOINT optional columns
+    * (batch A: content hash; batch B: char count) and read back through
+    * `mergeSchema` — the union schema with nulls where a batch lacks the
+    * column. The gate aggregates per language over the merged frame;
+    * the oracle computes the same numbers from the original table with
+    * the batch predicate inlined, so a dropped column, a misaligned
+    * null, or a type widening anywhere in the merge breaks the hash.
+    *
+    * Scale shape: footer-only schema union at planning time; each file
+    * still scans only its own columns (missing ones materialize as null
+    * vectors, no data read) — merge costs no row-level work.
+    */
+  val io05SchemaMerge: GraftQuery = GraftQuery(
+    "io05_schema_merge", {
+      val rh = graft.functions.TextFunctions.sqlRollingHash("text")
+      s"""SELECT lang,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_h,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nc,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN $rh ELSE 0 END) AS BIGINT) AS sum_h,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_nc
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    val out = Dsl.tempStore("io05_merge")
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), rollingHash(col("text")).as("h"))
+      .write.mode("overwrite").parquet(s"$out/batch_a")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/batch_b")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/batch_a", s"$out/batch_b")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_h"),
+        sum(when(col("n_chars").isNotNull, 1L).otherwise(0L)).as("n_nc"),
+        sum(coalesce(col("h"), lit(0L))).as("sum_h"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_nc"))
+      .orderBy("lang")
+  }
+
+  /** IO6 — small-file COMPACTION (lake maintenance, `OPTIMIZE`-shape):
+    * the corpus is first landed as 64 deliberately-small parquet files
+    * (the streaming-sink reality), then [[graft.operators.Compact]]
+    * rewrites it into size-targeted files (file count derived from the
+    * MEASURED input bytes, ~4 here). The gate aggregates per language
+    * over the COMPACTED copy against the original-table oracle — any
+    * row lost, duplicated, or corrupted by the rewrite breaks the
+    * count/hash. CompactionSpec pins the file-count contract itself.
+    *
+    * Scale shape: round-robin `repartition` (even output files
+    * regardless of input skew; `coalesce` would glue uneven and cap
+    * read parallelism); on a date-partitioned lake each partition
+    * compacts independently.
+    */
+  val io06Compaction: GraftQuery = GraftQuery(
+    "io06_compaction", {
+      val rh = graft.functions.TextFunctions.sqlRollingHash("text")
+      s"""SELECT lang, COUNT(*) AS n,
+         |  CAST(SUM($rh) AS BIGINT) AS sum_h,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    import graft.operators.Compact
+    val small = Dsl.tempStore("io06_small")
+    val compacted = Dsl.tempStore("io06_compacted")
+    Tables.documents(spark, dir)
+      .repartition(64) // the many-small-files landing shape
+      .write.mode("overwrite").parquet(small)
+    val target = math.max(1L, Compact.parquetBytes(spark, small) / 4)
+    Compact.compact(spark, small, compacted, target)
+    spark.read.parquet(compacted)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(rollingHash(col("text"))).as("sum_h"),
+        sum(col("n_chars")).as("sum_nc"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
-    io03BinaryRoundtrip, io04OrcRoundtrip)
+    io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction)
 }

@@ -292,8 +292,61 @@ object RowOpsQueries {
       .orderBy("shard", "pos")
   }
 
+  /** D14 — SNAPSHOT DIFF (table change detection between two corpus
+    * versions — the Delta/Iceberg change-data-feed shape computed from
+    * plain tables): the "new" snapshot is a deterministic mutation of
+    * `documents` (every 41st doc removed, every 17th's text edited,
+    * every 29th re-added under a shifted id), and the diff full-outer
+    * joins the snapshots on the key comparing CONTENT HASHES, emitting
+    * (doc_id, change_type) for added/removed/changed rows only.
+    *
+    * Scale shape: one keyed full-outer join (both sides co-partition on
+    * the key — zero extra exchange off bucketed snapshots) over rolling-
+    * hash fingerprints computed map-side; unchanged rows (the overwhelming
+    * majority at 100 TB) are filtered before the gate's ORDER BY, so
+    * output ∝ churn, not corpus.
+    */
+  val d14SnapshotDiff: GraftQuery = GraftQuery(
+    "d14_snapshot_diff", {
+      import graft.functions.TextFunctions.sqlRollingHash
+      s"""WITH old AS (SELECT doc_id, ${sqlRollingHash("text")} AS h FROM documents),
+         |new AS (
+         |  SELECT doc_id,
+         |         ${sqlRollingHash("CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END")} AS h
+         |  FROM documents WHERE doc_id % 41 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${sqlRollingHash("text")} FROM documents
+         |  WHERE doc_id % 29 = 7),
+         |d AS (
+         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |         CASE WHEN o.doc_id IS NULL THEN 'added'
+         |              WHEN n.doc_id IS NULL THEN 'removed'
+         |              WHEN o.h <> n.h THEN 'changed' END AS change_type
+         |  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, change_type FROM d WHERE change_type IS NOT NULL
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    val docs = Tables.documents(spark, dir)
+    val old = docs.select(col("doc_id"), rollingHash(col("text")).as("h"))
+    val neu = docs.filter(col("doc_id") % 41 =!= 3)
+      .select(col("doc_id"),
+        rollingHash(when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h"))
+      .unionAll(docs.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          rollingHash(col("text")).as("h")))
+    old.as("o").join(neu.as("n"), col("o.doc_id") === col("n.doc_id"), "full")
+      .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+        when(col("o.doc_id").isNull, lit("added"))
+          .when(col("n.doc_id").isNull, lit("removed"))
+          .when(col("o.h") =!= col("n.h"), lit("changed")).as("change_type"))
+      .filter(col("change_type").isNotNull)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder, d12SetOps, d13ShardShuffle)
+    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff)
 }
