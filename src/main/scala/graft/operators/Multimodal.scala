@@ -172,6 +172,44 @@ object Multimodal {
         (w, h, rs, gs, bs)
       }
 
+    /** Difference-hash (dHash) of the decoded image as two 32-bit halves:
+      * gray (r+g+b) is sampled at a nearest-neighbor 9×8 grid
+      * (x_i = ⌊i·(w−1)/8⌋, y_j = ⌊j·(h−1)/7⌋ — the cheap NN "resize"),
+      * and bit (j,i) is set iff gray(x_{i+1}, y_j) > gray(x_i, y_j).
+      * Rows 0-3 pack into `lo`, rows 4-7 into `hi` (two non-negative
+      * longs — a single 64-bit value would set the sign bit, which SQL
+      * BIGINT oracles cannot reproduce portably). Integer-exact, so the
+      * oracle replays it from the pixel formula; robustness to
+      * RE-ENCODING (not re-sampling) is what the i07 gate exercises —
+      * the same pixels through different codecs hash identically.
+      * None on undecodable or single-band input.
+      */
+    def dhashHalves(content: Array[Byte]): Option[(Long, Long)] =
+      decodeColor(content).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val xs = Array.tabulate(9)(i => (i * (w - 1)) / 8)
+        val ys = Array.tabulate(8)(j => (j * (h - 1)) / 7)
+        def gray(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        }
+        var lo = 0L
+        var hi = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (gray(xs(i + 1), ys(j)) > gray(xs(i), ys(j))) {
+              if (j < 4) lo |= 1L << (j * 8 + i)
+              else hi |= 1L << ((j - 4) * 8 + i)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        (hi, lo)
+      }
+
     /** Fixed LCG weight for (class k, cell c) in [-0.5, 0.5). */
     private def weight(k: Int, c: Int): Double = {
       val n = k.toLong * 7919L + c.toLong * 104729L
@@ -349,7 +387,14 @@ object Multimodal {
     *   w = 16 + id%13, h = 12 + id%11
     *   r = (7x+11y+13·id)%256, g = (3x+5y+17·id)%256, b = (13x+7y+19·id)%256
     */
-  def syntheticImage(id: Long): Array[Byte] = {
+  def syntheticImage(id: Long): Array[Byte] = syntheticImageAs(id, "png")
+
+  /** [[syntheticImage]] through a caller-chosen REAL codec ("png",
+    * "bmp"): identical pixels, different bytes — the re-encoded
+    * duplicate every scraped-image corpus contains, which byte-level
+    * dedup cannot see and decoded-content hashing (i07) can.
+    */
+  def syntheticImageAs(id: Long, format: String): Array[Byte] = {
     val w = (16 + id % 13).toInt
     val h = (12 + id % 11).toInt
     val img = new java.awt.image.BufferedImage(w, h,
@@ -361,7 +406,7 @@ object Multimodal {
       img.setRGB(x, y, (r << 16) | (g << 8) | b)
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

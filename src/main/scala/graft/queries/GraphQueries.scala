@@ -263,6 +263,71 @@ object GraphQueries {
         .orderBy("node")
   }
 
+  /** G07 — BFS frontier expansion (single-source shortest paths on the
+    * unweighted interaction graph): the Pregel min-dist round
+    * dist'(v) = min(dist(v), min_{u~v} dist(u)+1), driver-looped; the
+    * gate runs TWO rounds from source 0 (so the loop machinery itself is
+    * under the oracle) and emits (node, dist ≤ 2, parent), parent = the
+    * smallest dist−1 neighbor — the deterministic BFS tree.
+    *
+    * Scale shape: per round one adjacency ⋈ frontier equi-join + a
+    * min agg — both keyed on the node, map-side-combinable; rounds =
+    * graph diameter. The parent pick is a conditional min agg, no
+    * window. Frontier-only optimization (join just the nodes whose dist
+    * changed) drops in for deep graphs; at diameter ~2 here the full
+    * table is the frontier.
+    */
+  val g07BfsRounds: GraftQuery = GraftQuery(
+    "g07_bfs_rounds",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+       |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+       |         SELECT node, dist FROM d0
+       |         UNION ALL
+       |         SELECT a.nbr, d0.dist + 1 FROM d0 JOIN adj a ON a.node = d0.node)
+       |       GROUP BY node),
+       |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+       |         SELECT node, dist FROM d1
+       |         UNION ALL
+       |         SELECT a.nbr, d1.dist + 1 FROM d1 JOIN adj a ON a.node = d1.node)
+       |       GROUP BY node)
+       |SELECT d2.node, d2.dist,
+       |       COALESCE(MIN(CASE WHEN du.dist = d2.dist - 1 THEN a.node END),
+       |                CAST(-1 AS BIGINT)) AS parent
+       |FROM d2
+       |LEFT JOIN adj a ON a.nbr = d2.node
+       |LEFT JOIN d2 du ON du.node = a.node
+       |GROUP BY d2.node, d2.dist ORDER BY d2.node""".stripMargin) { (spark, dir) =>
+    val edges = edgesDf(spark, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.DataFrame
+    def round(d: DataFrame): DataFrame =
+      d.select(col("node"), col("dist"))
+        .unionAll(d.join(adj, Seq("node"))
+          .select(col("nbr").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    import spark.implicits._
+    val d0 = Seq((0L, 0L)).toDF("node", "dist")
+    val d2 = round(round(d0)).persist(StorageLevel.MEMORY_AND_DISK)
+    val du = d2.select(col("node").as("u_node"), col("dist").as("u_dist"))
+    d2.join(adj.select(col("nbr").as("node"), col("node").as("cand")), Seq("node"), "left")
+      .join(du, col("cand") === col("u_node"), "left")
+      .groupBy("node", "dist")
+      .agg(coalesce(min(when(col("u_dist") === col("dist") - 1, col("cand"))),
+        lit(-1L)).as("parent"))
+      .orderBy("node")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
-    g05LabelPropRound, g06KCoreRound)
+    g05LabelPropRound, g06KCoreRound, g07BfsRounds)
 }

@@ -361,6 +361,79 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** I07 — PERCEPTUAL-HASH dedup of RE-ENCODED images: every other image
+    * in the slice is its predecessor's CONTENT re-encoded through a
+    * different real codec (PNG vs BMP — `syntheticImageAs`), so the
+    * bytes differ completely while the pixels match; byte-level dedup
+    * (d01/x01 on a content hash of the file) cannot see these pairs.
+    * Each image decodes through the REAL `javax.imageio` path and hashes
+    * with dHash ([[Multimodal.ImageIoVisionModel.dhashHalves]]: 9×8
+    * nearest-neighbor gray grid, horizontal-gradient bits, two 32-bit
+    * halves); groups of ≥ 2 equal hashes are the duplicate sets. The
+    * oracle replays the grid arithmetic from the pixel formula —
+    * decode + NN-sample + bit-pack gated bit-for-bit.
+    *
+    * Scale shape: hash computation is a per-row map over binary content
+    * (mapPartitions, model hoisted); grouping is one shuffle on the
+    * 64-bit hash — exactly x01's exact-dedup shape with a decoded-
+    * content key. Near-dup (Hamming ≤ t) extends via s01's banded
+    * chunk join over the same halves.
+    */
+  val i07PhashDedup: GraftQuery = GraftQuery(
+    "i07_phash_dedup", {
+      // gray at (x, y) for content id `cid` — Σ of the three channel
+      // formulas (each already in [0, 256))
+      def g(xE: String, yE: String): String =
+        s"(((7*($xE) + 11*($yE) + 13*cid) % 256) + ((3*($xE) + 5*($yE) + 17*cid) % 256)" +
+          s" + ((13*($xE) + 7*($yE) + 19*cid) % 256))"
+      def bit(iE: String, jE: String): String =
+        s"CASE WHEN ${g(s"(($iE+1)*(w-1))//8", s"(($jE)*(h-1))//7")} > " +
+          s"${g(s"(($iE)*(w-1))//8", s"(($jE)*(h-1))//7")} THEN 1 ELSE 0 END"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         doc_id - CASE WHEN doc_id % 20 = 10 THEN 10 ELSE 0 END AS cid
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |dd AS (SELECT doc_id, cid, 16 + cid % 13 AS w, 12 + cid % 11 AS h FROM d),
+         |hx AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(flatten([[
+         |      ${bit("i", "j + 4")} * (CAST(1 AS BIGINT) << (j*8 + i))
+         |      for i in range(0, 8)] for j in range(0, 4)])) AS BIGINT) AS phash_hi,
+         |    CAST(list_sum(flatten([[
+         |      ${bit("i", "j")} * (CAST(1 AS BIGINT) << (j*8 + i))
+         |      for i in range(0, 8)] for j in range(0, 4)])) AS BIGINT) AS phash_lo
+         |  FROM dd)
+         |SELECT phash_hi, phash_lo, COUNT(*) AS n,
+         |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM hx GROUP BY phash_hi, phash_lo HAVING COUNT(*) >= 2
+         |ORDER BY phash_hi, phash_lo""".stripMargin
+    }) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash_hi", LongType), StructField("phash_lo", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val cid = if (id % 20 == 10) id - 10 else id
+          val fmt = if (id % 20 == 0) "png" else "bmp"
+          val bytes = Multimodal.syntheticImageAs(cid, fmt) // real encode
+          val (hi, lo) = m.dhashHalves(bytes).get // real two-codec decode
+          Row(id, hi, lo)
+        }
+      }(enc)
+      .groupBy("phash_hi", "phash_lo")
+      .agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n") >= 2)
+      .orderBy("phash_hi", "phash_lo")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
-    i04VideoFrames, i05SceneLogits, i06EmbedVector)
+    i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup)
 }

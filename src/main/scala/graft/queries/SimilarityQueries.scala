@@ -392,7 +392,55 @@ object SimilarityQueries {
       .orderBy("vec_id", "subspace")
   }
 
-  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs,
+  /** E12 — SIGN RANDOM PROJECTION (Johnson-Lindenstrauss / SRP dim
+    * reduction): project the 64-d embeddings onto 16 ±1 hyperplane
+    * directions — the SAME deterministic sign matrix the LSH bucketing
+    * thresholds ([[Similarity.hyperplaneSign]]); e02/e05 keep only the
+    * sign bit per direction, this op keeps the projected VALUE, i.e. the
+    * 4×-compressed sketch that preserves dot products in expectation
+    * (the dense float analog is e07's int8 quantization; this is the
+    * dimensionality side of the same storage trade).
+    * All math on the e01-convention fixed-point grid (floor(x·10⁹)) —
+    * bit-identical across engines.
+    *
+    * Scale shape: pure per-row compute — the fixed-point grid binds to
+    * an attribute ONCE (the t11 HOF-inlining lesson: inlined, each of
+    * the 16 projections would re-quantize the vector), each projection
+    * is a zip_with + aggregate over the ±1 literal array. No shuffle
+    * except the gate's ORDER BY.
+    */
+  val e12SignProjection: GraftQuery = GraftQuery(
+    "e12_sign_projection", {
+      def signsArr(j: Int): String =
+        (0 until Dims).map(d => Similarity.hyperplaneSign(j, d, Dims)).mkString("[", ", ", "]")
+      def projE(j: Int): String =
+        s"list_sum([vfix[i] * (${signsArr(j)})[i] for i in range(1, $Dims + 1)])"
+      val checksum = (0 until 16).map(j => s"(${j + 1}) * (${projE(j)})").mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, ${Similarity.sqlVfix("embedding")} AS vfix FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(${projE(0)} AS BIGINT) AS p0,
+         |  CAST(${projE(1)} AS BIGINT) AS p1,
+         |  CAST(${projE(2)} AS BIGINT) AS p2,
+         |  CAST(${projE(3)} AS BIGINT) AS p3,
+         |  CAST($checksum AS BIGINT) AS proj_checksum
+         |FROM v ORDER BY vec_id""".stripMargin
+    }) { (spark, dir) =>
+    def signsLit(j: Int) =
+      array((0 until Dims).map(d => lit(Similarity.hyperplaneSign(j, d, Dims).toLong)): _*)
+    def proj(j: Int) =
+      aggregate(zip_with(col("vfix"), signsLit(j), (a, b) => a * b), lit(0L), _ + _)
+    val checksum = (0 until 16).map(j => proj(j) * lit(j + 1L)).reduce(_ + _)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(Similarity.SignScale)).cast("long")).as("vfix"))
+      .select(col("vec_id"),
+        proj(0).as("p0"), proj(1).as("p1"), proj(2).as("p2"), proj(3).as("p3"),
+        checksum.as("proj_checksum"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign)
 }

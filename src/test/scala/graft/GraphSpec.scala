@@ -67,6 +67,68 @@ class GraphSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("g05: adopted labels are genuine neighbors; isolated keep their own") {
+    val out = SparkEntry.queries("g05_labelprop_round")(spark, dir)
+    val events = Tables.events(spark, dir)
+    val edges = events.select(
+      col("user_id").as("src"),
+      (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 150).as("dst"))
+    val adj = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val nbrs = adj.select(col("u").as("node"), col("v").as("nbr"))
+      .union(adj.select(col("v").as("node"), col("u").as("nbr")))
+    // every (node, new_label) with new_label != node must be an edge
+    val bad = out.filter(col("new_label") =!= col("node"))
+      .join(nbrs, out("node") === nbrs("node") && col("new_label") === col("nbr"),
+        "left_anti").count()
+    assert(bad == 0, s"$bad adopted labels are not neighbors")
+  }
+
+  test("g06: peel-round survivors all met the degree threshold, degrees only drop") {
+    val events = Tables.events(spark, dir)
+    val edges = events.select(
+      col("user_id").as("src"),
+      (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 150).as("dst"))
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val deg0 = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg0"))
+    val out = SparkEntry.queries("g06_kcore_round")(spark, dir)
+    val joined = out.join(deg0, "node").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (after, before) = (r.getAs[Long]("deg_after"), r.getAs[Long]("deg0"))
+      assert(before >= 30, s"survivor ${r.get(0)} had pre-peel degree $before < k")
+      assert(after <= before, s"degree rose: $after > $before")
+    }
+  }
+
+  test("d14: diff rows match the mutation slices exactly") {
+    val out = SparkEntry.queries("d14_snapshot_diff")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expRemoved = ids.filter(_ % 41 == 3)
+    val expAdded = ids.filter(_ % 29 == 7).map(_ + 1000000L)
+    val expChanged = ids.filter(i => i % 41 != 3 && i % 17 == 5)
+    def got(t: String) =
+      out.filter(_.getString(1) == t).map(_.getLong(0)).toSet
+    assert(got("removed") == expRemoved)
+    assert(got("added") == expAdded)
+    assert(got("changed") == expChanged)
+  }
+
+  test("j09: every dirty record resolves at distance 1") {
+    val rows = SparkEntry.queries("j09_fuzzy_match")(spark, dir).collect()
+    val nDirty = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 31 === 0).count()
+    assert(rows.length == nDirty, "a dirty record found no candidate")
+    // the uncorrupted original is always a candidate at distance 1, so the
+    // min-struct winner's distance can never exceed 1
+    assert(rows.forall(_.getAs[Int]("dist") == 1))
+  }
+
   test("a23: winsorized mean sits inside the [p05, p95] clamp band") {
     val rows = SparkEntry.queries("a23_winsorized_stats")(spark, dir).collect()
     assert(rows.nonEmpty)
