@@ -35,7 +35,10 @@ object ScaleBench {
     "t18_blocklist_filter", "t19_inverted_index",
     // d14: one keyed full-outer join over map-side fingerprints — output
     // ∝ churn; the join itself is the linear part
-    "d14_snapshot_diff")
+    "d14_snapshot_diff",
+    // i07: per-row real encode+decode+hash — the flat-map profile with a
+    // fat per-row constant (codec work), then x01's hash-groupBy
+    "i07_phash_dedup")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -46,7 +49,7 @@ object ScaleBench {
     // r8 second wave: Pregel-superstep shapes (two keyed shuffles) and
     // the outer stream-stream join's band-bounded state
     "g03_pagerank_round", "g04_triangle_count", "g05_labelprop_round",
-    "sm06_stream_outer_join")
+    "g07_bfs_rounds", "sm06_stream_outer_join")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

@@ -971,12 +971,90 @@ object AnalyticsQueries {
         .orderBy("event_type", "decile")
   }
 
+  /** A26 — data-quality CONSTRAINT AUDIT (the Deequ/Great-Expectations
+    * shape: declared invariants checked in one pass, violations reported
+    * per constraint — the reference's manual row-count/isna printouts,
+    * `exploratory_analysis.py`, systematized): completeness (no null
+    * FKs), uniqueness (PK dupes), value range, referential integrity
+    * (orphaned lineitem→orders keys), and domain membership. One row
+    * per constraint with checked/violation counts and a pass/fail
+    * status.
+    *
+    * Scale shape: each completeness/range/domain check is one
+    * map-side-combinable aggregate over its table (they fuse into the
+    * same scan per table); uniqueness is a count-distinct agg; the
+    * referential check is a broadcast-or-shuffle LEFT ANTI count. The
+    * report is a 5-row union — at 100 TB the audit costs one scan per
+    * audited table plus the anti-join.
+    */
+  val a26ConstraintAudit: GraftQuery = GraftQuery(
+    "a26_constraint_audit",
+    """WITH c1 AS (
+      |  SELECT 'orders_custkey_complete' AS check_name, COUNT(*) AS n_checked,
+      |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders),
+      |c2 AS (
+      |  SELECT 'orders_orderkey_unique', COUNT(*),
+      |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders),
+      |c3 AS (
+      |  SELECT 'events_value_range_0_95', COUNT(*),
+      |         CAST(SUM(CASE WHEN value < 0 OR value > 95 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events),
+      |c4 AS (
+      |  SELECT 'lineitem_orderkey_ref', (SELECT COUNT(*) FROM lineitem),
+      |         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)),
+      |c5 AS (
+      |  SELECT 'events_type_domain', COUNT(*),
+      |         CAST(SUM(CASE WHEN event_type NOT IN
+      |           ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events)
+      |SELECT check_name, n_checked, n_violations,
+      |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+      |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5)
+      |ORDER BY check_name""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val events = Tables.events(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val c1 = orders.agg(
+      lit("orders_custkey_complete").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+    val c2 = orders.agg(
+      lit("orders_orderkey_unique").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+    val c3 = events.agg(
+      lit("events_value_range_0_95").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      sum(when(col("value") < 0 || col("value") > 95, 1L).otherwise(0L))
+        .as("n_violations"))
+    val orphans = lineitem.join(orders.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val c4 = lineitem.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans)
+      .select(lit("lineitem_orderkey_ref").as("check_name"),
+        col("n_checked"), col("n_orphans").cast("long").as("n_violations"))
+    val c5 = events.agg(
+      lit("events_type_domain").as("check_name"),
+      count(lit(1)).as("n_checked"),
+      sum(when(!col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        1L).otherwise(0L)).as("n_violations"))
+    c1.unionAll(c2).unionAll(c3).unionAll(c4).unionAll(c5)
+      .withColumn("status",
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
+      .orderBy("check_name")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
-    a24EquidepthHist, j02TimeAlign,
+    a24EquidepthHist, a26ConstraintAudit, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions)
 }

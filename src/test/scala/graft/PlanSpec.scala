@@ -180,7 +180,12 @@ class PlanSpec extends SparkSpec {
       val plan = planOf(n)
       val scanCols = scanOut.findAllMatchIn(plan).flatMap(
         _.group(1).split(',').map(_.trim.takeWhile(_ != '#'))).toSet
-      for (m <- atom.findAllMatchIn(plan)) {
+      // only atoms on FILTER nodes (and scan DataFilters) are pushdown
+      // candidates — the same comparison shape inside a conditional
+      // aggregate (a26's SUM(CASE WHEN value > 95 ...)) or a projection
+      // is not a filter and has nowhere to push
+      val filterLines = plan.linesIterator.filter(_.contains("Filter")).mkString("\n")
+      for (m <- atom.findAllMatchIn(filterLines)) {
         val (c, op) = (m.group(1), m.group(2))
         if (scanCols(c)) {
           checked += 1
