@@ -1049,6 +1049,52 @@ object AnalyticsQueries {
       .orderBy("check_name")
   }
 
+  /** W04 — NATIVE session windows: the same 1-day-gap sessionization as
+    * st01, but through Spark's built-in `session_window` aggregation
+    * (the merging-window physical operator Structured Streaming uses for
+    * session state) instead of the lag/cumsum islands form — gated
+    * against the islands ORACLE, so the two formulations' equivalence is
+    * itself under test. Boundary semantics pinned: session windows are
+    * half-open [start, last + gap), so an event exactly `gap` after the
+    * last one starts a NEW session (islands rule `diff >= gap`, not
+    * st01's `>` — with microsecond timestamps both gates hold, and the
+    * oracle encodes the half-open rule exactly).
+    *
+    * Scale: one shuffle on the user key; the window merge is per-key
+    * sorted-scan state, O(sessions) not O(events) held.
+    */
+  val w04SessionWindow: GraftQuery = GraftQuery(
+    "w04_session_window",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |                OR date_diff('second', prev_ts, ts) >= 86400 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |       MAX(ts) + INTERVAL 86400 SECONDS AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "86400 seconds"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1056,5 +1102,6 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, j02TimeAlign,
-    w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions)
+    w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
+    w04SessionWindow)
 }

@@ -345,8 +345,70 @@ object RowOpsQueries {
       .orderBy("doc_id")
   }
 
+  /** X10 — SCD TYPE-2 history build (the warehouse dimension pattern
+    * x06's latest-wins upsert deliberately discards): each user's
+    * purchase stream is an attribute-update feed; updates collapse into
+    * RUNS of the same attribute state (value bucket = ⌊value/100⌋) and
+    * each run becomes a versioned row with a validity interval —
+    * `valid_from` = first update of the run, `valid_to` = start of the
+    * next run (NULL while current), `is_current` on the open row. Type-2
+    * "new row only on change" semantics, not one row per event.
+    *
+    * Scale shape: one shuffle on the entity key; run detection is the
+    * islands idiom (lag + cumulative sum) and the interval close is a
+    * lead over run starts — window state O(1) per row throughout.
+    * Incremental maintenance composes with x06: merge the new batch,
+    * re-run only touched entities.
+    */
+  val x10Scd2History: GraftQuery = GraftQuery(
+    "x10_scd2_history",
+    """WITH upd AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value / 100) AS BIGINT) AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |marked AS (
+      |  SELECT user_id, ts, bucket,
+      |         CASE WHEN lag(bucket) OVER w IS NULL
+      |                OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS chg
+      |  FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, bucket,
+      |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM marked),
+      |hist AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version, bucket,
+      |         MIN(ts) AS valid_from, COUNT(*) AS n_updates
+      |  FROM runs GROUP BY user_id, version, bucket)
+      |SELECT user_id, version, bucket, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |            IS NULL THEN 1 ELSE 0 END AS is_current,
+      |       n_updates
+      |FROM hist ORDER BY user_id, version""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val upd = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 100).cast("long").as("bucket"))
+    val marked = upd.withColumn("chg",
+      when(lag(col("bucket"), 1).over(w).isNull ||
+        lag(col("bucket"), 1).over(w) =!= col("bucket"), 1L).otherwise(0L))
+    val runs = marked.withColumn("version",
+      sum(col("chg")).over(Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy("user_id", "version", "bucket")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_updates"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    hist.select(col("user_id"), col("version"), col("bucket"), col("valid_from"),
+      lead(col("valid_from"), 1).over(byVersion).as("valid_to"),
+      when(lead(col("valid_from"), 1).over(byVersion).isNull, 1)
+        .otherwise(0).as("is_current"),
+      col("n_updates"))
+      .orderBy("user_id", "version")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff)
+    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, x10Scd2History)
 }

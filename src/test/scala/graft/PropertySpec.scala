@@ -295,4 +295,38 @@ class PropertySpec extends SparkSpec {
     assert(found == mustFind)
     sims.unpersist(); pairs.unpersist()
   }
+
+  test("i07 dHash is invariant to the encoding codec (PNG vs BMP, 200 ids)") {
+    import graft.operators.Multimodal
+    val m = Multimodal.ImageIoVisionModel()
+    (0 until 200).foreach { i =>
+      val id = rnd.nextInt(1000000).toLong
+      val png = m.dhashHalves(Multimodal.syntheticImageAs(id, "png"))
+      val bmp = m.dhashHalves(Multimodal.syntheticImageAs(id, "bmp"))
+      assert(png.isDefined && png == bmp, s"codec-dependent hash for id $id")
+    }
+  }
+
+  test("j09 2-of-3 blocking recall: any single-position corruption is matched") {
+    // the guarantee the blocking design claims: a substitution at ANY digit
+    // position (not just the gate's position formula) leaves one window
+    // pair intact, so the true match always survives blocking and wins at
+    // distance 1 (ties can pick another key, but SOME match at dist <= 1
+    // must exist). Verified against the real customer table.
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byName = cust.toMap
+    (0 until 200).foreach { _ =>
+      val (key, name) = cust(rnd.nextInt(cust.length))
+      val pos = 9 + rnd.nextInt(9) // any digit position, 0-based 9..17
+      val dirty = name.substring(0, pos) + "X" + name.substring(pos + 1)
+      // the query's three pair keys (1-based SQL substr -> 0-based here)
+      def k1(s: String) = s.substring(9, 15)            // substr(10, 6)
+      def k2(s: String) = s.substring(9, 12) + s.substring(15, 18) // substr(10,3)||substr(16,3)
+      def k3(s: String) = s.substring(12, 18)           // substr(13, 6)
+      val survives = k1(dirty) == k1(name) || k2(dirty) == k2(name) || k3(dirty) == k3(name)
+      assert(survives, s"corruption at $pos of $name escaped all three window pairs")
+    }
+  }
 }
