@@ -1095,13 +1095,77 @@ object AnalyticsQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** A27 — TRAILING-WINDOW SPIKE DETECTION (the ops-monitoring op over
+    * event streams): a (event_type, day) count is a spike when it
+    * exceeds the trailing 7-day mean by 3 population standard
+    * deviations. Entirely INTEGER arithmetic — the z-test inequality is
+    * squared and denominator-cleared so no sqrt/float ever appears:
+    *
+    *   c − μ > 3σ  ⟺  7c − S > 0  ∧  (7c − S)² > 9·(7Q − S²)
+    *
+    * with S = Σ prior counts, Q = Σ prior counts² over a CALENDAR range
+    * frame (RANGE 7 PRECEDING..1 PRECEDING on the epoch-day number, so
+    * day gaps shrink the window instead of silently reaching further
+    * back, and only full 7-day histories are eligible). BIGINT is exact
+    * until daily counts pass ~10⁹ (d² < 2⁶³); beyond that the same
+    * inequality runs in DECIMAL(38,0).
+    *
+    * Scale shape: the daily pre-aggregation is map-side combinable and
+    * collapses the corpus to |types|×|days| rows; the window pass runs
+    * on that tiny table. This is the anomaly end of the a18/w02
+    * time-series family — same partitioning, O(window) state.
+    */
+  val a27SpikeDetection: GraftQuery = GraftQuery(
+    "a27_spike_detection",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+      |         COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT event_type, day, c,
+      |         COUNT(*)   OVER w AS n_prior,
+      |         SUM(c)     OVER w AS s_prior,
+      |         SUM(c * c) OVER w AS q_prior
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+      |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, c,
+      |       CAST(7 * c - s_prior AS BIGINT) AS dev7,
+      |       CASE WHEN 7 * c - s_prior > 0
+      |              AND (7 * c - s_prior) * (7 * c - s_prior)
+      |                  > 9 * (7 * q_prior - s_prior * s_prior)
+      |            THEN 1 ELSE 0 END AS spike
+      |FROM win WHERE n_prior = 7
+      |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-7, -1)
+    val d = lit(7) * col("c") - col("s_prior")
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s_prior", sum(col("c")).over(w))
+      .withColumn("q_prior", sum(col("c") * col("c")).over(w))
+      .filter(col("n_prior") === 7)
+      // timestamp, not date: the oracle's DATE arrives as datetime64 and
+      // the checker compares types after pandas conversion
+      .select(col("event_type"), col("day").cast("timestamp").as("day"), col("c"),
+        d.cast("long").as("dev7"),
+        when(d > 0 && d * d > lit(9) * (lit(7) * col("q_prior") - col("s_prior") * col("s_prior")), 1)
+          .otherwise(0).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
-    a24EquidepthHist, a26ConstraintAudit, j02TimeAlign,
+    a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow)
 }

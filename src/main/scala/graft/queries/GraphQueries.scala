@@ -328,6 +328,63 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** G08 — CAPPED BIPARTITE CO-ENGAGEMENT PROJECTION: the user–user
+    * similarity graph induced by shared items (`props.k`) — the
+    * collaborative-filtering / community-seed structure every social
+    * pipeline projects out of its engagement log. The quadratic hazard
+    * is the HOT ITEM: an item touched by m users emits C(m,2) pairs, so
+    * a viral item (m ≈ corpus) is an O(n²) explosion no cluster absorbs.
+    * The cap is the standard fix (and what production CF systems do):
+    * each item contributes only its TOP-8 most-engaged users
+    * (deterministic: count desc, user asc — a d03-style ranked window),
+    * bounding the self-join at C(8,2) = 28 pairs per item — linear in
+    * |items| by construction. The cap biases toward heavy users,
+    * documented semantics of the op (spec'd: capped ⊆ uncapped pairs).
+    *
+    * Scale shape: distinct (item, user) collapses map-side; the rank
+    * window shuffles once on item; the pair self-join is item-local on
+    * the SAME partitioning (exchange reuse, no second shuffle); the
+    * final weight agg shuffles the capped pair stream. No collect, no
+    * cartesian; skew is bounded by the cap, not by data.
+    */
+  val g08CoEngagement: GraftQuery = GraftQuery(
+    "g08_co_engagement",
+    """WITH eng AS (
+      |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+      |         user_id, COUNT(*) AS n_eng
+      |  FROM events GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT item, user_id FROM (
+      |    SELECT item, user_id,
+      |           row_number() OVER (PARTITION BY item
+      |                              ORDER BY n_eng DESC, user_id) AS rk
+      |    FROM eng) WHERE rk <= 8),
+      |pairs AS (
+      |  SELECT a.user_id AS u1, b.user_id AS u2
+      |  FROM capped a JOIN capped b
+      |    ON a.item = b.item AND a.user_id < b.user_id)
+      |SELECT u1, u2, COUNT(*) AS weight
+      |FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY weight DESC, u1, u2 LIMIT 100""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(desc("n_eng"), asc("user_id"))
+    val capped = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("user_id"))
+      .groupBy("item", "user_id").agg(count(lit(1)).as("n_eng"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select("item", "user_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.item") === col("b.item") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+      .groupBy("u1", "u2").agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= 2)
+      .orderBy(desc("weight"), asc("u1"), asc("u2")).limit(100)
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
-    g05LabelPropRound, g06KCoreRound, g07BfsRounds)
+    g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement)
 }

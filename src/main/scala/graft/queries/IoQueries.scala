@@ -264,6 +264,50 @@ object IoQueries {
       .orderBy("lang")
   }
 
+  /** IO07 — HIVE-PARTITIONED LAKE LAYOUT + partition-pruned read-back:
+    * the corpus is written `partitionBy(lang)` (the `lang=en/` directory
+    * layout every data lake uses for its coarsest filter column) and
+    * read back under a partition-column predicate. The aggregate gates
+    * the full round trip: partition values come back from DIRECTORY
+    * NAMES, not file contents (the written files do not contain the
+    * `lang` column at all), so any layout/inference drift breaks the
+    * rows.
+    *
+    * Scale shape: this is the op that makes `p10`-style selective scans
+    * O(selected) instead of O(corpus) — the catalyst `PartitionFilters`
+    * entry (asserted in IoSpec, alongside a dynamic-partition-pruning
+    * twin for the join-derived case) eliminates unselected directories
+    * at PLANNING time; no task ever opens them. The write side shuffles
+    * once on the partition key so each output directory is written by
+    * few tasks (small-file control at 1000 executors — without it every
+    * task writes every partition).
+    */
+  val io07PartitionedLake: GraftQuery = GraftQuery(
+    "io07_partitioned_lake", {
+      val rh = graft.functions.TextFunctions.sqlRollingHash("text")
+      s"""SELECT lang, source, COUNT(*) AS n,
+         |  CAST(SUM($rh) AS BIGINT) AS sum_h,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+         |FROM documents WHERE lang IN ('en', 'de')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    val lake = Dsl.tempStore("io07_lake")
+    Tables.documents(spark, dir)
+      // one shuffle on the partition key: each lang directory is written
+      // by its own task set, not |tasks|×|langs| small files
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(lake)
+    spark.read.parquet(lake)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(rollingHash(col("text"))).as("sum_h"),
+        sum(col("n_chars")).as("sum_nc"))
+      .orderBy("lang", "source")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
-    io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction)
+    io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
+    io07PartitionedLake)
 }

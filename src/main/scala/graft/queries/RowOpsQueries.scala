@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,8 +408,66 @@ object RowOpsQueries {
       .orderBy("user_id", "version")
   }
 
+  /** X11 — DELETE PROPAGATION (the right-to-be-forgotten cascade): a
+    * tombstone set of entity keys (here the `user_id % 101 = 7` slice —
+    * the d10 portable-hash selection convention) must purge BOTH the raw
+    * event log and every derived artifact (here the per-user profile
+    * rollup), with an audit row per table proving before/purged/after
+    * counts reconcile and a content fingerprint (surviving user-id sum)
+    * pinning WHAT survived, not just how many.
+    *
+    * Scale shape: the tombstone set is orders of magnitude smaller than
+    * any fact table, so each purge is ONE broadcast left-anti pass over
+    * its table — here fused further: a broadcast left join plants a 0/1
+    * flag and a single map-side-combinable aggregate produces the whole
+    * audit row, so each table is scanned exactly once and nothing
+    * shuffles but the 1-row aggregates. A tombstone set too big to
+    * broadcast degrades to x07's bloom-filter semi-join; the purged
+    * REWRITE composes with x06's merge (tombstones as CDC deletes) and
+    * io06's compaction.
+    */
+  val x11DeletePropagation: GraftQuery = GraftQuery(
+    "x11_delete_propagation",
+    """WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 7),
+      |ev AS (
+      |  SELECT e.user_id, CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS f
+      |  FROM events e LEFT JOIN del d USING (user_id)),
+      |prof AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+      |pf AS (
+      |  SELECT p.user_id, CASE WHEN d.user_id IS NULL THEN 0 ELSE 1 END AS f
+      |  FROM prof p LEFT JOIN del d USING (user_id))
+      |SELECT 'events' AS table_name, COUNT(*) AS rows_before,
+      |       CAST(SUM(f) AS BIGINT) AS rows_purged,
+      |       COUNT(*) - CAST(SUM(f) AS BIGINT) AS rows_after,
+      |       CAST(SUM(CASE WHEN f = 0 THEN user_id ELSE 0 END) AS BIGINT) AS sum_uid_after
+      |FROM ev
+      |UNION ALL
+      |SELECT 'user_profiles', COUNT(*), CAST(SUM(f) AS BIGINT),
+      |       COUNT(*) - CAST(SUM(f) AS BIGINT),
+      |       CAST(SUM(CASE WHEN f = 0 THEN user_id ELSE 0 END) AS BIGINT)
+      |FROM pf
+      |ORDER BY table_name""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val del = ev.filter(pmod(col("user_id"), lit(101)) === 7)
+      .select("user_id").distinct()
+      .withColumn("__del", lit(1))
+    def audit(table: DataFrame, name: String): DataFrame =
+      table.join(broadcast(del), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          sum(coalesce(col("__del"), lit(0))).as("rows_purged"),
+          (count(lit(1)) - sum(coalesce(col("__del"), lit(0)))).as("rows_after"),
+          sum(when(col("__del").isNull, col("user_id")).otherwise(0L))
+            .as("sum_uid_after"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_purged"), col("rows_after"), col("sum_uid_after"))
+    val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    audit(ev, "events").unionAll(audit(prof, "user_profiles"))
+      .orderBy("table_name")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, x10Scd2History)
+    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, x10Scd2History,
+    x11DeletePropagation)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GraftQuery, Tables}
+import graft.{Det, GraftQuery, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -772,9 +772,89 @@ object TextQueries {
         .orderBy("doc_id")
   }
 
+  /** T21 — BM25-SHAPED TOP-K RETRIEVAL (ranked search over the t19/t20
+    * index family): the four highest-df terms (deterministic tie-break)
+    * are a disjunctive query; every matching document is scored with the
+    * BM25 functional form (k1 = 1.2, b = 0.75) and the global top 10 by
+    * score is returned.
+    *
+    * Exact-rational scoring (the t10 trick, extended): `log` is
+    * transcendental and engine-dependent, so the idf factor uses the
+    * Robertson ratio WITHOUT the log — `(N − df + ½)/(df + ½)` — and the
+    * whole per-term score is one division of two integer-valued doubles
+    * with denominators cleared (k1 = 6/5, b = 3/4, avgdl = S/N):
+    *
+    *   score_t = 44·tf·S·(2N−2df+1)  /  (20·tf·S + 6·S + 18·dl·N)·(2df+1)
+    *
+    * Every factor is an exact BIGINT cast to DOUBLE; products and the
+    * final division are IEEE-deterministic in identical association
+    * order on both engines, and the per-doc sum routes through
+    * [[graft.Det.dsum]]'s decimal grid so summation order cannot leak.
+    * log is monotone, so single-term ranking is identical to textbook
+    * BM25; multi-term totals weight rare terms more steeply (documented
+    * semantics of this op, pinned by the oracle).
+    *
+    * Scale shape: tfc (one shuffle) feeds df/dl/stats; the query and the
+    * corpus stats broadcast (4 rows + 1 row); candidate postings = the
+    * broadcast-join slice, then ONE keyed shuffle on doc_id serves both
+    * the dl join and the score agg (exchange reuse); the global top-10
+    * is TakeOrdered (per-partition heaps + driver merge of 10·P rows),
+    * never a single-partition sort. A production deployment denormalizes
+    * dl into the stored index (the norms file every IR engine ships),
+    * dropping the dl join entirely.
+    */
+  val t21Bm25TopK: GraftQuery = GraftQuery(
+    "t21_bm25_topk",
+    s"""WITH tfc AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tfc GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS s_tokens FROM dl),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+       |q AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 4),
+       |scored AS (
+       |  SELECT tfc.doc_id, dl.dl,
+       |         (44.0 * CAST(tf AS DOUBLE) * CAST(s_tokens AS DOUBLE)
+       |            * (2.0 * CAST(n_docs AS DOUBLE) - 2.0 * CAST(df AS DOUBLE) + 1.0))
+       |         / ((20.0 * CAST(tf AS DOUBLE) * CAST(s_tokens AS DOUBLE)
+       |              + 6.0 * CAST(s_tokens AS DOUBLE)
+       |              + 18.0 * CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+       |            * (2.0 * CAST(df AS DOUBLE) + 1.0)) AS term_score
+       |  FROM tfc JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, CAST(dl AS BIGINT) AS dl, COUNT(*) AS n_hit,
+       |       ${Det.sqlSum("term_score", 12)} AS score
+       |FROM scored GROUP BY doc_id, dl
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
+    val tfc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tfc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
+    val q = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(4)
+    val tfd = col("tf").cast("double")
+    val sd = col("s_tokens").cast("double")
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val dld = col("dl").cast("double")
+    tfc.join(broadcast(q), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        (lit(44.0) * tfd * sd * (lit(2.0) * nd - lit(2.0) * dfd + lit(1.0))) /
+          ((lit(20.0) * tfd * sd + lit(6.0) * sd + lit(18.0) * dld * nd) *
+            (lit(2.0) * dfd + lit(1.0))))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"), Det.dsum(col("term_score"), 12).as("score"))
+      .select(col("doc_id"), col("dl"), col("n_hit"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
-    t20PostingIntersect)
+    t20PostingIntersect, t21Bm25TopK)
 }

@@ -129,6 +129,30 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("dist") == 1))
   }
 
+  test("g08: capped projection is a subset of the uncapped one, bounded per item") {
+    import graft.Tables
+    val eng = Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("user_id"))
+      .distinct()
+    // uncapped ground truth: every user pair sharing any item
+    val uncapped = eng.as("a").join(eng.as("b"),
+        col("a.item") === col("b.item") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u1"), col("b.user_id").as("u2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SparkEntry.queries("g08_co_engagement")(spark, dir).collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(uncapped.contains(p), s"capped pair $p not in uncapped projection")
+      assert(r.getLong(0) < r.getLong(1), s"unordered pair $p")
+    }
+    // the cap's whole point: per-item pair fan-out is C(8,2) regardless of
+    // how hot the item is
+    val perItem = eng.groupBy("item").agg(count(lit(1)).as("m")).collect()
+    assert(perItem.exists(_.getLong(1) > 8), "no hot item — cap untested")
+  }
+
   test("a23: winsorized mean sits inside the [p05, p95] clamp band") {
     val rows = SparkEntry.queries("a23_winsorized_stats")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -201,4 +201,49 @@ class PlanSpec extends SparkSpec {
     // format, fail loudly instead of green-by-matching-nothing
     assert(checked >= 10, s"audit matched only $checked atoms — plan format drift?")
   }
+
+  /** io07's whole point: a partition-column predicate is resolved against
+    * DIRECTORY NAMES at planning time (`PartitionFilters`), so unselected
+    * partitions are never opened — the difference between O(selected) and
+    * O(corpus) for every coarse-filter read at 100 TB.
+    */
+  test("io07 read-back prunes partitions statically (PartitionFilters)") {
+    val plan = planOf("io07_partitioned_lake")
+    assert(plan.contains("PartitionFilters") && plan.contains("lang#"),
+      s"io07: no partition filter on the lake scan:\n$plan")
+    // the IN must sit in PartitionFilters, not be evaluated post-scan
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"io07: lang not in PartitionFilters: $pf")
+  }
+
+  /** Dynamic partition pruning: when the partition predicate arrives via
+    * a JOIN (star-schema: fact partitioned by key, dim carries the
+    * selective filter), Spark plants a runtime subquery filter on the
+    * scan — the fact read is still O(selected partitions) even though no
+    * literal predicate exists at plan time. The spec builds a real
+    * hive-layout lake and joins it with a 2-row filtered dim.
+    */
+  test("join-derived partition predicates prune dynamically (DPP)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = graft.queries.Dsl.tempStore("dpp_lake")
+    Tables.documents(spark, sf)
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(lake)
+    // the dim must be a REAL source with a surviving Filter node — a
+    // local Seq constant-folds its filter away and the DPP rule sees no
+    // selective predicate to transplant
+    val dimPath = graft.queries.Dsl.tempStore("dpp_dim")
+    Seq(("en", 1), ("de", 2), ("fr", 3), ("es", 4), ("zh", 5))
+      .toDF("d_lang", "d_pri").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("d_pri") <= 2)
+    val joined = spark.read.parquet(lake)
+      .join(broadcast(dim), col("lang") === col("d_lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the lake scan:\n$plan")
+    val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("en", "de"), s"wrong partitions read: $rows")
+  }
 }
