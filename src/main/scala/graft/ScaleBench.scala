@@ -36,6 +36,13 @@ object ScaleBench {
     // d14: one keyed full-outer join over map-side fingerprints — output
     // ∝ churn; the join itself is the linear part
     "d14_snapshot_diff",
+    // t21: tfc shuffle + broadcast query/stats + keyed doc agg + global
+    // TakeOrdered — the claim is "index-side shuffles linear, retrieval
+    // side output-bounded"
+    "t21_bm25_topk",
+    // io07: partitioned write (1 shuffle on the partition key) + pruned
+    // read — write cost dominates and should scale with corpus bytes
+    "io07_partitioned_lake",
     // i07: per-row real encode+decode+hash — the flat-map profile with a
     // fat per-row constant (codec work), then x01's hash-groupBy
     "i07_phash_dedup")
@@ -49,7 +56,12 @@ object ScaleBench {
     // r8 second wave: Pregel-superstep shapes (two keyed shuffles) and
     // the outer stream-stream join's band-bounded state
     "g03_pagerank_round", "g04_triangle_count", "g05_labelprop_round",
-    "g07_bfs_rounds", "sm06_stream_outer_join")
+    "g07_bfs_rounds", "sm06_stream_outer_join",
+    // r8 fourth wave: w04 native session-window merge state; x10 window
+    // chains; a27 collapses to |types|×|days| before the window; x11 is
+    // two broadcast-flagged scans; g08's cap bounds the pair fan-out
+    "w04_session_window", "x10_scd2_history", "a27_spike_detection",
+    "x11_delete_propagation", "g08_co_engagement", "a28_drift_chi2")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

@@ -1159,13 +1159,117 @@ object AnalyticsQueries {
       .orderBy("event_type", "day")
   }
 
+  /** A28 — DISTRIBUTION-DRIFT MONITOR (χ² against the pooled
+    * distribution): for each segment (event_type), compare its `value`
+    * histogram (10 equal-width buckets, clamped) against the pooled
+    * expectation — the covariate-drift check a training pipeline runs
+    * between snapshots/sources before mixing them (PSI's job, in χ²
+    * form because PSI's log is transcendental and this suite keeps
+    * oracle arithmetic exact). Per-bucket term
+    * `(o·N − n_t·c_b)² / (n_t·c_b·N)`: the numerator is built in exact
+    * BIGINTs, cast to DOUBLE while still < 2⁵³ (holds to ~10⁷ rows ×
+    * 10⁷ total; beyond that the same numerator rides DECIMAL(38,0)),
+    * squared and divided as identical double expressions in both
+    * engines, and the per-segment sum rides the decimal grid. Verdict
+    * column compares χ² against the χ²₉ 95th-percentile constant.
+    *
+    * Scale shape: TWO map-side-combinable aggregates collapse the
+    * corpus to |segments|×10 and 10 rows; the pooled side broadcasts;
+    * everything after is constant-size. One corpus scan feeds both aggs
+    * via the persisted bucket projection.
+    */
+  val a28DriftChi2: GraftQuery = GraftQuery(
+    "a28_drift_chi2",
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         LEAST(9, GREATEST(0, CAST(floor(value / 10) AS INT))) AS bucket
+       |  FROM events),
+       |seg AS (SELECT event_type, bucket, COUNT(*) AS o FROM b GROUP BY 1, 2),
+       |pooled AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n FROM b),
+       |nt AS (SELECT event_type, SUM(o) AS n_t FROM seg GROUP BY 1),
+       |terms AS (
+       |  SELECT seg.event_type,
+       |         (CAST(o * n - n_t * c AS DOUBLE) * CAST(o * n - n_t * c AS DOUBLE))
+       |           / CAST(n_t * c * n AS DOUBLE) AS term
+       |  FROM seg JOIN pooled USING (bucket) JOIN nt USING (event_type) CROSS JOIN tot)
+       |SELECT event_type, ${Det.sqlSum("term", 12)} AS chi2,
+       |       CASE WHEN ${Det.sqlSum("term", 12)} > 16.92 THEN 1 ELSE 0 END AS drifted
+       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val b = Tables.events(spark, dir)
+      .select(col("event_type"),
+        least(lit(9), greatest(lit(0), floor(col("value") / 10).cast("int"))).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = b.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+    val pooled = b.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val tot = b.agg(count(lit(1)).as("n"))
+    val nt = seg.groupBy("event_type").agg(sum("o").as("n_t"))
+    val numer = (col("o") * col("n") - col("n_t") * col("c")).cast("double")
+    val chi2 = Det.dsum(col("term"), 12)
+    seg.join(broadcast(pooled), "bucket")
+      .join(broadcast(nt), "event_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", numer * numer / (col("n_t") * col("c") * col("n")).cast("double"))
+      .groupBy("event_type")
+      .agg(chi2.as("chi2"), when(chi2 > 16.92, 1).otherwise(0).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  /** A29 — SESSION TRANSITION MATRIX (Markov next-step model of user
+    * behavior): for each adjacent event pair within a session (same
+    * user, gap ≤ 1 day — st01's boundary rule), count `from_type →
+    * to_type` transitions and the conditional probability
+    * P(to | from) — the product-analytics "where do users go next"
+    * table, and the training target of every next-event model. The
+    * probability is one exact-integer division (IEEE-identical both
+    * engines).
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lead window; the
+    * transition agg is map-side combinable down to |types|² rows; the
+    * row-count totals join is a broadcast of |types| rows. Nothing is
+    * ever held per user but one lookahead row.
+    */
+  val a29Transitions: GraftQuery = GraftQuery(
+    "a29_transitions",
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts,
+      |         lead(event_type) OVER w AS to_type,
+      |         lead(ts) OVER w AS to_ts
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tr AS (
+      |  SELECT event_type AS from_type, to_type
+      |  FROM ordered
+      |  WHERE to_type IS NOT NULL AND date_diff('second', ts, to_ts) <= 86400),
+      |cnt AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM cnt JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        lead(col("event_type"), 1).over(w).as("to_type"),
+        lead(col("ts"), 1).over(w).as("to_ts"))
+      .filter(col("to_type").isNotNull &&
+        (unix_timestamp(col("to_ts")) - unix_timestamp(col("ts"))) <= 86400)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val cnt = tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
     a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
-    a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, j02TimeAlign,
+    a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
+    a29Transitions, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow)
 }

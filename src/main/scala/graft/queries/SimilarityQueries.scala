@@ -440,7 +440,145 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** E13 — MMR DIVERSIFIED RE-RANK (maximal marginal relevance): the
+    * result-diversification pass every retrieval/RAG pipeline runs on
+    * its top-k head — greedily pick 5 of the top-20 candidates
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)` (λ = 0.7), so
+    * near-duplicate hits can't crowd the slate. Greedy MMR is
+    * inherently sequential in k; the DISTRIBUTED part is exactly where
+    * the data is big — candidate generation (e01/e03's top-k over the
+    * corpus) and the 20×20 pairwise-sim table — while the 5-step
+    * selection loop touches ≤ 20 rows per round (the g07 driver-looped
+    * round convention; each round is one plan over the persisted pool).
+    * The oracle UNROLLS the same greedy recursion into 5 chained CTEs,
+    * so the argmax sequence itself is oracle-pinned. All cosines ride
+    * the fixed-point grid; λ-arithmetic is the same double expression
+    * on both engines.
+    */
+  val e13MmrRerank: GraftQuery = GraftQuery(
+    "e13_mmr_rerank", {
+      val selUnion = (1 to 5).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+      def step(i: Int): String = {
+        val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+        s"""c$i AS (
+           |  SELECT p.id, p.rel,
+           |         0.7 * p.rel - 0.3 * (SELECT MAX(s) FROM P
+           |                              WHERE P.a = p.id AND P.b IN ($prev)) AS mmr
+           |  FROM pool p WHERE p.id NOT IN ($prev)),
+           |s$i AS (SELECT id, rel, mmr FROM c$i ORDER BY mmr DESC, id LIMIT 1)"""
+          .stripMargin
+      }
+      s"""WITH v AS ($sqlV),
+         |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM v WHERE id = 0),
+         |rel0 AS (
+         |  SELECT v.id, v.emb, v.norm_f,
+         |         ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS rel
+         |  FROM v CROSS JOIN q WHERE v.id != q.q_id),
+         |pool AS (SELECT * FROM rel0 ORDER BY rel DESC, id LIMIT 20),
+         |P AS (
+         |  SELECT a.id AS a, b.id AS b,
+         |         ${sqlCos("a.emb", "a.norm_f", "b.emb", "b.norm_f")} AS s
+         |  FROM pool a JOIN pool b ON a.id != b.id),
+         |s1 AS (SELECT id, rel, 0.7 * rel AS mmr FROM pool ORDER BY rel DESC, id LIMIT 1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 5).map(i => s"  SELECT $i AS sel_rank, id, rel, mmr FROM s$i")
+              .mkString("  UNION ALL\n")})
+         |ORDER BY sel_rank""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = Similarity.withNormFixed(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val q = v.filter(col("id") === 0)
+      .select(col("emb").as("q_emb"), col("norm_f").as("q_norm"))
+    val pool = v.filter(col("id") =!= 0).crossJoin(broadcast(q))
+      .select(col("id"), col("emb"), col("norm_f"),
+        Similarity.cosineFromFixed(Similarity.dotFixed(col("q_emb"), col("emb")),
+          col("q_norm"), col("norm_f")).as("rel"))
+      .orderBy(desc("rel"), asc("id")).limit(20)
+      .persist(mem)
+    val pa = pool.select(col("id").as("a"), col("emb").as("a_emb"), col("norm_f").as("a_norm"))
+    val pb = pool.select(col("id").as("b"), col("emb").as("b_emb"), col("norm_f").as("b_norm"))
+    val pairs = pa.join(pb, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        Similarity.cosineFromFixed(Similarity.dotFixed(col("a_emb"), col("b_emb")),
+          col("a_norm"), col("b_norm")).as("s"))
+      .persist(mem)
+    var sel = Vector.empty[(Int, Long, Double, Double)]
+    for (r <- 1 to 5) {
+      val picked = sel.map(_._2)
+      val cand0 = if (picked.isEmpty) pool else pool.filter(!col("id").isin(picked: _*))
+      val cand =
+        if (picked.isEmpty) cand0.withColumn("mmr", lit(0.7) * col("rel"))
+        else {
+          val maxs = pairs.filter(col("b").isin(picked: _*))
+            .groupBy("a").agg(max("s").as("maxs"))
+          cand0.join(maxs, col("id") === col("a"))
+            .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("maxs"))
+        }
+      val row = cand.orderBy(desc("mmr"), asc("id"))
+        .select("id", "rel", "mmr").limit(1).collect()(0)
+      sel :+= ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+    }
+    pool.unpersist(); pairs.unpersist()
+    sel.toDF("sel_rank", "id", "rel", "mmr")
+  }
+
+  /** E14 — ANN RECALL@K EVALUATION: the quality harness every
+    * approximate index ships with — e02's LSH top-k measured against
+    * e01's brute-force ground truth, recall@10 per query plus the
+    * hit count. Production tunes `Planes`/`nprobe` against exactly
+    * this curve before trusting an index at corpus scale; here the
+    * whole evaluation (truth, candidates, join, recall) is
+    * oracle-gated so the measurement itself is verified.
+    *
+    * Scale shape: ground truth runs on a SAMPLED query set (5 ids —
+    * recall curves need tens of queries, not the corpus), so the brute
+    * leg is |sample|×n and the comparison is a broadcast-size join of
+    * two top-k lists; the division is one exact-integer op.
+    */
+  val e14AnnRecall: GraftQuery = GraftQuery(
+    "e14_ann_recall",
+    s"""WITH v AS ($sqlV),
+       |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM v WHERE id < $NumQueries),
+       |scored_b AS (
+       |  SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+       |  FROM q CROSS JOIN v WHERE v.id != q.q_id),
+       |ranked_b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |             FROM scored_b),
+       |truth AS (SELECT q_id, n_id FROM ranked_b WHERE rank <= $K),
+       |vf AS (SELECT id, emb, norm_f, ${Similarity.sqlVfix("emb")} AS vfix FROM v),
+       |vb AS (SELECT id, emb, norm_f,
+       |              ${Similarity.sqlLshBucketFromVfix("vfix", Planes, Dims)} AS bucket FROM vf),
+       |ql AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm, bucket AS q_bucket
+       |       FROM vb WHERE id < $NumQueries),
+       |scored_l AS (
+       |  SELECT q_id, vb.id AS n_id, ${sqlCos("q_emb", "q_norm", "vb.emb", "vb.norm_f")} AS cosine
+       |  FROM ql JOIN vb ON vb.bucket = ql.q_bucket AND vb.id != ql.q_id),
+       |ranked_l AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |             FROM scored_l),
+       |cand AS (SELECT q_id, n_id, 1 AS hit FROM ranked_l WHERE rank <= $K)
+       |SELECT t.q_id, CAST($K AS BIGINT) AS k, CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       |       CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / $K.0 AS recall
+       |FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.knnBrute(emb, "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+    val cand = Similarity.knnLsh(emb, "vec_id", "embedding",
+        col("id") < NumQueries, K, Planes, Dims)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(cand, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("q_id"), lit(K.toLong).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
-    e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign)
+    e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
+    e14AnnRecall)
 }

@@ -479,7 +479,70 @@ object StreamingQueries {
     }
   }
 
+  /** ST04 — LATE-DATA PROFILE (the watermark-tuning audit): replay the
+    * log in arrival order (event_id as the arrival sequence, 1000-row
+    * micro-batches) and, per batch, count the events a 1-hour watermark
+    * would have DROPPED — `ts < max(event time through the previous
+    * batch) − 1 h` — plus the worst lateness. This is the measurement
+    * that decides `withWatermark`'s delay before a streaming job ships:
+    * too short silently drops exactly these rows (sm01–sm06 all carry
+    * that risk), too long holds state for nothing.
+    *
+    * Scale shape: the per-batch max is a map-side-combinable agg down
+    * to |batches| rows; the running max + interval shift runs on that
+    * tiny table (the one unpartitioned window in the suite, documented:
+    * |batches| rows, not |events|); watermarks broadcast back and the
+    * late flags fold into one grouped agg — two corpus scans total
+    * (batch-max and flag), no per-event state.
+    */
+  val st04LateProfile: GraftQuery = GraftQuery(
+    "st04_late_profile", {
+      // arrival ≠ event time: the log is replayed with a deterministic
+      // ±1000-position jitter (portable-hash convention) so out-of-order
+      // delivery — the thing watermarks exist for — actually occurs;
+      // the testdata's event_id order is exactly time order otherwise
+      // and every batch would trivially report 0 late rows.
+      val h = graft.operators.Sampling.sqlHashBucket("event_id")
+      s"""WITH batched AS (
+      |  SELECT CAST(floor((event_id + ($h % 2000) - 1000) / 1000) AS BIGINT) AS batch, ts
+      |  FROM events),
+      |bmax AS (SELECT batch, MAX(ts) AS bmax FROM batched GROUP BY 1),"""
+        .stripMargin +
+      """
+      |wm AS (
+      |  SELECT batch,
+      |         MAX(bmax) OVER (ORDER BY batch
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           - INTERVAL 3600 SECONDS AS wm
+      |  FROM bmax)
+      |SELECT b.batch, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN b.ts < wm.wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       MAX(CASE WHEN b.ts < wm.wm
+      |                THEN date_diff('second', b.ts, wm.wm) ELSE NULL END) AS max_late_sec
+      |FROM batched b JOIN wm ON b.batch = wm.batch
+      |GROUP BY b.batch ORDER BY b.batch""".stripMargin
+    }) { (spark, dir) =>
+    val jitter = graft.operators.Sampling.hashBucket(col("event_id")) % 2000 - 1000
+    val batched = Tables.events(spark, dir)
+      .select(floor((col("event_id") + jitter) / 1000).cast("long").as("batch"),
+        col("ts"))
+    val bmax = batched.groupBy("batch").agg(max("ts").as("bmax"))
+    val runw = Window.orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = bmax.select(col("batch"),
+      (max(col("bmax")).over(runw) - expr("INTERVAL 3600 SECONDS")).as("wm"))
+    val late = col("ts") < col("wm")
+    batched.join(broadcast(wm), "batch")
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n"),
+        sum(when(late, 1L).otherwise(0L)).as("n_late"),
+        max(when(late, unix_timestamp(col("wm")) - unix_timestamp(col("ts"))))
+          .as("max_late_sec"))
+      .orderBy("batch")
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
+    st04LateProfile,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
     sm05StreamStaticJoin, sm06StreamOuterJoin)
 }
