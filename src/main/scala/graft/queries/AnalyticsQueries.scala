@@ -1054,11 +1054,14 @@ object AnalyticsQueries {
     * (the merging-window physical operator Structured Streaming uses for
     * session state) instead of the lag/cumsum islands form — gated
     * against the islands ORACLE, so the two formulations' equivalence is
-    * itself under test. Boundary semantics pinned: session windows are
-    * half-open [start, last + gap), so an event exactly `gap` after the
-    * last one starts a NEW session (islands rule `diff >= gap`, not
-    * st01's `>` — with microsecond timestamps both gates hold, and the
-    * oracle encodes the half-open rule exactly).
+    * itself under test. Boundary semantics pinned BY MEASUREMENT
+    * (PropertySpec "w04 boundary"): Spark's session_window treats the
+    * session end INCLUSIVELY — an event exactly `gap` after the last
+    * one still MERGES; only a strictly-greater gap splits. The oracle
+    * therefore uses st01's strict rule `ts > prev_ts + gap` at FULL
+    * microsecond precision (never a seconds-granularity date_diff,
+    * which counts boundary crossings and would split a session whose
+    * true gap is 86399.2 s).
     *
     * Scale: one shuffle on the user key; the window merge is per-key
     * sorted-scan state, O(sessions) not O(events) held.
@@ -1070,13 +1073,13 @@ object AnalyticsQueries {
       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events),
       |marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |         CASE WHEN prev_ts IS NULL
-      |                OR date_diff('second', prev_ts, ts) >= 86400 THEN 1 ELSE 0 END AS new_sess
+      |                OR ts > prev_ts + INTERVAL 86400 SECONDS THEN 1 ELSE 0 END AS new_sess
       |  FROM ordered),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                             ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM marked)
       |SELECT user_id, MIN(ts) AS session_start,

@@ -367,13 +367,13 @@ object RowOpsQueries {
       |  SELECT user_id, ts, event_id, CAST(floor(value / 100) AS BIGINT) AS bucket
       |  FROM events WHERE event_type = 'purchase'),
       |marked AS (
-      |  SELECT user_id, ts, bucket,
+      |  SELECT user_id, ts, event_id, bucket,
       |         CASE WHEN lag(bucket) OVER w IS NULL
       |                OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS chg
       |  FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |runs AS (
       |  SELECT user_id, ts, bucket,
-      |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                        ROWS UNBOUNDED PRECEDING) AS version
       |  FROM marked),
       |hist AS (
@@ -395,7 +395,7 @@ object RowOpsQueries {
       when(lag(col("bucket"), 1).over(w).isNull ||
         lag(col("bucket"), 1).over(w) =!= col("bucket"), 1L).otherwise(0L))
     val runs = marked.withColumn("version",
-      sum(col("chg")).over(Window.partitionBy("user_id").orderBy("ts")
+      sum(col("chg")).over(Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val hist = runs.groupBy("user_id", "version", "bucket")
       .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_updates"))

@@ -457,7 +457,6 @@ object SimilarityQueries {
     */
   val e13MmrRerank: GraftQuery = GraftQuery(
     "e13_mmr_rerank", {
-      val selUnion = (1 to 5).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
       def step(i: Int): String = {
         val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
         s"""c$i AS (

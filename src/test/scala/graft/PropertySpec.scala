@@ -307,6 +307,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("w04 boundary: session_window merges on exact microsecond gaps, splits at gap") {
+    // The equivalence w04's oracle must encode, pinned by MEASUREMENT:
+    // an 86399.2s gap MERGES (a seconds-granularity date_diff oracle
+    // would split it — boundary crossings, not elapsed time); an
+    // EXACT-86400s gap also merges (Spark's session end is inclusive);
+    // only a strictly greater gap (86400.5s) splits. Hence the oracle's
+    // strict `ts > prev_ts + gap` rule.
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00.9"), (1L, "2024-01-02 00:00:00.1"), // 86399.2s
+      (2L, "2024-01-01 00:00:00.5"), (2L, "2024-01-02 00:00:00.5"), // 86400.0s
+      (3L, "2024-01-01 00:00:00.2"), (3L, "2024-01-02 00:00:00.7")) // 86400.5s
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "86400 seconds"))
+      .agg(count(lit(1)))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) == 1, "sub-gap (86399.2s) pair must share a session")
+    assert(sessions(2L) == 1, "exact-gap pair still merges (inclusive session end)")
+    assert(sessions(3L) == 2, "strictly-greater gap must start a new session")
+  }
+
   test("j09 2-of-3 blocking recall: any single-position corruption is matched") {
     // the guarantee the blocking design claims: a substitution at ANY digit
     // position (not just the gate's position formula) leaves one window
@@ -316,7 +339,6 @@ class PropertySpec extends SparkSpec {
     val cust = Tables.customer(spark, "/root/testdata/sf0.001")
       .select("c_custkey", "c_name").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val byName = cust.toMap
     (0 until 200).foreach { _ =>
       val (key, name) = cust(rnd.nextInt(cust.length))
       val pos = 9 + rnd.nextInt(9) // any digit position, 0-based 9..17
