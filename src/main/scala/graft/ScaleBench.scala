@@ -163,6 +163,22 @@ object ScaleBench {
           graft.operators.Similarity.kmeansRound(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             col("id") < centroids).count()),
+        // t21b's ONLINE leg: the index build (the amortized offline job)
+        // runs lazily on the FIRST timed run only; best-of-2 min is
+        // therefore the pure retrieval pass over the store — the claim
+        // under measurement is retrieval ∝ matched postings, with the
+        // corpus nowhere in the plan
+        s"t21b_retrieval[stored]" -> {
+          var bm25Store: String = null
+          () => {
+            if (bm25Store == null) {
+              bm25Store = java.nio.file.Files
+                .createTempDirectory("t21b-scale").toString + "/store"
+              graft.queries.TextQueries.bm25BuildIndex(spark, dir, bm25Store)
+            }
+            graft.queries.TextQueries.bm25Retrieve(spark, bm25Store).count()
+          }
+        },
         // force the distributed pointer-jumping path (the 100 TB worst
         // case) even where the union-find fast path would engage
         "g02_components_distributed" -> (() => {

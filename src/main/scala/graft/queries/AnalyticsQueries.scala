@@ -1265,6 +1265,47 @@ object AnalyticsQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** W05 — CUMULATIVE UNIQUE USERS over time via the FIRST-SEEN trick:
+    * the growth-dashboard curve ("total users to date") computed
+    * without a running `COUNT(DISTINCT)` window — which at 100 TB would
+    * either hold per-day user sets (O(users) state per frame) or
+    * re-scan per day. Instead: each user's first active day is one
+    * map-side-combinable MIN agg; new-users-per-day is a count over
+    * that (|users| rows); the cumulative curve is a running sum over
+    * |days| rows. The distinct-ness is paid ONCE, keyed, at full
+    * parallelism — the running window touches a table the size of the
+    * calendar (the st04 convention: the one unpartitioned window runs
+    * on |days|, never |events|). a20's HLL twin is the approximate
+    * mergeable path when exactness can be traded.
+    */
+  val w05CumulativeUniques: GraftQuery = GraftQuery(
+    "w05_cumulative_uniques",
+    """WITH first_seen AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+      |daily_new AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY 1),
+      |all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |joined AS (
+      |  SELECT d.day, COALESCE(n.new_users, 0) AS new_users
+      |  FROM all_days d LEFT JOIN daily_new n ON d.day = n.day)
+      |SELECT CAST(day AS TIMESTAMP) AS day, CAST(new_users AS BIGINT) AS new_users,
+      |       CAST(SUM(new_users) OVER (ORDER BY day
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |         AS cumulative_uniques
+      |FROM joined ORDER BY day""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val dailyNew = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val allDays = ev.select(to_date(col("ts")).as("day")).distinct()
+    val runw = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(dailyNew, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cumulative_uniques", sum(col("new_users")).over(runw))
+      .select(col("day").cast("timestamp").as("day"), col("new_users"),
+        col("cumulative_uniques"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1274,5 +1315,5 @@ object AnalyticsQueries {
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
     a29Transitions, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
-    w04SessionWindow)
+    w04SessionWindow, w05CumulativeUniques)
 }

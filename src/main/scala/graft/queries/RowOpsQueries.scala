@@ -465,9 +465,58 @@ object RowOpsQueries {
       .orderBy("table_name")
   }
 
+  /** X13 — BITEMPORAL RESTATEMENT AUDIT: what did each day's metric
+    * look like AS OF an earlier transaction-time watermark, and how
+    * much did late-arriving facts restate it? Event time = `ts`
+    * (valid time), ingestion order = `event_id` (transaction time; the
+    * st04 convention). The report compares, per day, the value-sum
+    * known at the 80%-ingestion watermark against the final sum — the
+    * "numbers changed after month-close" audit every warehouse needs
+    * when facts arrive late (x10 versions DIMENSIONS; this versions
+    * AGGREGATES).
+    *
+    * Scale shape: one corpus scan with the as-of flag fused in
+    * (`event_id <= wm` is a conditional inside the SAME
+    * map-side-combinable agg, not a second pass); the watermark is a
+    * broadcast 1-row agg. Output is |days| rows.
+    */
+  val x13BitemporalRestate: GraftQuery = GraftQuery(
+    "x13_bitemporal_restate",
+    """WITH wm AS (
+      |  SELECT CAST(floor(MAX(event_id) * 0.8) AS BIGINT) AS wm FROM events),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CASE WHEN event_id <= wm
+      |                       THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+      |           AS sum_asof,
+      |         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_final,
+      |         COUNT(*) AS n_final,
+      |         CAST(SUM(CASE WHEN event_id <= wm THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_asof
+      |  FROM events CROSS JOIN wm GROUP BY 1, wm)
+      |SELECT CAST(day AS TIMESTAMP) AS day, n_asof, n_final, sum_asof, sum_final,
+      |       CASE WHEN n_asof <> n_final THEN 1 ELSE 0 END AS restated
+      |FROM daily ORDER BY day""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val wm = ev.agg(floor(max(col("event_id")) * 0.8).cast("long").as("wm"))
+    val asof = col("event_id") <= col("wm")
+    ev.crossJoin(broadcast(wm))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(asof, col("value").cast("decimal(28,6)"))).cast("double")
+          .as("sum_asof"),
+        Det.dsum(col("value"), 6).as("sum_final"),
+        count(lit(1)).as("n_final"),
+        sum(when(asof, 1L).otherwise(0L)).as("n_asof"))
+      .select(col("day").cast("timestamp").as("day"), col("n_asof"),
+        col("n_final"), col("sum_asof"), col("sum_final"),
+        when(col("n_asof") =!= col("n_final"), 1).otherwise(0).as("restated"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, x10Scd2History,
-    x11DeletePropagation)
+    x11DeletePropagation, x13BitemporalRestate)
 }

@@ -852,9 +852,78 @@ object TextQueries {
       .orderBy(desc("score"), asc("doc_id")).limit(10)
   }
 
+  /** T21B — BM25 OFF A STORED INDEX (the production retrieval path t21's
+    * scaladoc promises): the index build — postings with tf and the doc
+    * norm `dl` DENORMALIZED in (the norms file every IR engine ships),
+    * term→df, and the 1-row corpus stats — is written to a parquet
+    * store once; the retrieval plan then reads ONLY the store. Same
+    * result as t21 (the oracle is literally t21's SQL over the raw
+    * corpus, so store round-trip fidelity is itself gated), but the
+    * online path drops both corpus scans AND the dl join: one broadcast
+    * of (4 query terms + stats) against the postings store, one keyed
+    * agg, TakeOrdered. Retrieval cost is bounded by the matched
+    * postings — independent of corpus size for fixed query df — which
+    * is the whole point of an index at 100 TB. On a real lake the
+    * postings store is additionally bucketed by term so a query touches
+    * only its terms' files (the t19 block note).
+    */
+  /** The offline half of t21b: postings (with `dl` denormalized), term
+    * dfs, and the 1-row corpus stats, written under `store`. Amortized
+    * across every query the index will ever serve.
+    */
+  def bm25BuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     store: String): Unit = {
+    val tfc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tfc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tfc.join(dl, "doc_id").write.mode("overwrite").parquet(s"$store/postings")
+    tfc.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$store/terms")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
+      .write.mode("overwrite").parquet(s"$store/stats")
+    tfc.unpersist()
+  }
+
+  /** The online half of t21b: reads ONLY the store — one broadcast of
+    * (4 query terms + stats) against the postings, keyed agg,
+    * TakeOrdered. No corpus scan, no dl join (denormalized at build).
+    */
+  def bm25Retrieve(spark: org.apache.spark.sql.SparkSession,
+                   store: String): org.apache.spark.sql.DataFrame = {
+    val post = spark.read.parquet(s"$store/postings")
+    val q = spark.read.parquet(s"$store/terms")
+      .orderBy(desc("df"), asc("term")).limit(4)
+    val stats = spark.read.parquet(s"$store/stats")
+    val tfd = col("tf").cast("double")
+    val sd = col("s_tokens").cast("double")
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val dld = col("dl").cast("double")
+    post.join(broadcast(q), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        (lit(44.0) * tfd * sd * (lit(2.0) * nd - lit(2.0) * dfd + lit(1.0))) /
+          ((lit(20.0) * tfd * sd + lit(6.0) * sd + lit(18.0) * dld * nd) *
+            (lit(2.0) * dfd + lit(1.0))))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"), Det.dsum(col("term_score"), 12).as("score"))
+      .select(col("doc_id"), col("dl"), col("n_hit"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(10)
+  }
+
+  val t21bBm25Stored: GraftQuery = GraftQuery(
+    "t21b_bm25_stored",
+    t21Bm25TopK.oracle.get) { (spark, dir) =>
+    val store = Dsl.tempStore("t21b_index")
+    bm25BuildIndex(spark, dir, store)
+    bm25Retrieve(spark, store)
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
-    t20PostingIntersect, t21Bm25TopK)
+    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored)
 }
