@@ -45,7 +45,13 @@ object ScaleBench {
     "io07_partitioned_lake",
     // i07: per-row real encode+decode+hash — the flat-map profile with a
     // fat per-row constant (codec work), then x01's hash-groupBy
-    "i07_phash_dedup")
+    "i07_phash_dedup",
+    // r8 sixth wave: d15 is a pure hash projection + 3-group agg (the
+    // flattest profile in the suite); t22 is the per-lang quantile
+    // window (the sort-per-stratum cost to watch) + broadcast gate;
+    // io08 is two manifest-committed batch writes + a multi-path read —
+    // write bytes dominate, manifest cost is O(1)
+    "d15_hash_split", "t22_quality_gate", "io08_manifest_publish")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -61,7 +67,10 @@ object ScaleBench {
     // chains; a27 collapses to |types|×|days| before the window; x11 is
     // two broadcast-flagged scans; g08's cap bounds the pair fan-out
     "w04_session_window", "x10_scd2_history", "a27_spike_detection",
-    "x11_delete_propagation", "g08_co_engagement", "a28_drift_chi2")
+    "x11_delete_propagation", "g08_co_engagement", "a28_drift_chi2",
+    // r8 sixth wave: a30 is per-user flag agg (|users| shuffle rows) +
+    // a 2-row cohort agg — the O(1)-output experiment readout
+    "a30_ab_lift")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

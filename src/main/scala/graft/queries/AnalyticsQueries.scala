@@ -1306,6 +1306,73 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** A30 — A/B TEST READOUT with hash-assigned cohorts and exact
+    * integer comparison: users split 50/50 by portable key hash (d10's
+    * convention — assignment is reproducible across engines and reruns,
+    * and a user can never switch arms mid-experiment), conversion =
+    * "user has ≥1 purchase", and the lift comparison is reported as the
+    * cross-multiplied integers `conv_a·users_b` vs `conv_b·users_a` —
+    * the exact rational form of rate_a vs rate_b (the a28/t21
+    * denominators-cleared convention), so the winner flag never
+    * depends on float division order.
+    *
+    * Scale shape: one corpus scan → per-user MAX flag (map-side
+    * combinable, shuffle carries |users| rows) → a 2-row cohort agg →
+    * a 1×1 broadcast self-join. The readout is O(1) output over any
+    * event volume.
+    */
+  val a30AbLift: GraftQuery = GraftQuery(
+    "a30_ab_lift", {
+      val h = graft.functions.TextFunctions.sqlRollingHash(
+        "CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (
+         |  SELECT user_id, ($h % 2) AS cohort,
+         |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |         SUM(CASE WHEN event_type = 'purchase'
+         |             THEN CAST(value AS DECIMAL(28,6)) ELSE 0 END) AS pv
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT cohort, COUNT(*) AS n_users,
+         |         CAST(SUM(conv) AS BIGINT) AS n_conv,
+         |         CAST(SUM(pv) AS DOUBLE) AS sum_purchase
+         |  FROM u GROUP BY cohort)
+         |SELECT a.n_users AS users_a, a.n_conv AS conv_a,
+         |       a.sum_purchase AS value_a,
+         |       b.n_users AS users_b, b.n_conv AS conv_b,
+         |       b.sum_purchase AS value_b,
+         |       CAST(a.n_conv * b.n_users AS BIGINT) AS lift_num,
+         |       CAST(b.n_conv * a.n_users AS BIGINT) AS lift_den,
+         |       CASE WHEN a.n_conv * b.n_users > b.n_conv * a.n_users THEN 1
+         |            WHEN a.n_conv * b.n_users < b.n_conv * a.n_users THEN -1
+         |            ELSE 0 END AS winner
+         |FROM c a CROSS JOIN c b
+         |WHERE a.cohort = 0 AND b.cohort = 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    val isPurchase = col("event_type") === "purchase"
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        pmod(rollingHash(col("user_id").cast("string")), lit(2L)).as("cohort"))
+      .agg(max(when(isPurchase, 1L).otherwise(0L)).as("conv"),
+        sum(when(isPurchase, col("value").cast("decimal(28,6)"))
+          .otherwise(lit(0).cast("decimal(28,6)"))).as("pv"))
+    val c = u.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"),
+        sum("pv").cast("double").as("sum_purchase"))
+    val a = c.filter(col("cohort") === 0)
+      .select(col("n_users").as("users_a"), col("n_conv").as("conv_a"),
+        col("sum_purchase").as("value_a"))
+    val b = c.filter(col("cohort") === 1)
+      .select(col("n_users").as("users_b"), col("n_conv").as("conv_b"),
+        col("sum_purchase").as("value_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("lift_num", col("conv_a") * col("users_b"))
+      .withColumn("lift_den", col("conv_b") * col("users_a"))
+      .withColumn("winner",
+        when(col("lift_num") > col("lift_den"), 1)
+          .when(col("lift_num") < col("lift_den"), -1).otherwise(0))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1313,7 +1380,7 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, j02TimeAlign,
+    a29Transitions, a30AbLift, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques)
 }

@@ -307,7 +307,49 @@ object IoQueries {
       .orderBy("lang", "source")
   }
 
+  /** IO8 — atomic manifest-pointer PUBLISH ([[graft.operators.Publish]]):
+    * snapshot-isolated multi-batch ingestion on a plain filesystem — the
+    * contract the reference's chunked directory-glob landing
+    * (DataStorage.py) is missing. Two batches (even/odd doc ids) are
+    * published through versioned rename-committed manifests; a third
+    * data dir is written WITHOUT a manifest commit, simulating a writer
+    * that died after its data write — then the snapshot is read back
+    * through the manifest and aggregated per language. The oracle
+    * computes the same aggregate from the raw table: if the orphaned
+    * batch leaked into the read (directory-glob semantics), every count
+    * and sum doubles for its rows and the hash breaks — the gate proves
+    * readers see exactly the committed snapshot, nothing more.
+    *
+    * Scale shape: publish is one data write + one tiny manifest rename
+    * per batch (no table scan, no lock); the snapshot read plans as an
+    * ordinary multi-path parquet scan, so pruning/pushdown work
+    * unchanged. PublishSpec pins the crash/idempotence/time-travel
+    * seams SQL cannot express.
+    */
+  val io08ManifestPublish: GraftQuery = GraftQuery(
+    "io08_manifest_publish",
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.Publish
+    val root = Dsl.tempStore("io08_lake")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+    Publish.publishBatch(spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      root, "batch-even")
+    Publish.publishBatch(spark, docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      root, "batch-odd")
+    // a crashed writer: data landed, manifest never committed
+    docs.limit(500).write.mode("overwrite").parquet(s"$root/data/orphan")
+    Publish.readSnapshot(spark, root).get
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_nc"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
-    io07PartitionedLake)
+    io07PartitionedLake, io08ManifestPublish)
 }

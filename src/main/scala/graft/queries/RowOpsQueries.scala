@@ -514,9 +514,57 @@ object RowOpsQueries {
       .orderBy("day")
   }
 
+  /** D15 — deterministic TRAIN/VAL/TEST split (80/10/10) by key hash:
+    * the split every training corpus needs, assigned as a pure function
+    * of the row key (d10's portable-hash convention) so membership is
+    * stable across reruns, retries, cluster sizes and engines — and
+    * CONSISTENT across tables sharing the key (a doc and its features
+    * land in the same split with no join), which seeded `randomSplit`
+    * cannot give: its assignment depends on partition layout and RNG
+    * draw order. Contamination risk is structural, not statistical —
+    * a row can never migrate between splits across pipeline versions.
+    *
+    * Scale shape: a codegen'd projection plus a 3-group map-side-
+    * combinable audit agg — no shuffle beyond 3 rows. The audit carries
+    * exact id/char sums per split, so one misassigned row anywhere in
+    * 100 TB breaks the hash.
+    */
+  val d15HashSplit: GraftQuery = GraftQuery(
+    "d15_hash_split", {
+      // the key is SALTED with a split-purpose suffix: raw small-int ids
+      // make short strings whose rolling hashes never reach the high
+      // buckets (every doc would land in 'train'), and the salt also
+      // decorrelates this split from every other hash-keyed decision
+      // (d10 sampling, d13 sharding) made on the same ids
+      val bucket = graft.operators.Sampling.sqlHashBucket("doc_id || '#split'")
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |         CASE WHEN $bucket < 800000 THEN 'train'
+         |              WHEN $bucket < 900000 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    }) { (spark, dir) =>
+    val b = graft.operators.Sampling.hashBucket(
+      concat(col("doc_id").cast("string"), lit("#split")))
+    val split = when(b < 800000L, "train")
+      .when(b < 900000L, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), split.as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("doc_id").as("sum_ids"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
-    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, x10Scd2History,
-    x11DeletePropagation, x13BitemporalRestate)
+    d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
+    x10Scd2History, x11DeletePropagation, x13BitemporalRestate)
 }

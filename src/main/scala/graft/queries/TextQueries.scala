@@ -921,9 +921,74 @@ object TextQueries {
     bm25Retrieve(spark, store)
   }
 
+  /** T22 — per-language QUALITY-PERCENTILE GATE: keep each document iff
+    * its t03 quality score clears its OWN language's exact 30th
+    * percentile — the per-stratum relative bar real curation uses
+    * instead of one global threshold (which would silently purge the
+    * languages whose scores run structurally lower; CCNet buckets by
+    * exactly this kind of per-language perplexity quantile). Threshold
+    * ties keep (>=), and the percentile is the exact type-1 pick under
+    * a total (quality, doc_id) order — a17/a23's convention — so the
+    * kept set is deterministic and engine-portable. Output is the
+    * per-language audit: corpus size, kept count, the threshold itself.
+    *
+    * Gate form computes thresholds with a per-language window
+    * (rank + count in one pass); at 100 TB the thresholds come from
+    * a24's integer-rank arithmetic or a05b's approx-percentile sketch
+    * over the |langs|-group histogram — the corpus-side gate pass (one
+    * broadcast join + a codegen'd comparison) is unchanged.
+    */
+  val t22QualityGate: GraftQuery = GraftQuery(
+    "t22_quality_gate", {
+      val toksE = sqlTokens("text")
+      val stopE = sqlLangScore(toksE, stopwords)
+      val qualE = s"((CAST(len(list_distinct($toksE)) AS DOUBLE) / len($toksE)) * 0.5" +
+        s" + LEAST((CAST(len(replace(text, ' ', '')) AS DOUBLE) / len($toksE)) / 10.0, 1.0) * 0.3" +
+        s" + (CAST($stopE AS DOUBLE) / len($toksE)) * 0.2)"
+      s"""WITH q AS (SELECT doc_id, lang, $qualE AS quality FROM documents),
+         |r AS (SELECT doc_id, lang, quality,
+         |        row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS n
+         |      FROM q),
+         |thr AS (SELECT lang, MAX(n) AS n_total,
+         |          MAX(CASE WHEN rn = CAST(ceil(0.30 * n) AS BIGINT)
+         |              THEN quality END) AS threshold
+         |        FROM r GROUP BY lang)
+         |SELECT q.lang, MAX(t.n_total) AS n_total,
+         |       CAST(SUM(CASE WHEN q.quality >= t.threshold THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_kept,
+         |       MAX(t.threshold) AS threshold
+         |FROM q JOIN thr t ON q.lang = t.lang
+         |GROUP BY q.lang ORDER BY q.lang""".stripMargin
+    }) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val ttr = size(array_distinct(toks)).cast("double") / size(toks)
+    val stopRatio = langScore(toks, stopwords).cast("double") / size(toks)
+    val avgLen = length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)
+    val q = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      (ttr * 0.5 + least(avgLen / 10.0, lit(1.0)) * 0.3 + stopRatio * 0.2)
+        .as("quality"))
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val r = q.select(col("lang").as("r_lang"), col("quality").as("r_quality"),
+      row_number().over(byLang.orderBy("quality", "doc_id")).as("rn"),
+      count(lit(1)).over(byLang).as("n"))
+    val thr = r.groupBy(col("r_lang"))
+      .agg(max(col("n")).as("n_total"),
+        max(when(col("rn") === ceil(lit(0.30) * col("n")).cast("long"),
+          col("r_quality"))).as("threshold"))
+    q.join(broadcast(thr), q("lang") === thr("r_lang"))
+      .groupBy("lang")
+      .agg(max(col("n_total")).as("n_total"),
+        sum(when(col("quality") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        max(col("threshold")).as("threshold"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
-    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored)
+    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate)
 }
