@@ -51,7 +51,10 @@ object ScaleBench {
     // window (the sort-per-stratum cost to watch) + broadcast gate;
     // io08 is two manifest-committed batch writes + a multi-path read —
     // write bytes dominate, manifest cost is O(1)
-    "d15_hash_split", "t22_quality_gate", "io08_manifest_publish")
+    "d15_hash_split", "t22_quality_gate", "io08_manifest_publish",
+    // m04: signature scan + pair probes collapse to a ≤17×17 histogram
+    // before the 13-threshold readout — the sweep must stay O(scan)
+    "m04_threshold_curve")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -70,7 +73,11 @@ object ScaleBench {
     "x11_delete_propagation", "g08_co_engagement", "a28_drift_chi2",
     // r8 sixth wave: a30 is per-user flag agg (|users| shuffle rows) +
     // a 2-row cohort agg — the O(1)-output experiment readout
-    "a30_ab_lift")
+    "a30_ab_lift",
+    // r8 seventh wave: j10 rides a user-keyed equi-join (versions/key
+    // bounded); a31/a32 are user-keyed windows + keyed MIN aggs — a31's
+    // one global window runs on |converters| rows
+    "j10_scd2_pit", "a31_conversion_lag", "a32_attribution")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

@@ -1373,6 +1373,115 @@ object AnalyticsQueries {
           .when(col("lift_num") < col("lift_den"), -1).otherwise(0))
   }
 
+  /** A31 — TIME-TO-CONVERT distribution: per user, the exact microsecond
+    * lag from FIRST click to the first purchase at-or-after it; the
+    * readout is the conversion funnel's latency profile (clicker count,
+    * converter count, exact p50/p90 and min/max lag). Lags are integer
+    * microsecond differences — a uniform timezone/encoding shift of the
+    * raw timestamps cancels — and the percentile is the a17 exact
+    * type-1 pick under the total (lag, user_id) order.
+    *
+    * Scale shape: two filtered keyed MIN aggs (map-side combinable) and
+    * one keyed join, all on user_id; the one unpartitioned window runs
+    * on |converters| rows — the gate-exactness cost (a05's documented
+    * convention); production swaps it for `approx_percentile` over the
+    * same per-user lag table without touching the upstream plan.
+    */
+  val a31ConversionLag: GraftQuery = GraftQuery(
+    "a31_conversion_lag",
+    """WITH fc AS (
+      |  SELECT user_id, MIN(ts) AS c_ts FROM events
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts GROUP BY 1),
+      |lagt AS (
+      |  SELECT fc.user_id, epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+      |  FROM fc JOIN fp ON fc.user_id = fp.user_id),
+      |r AS (
+      |  SELECT lag_us, row_number() OVER (ORDER BY lag_us, user_id) AS rn,
+      |         COUNT(*) OVER () AS n
+      |  FROM lagt)
+      |SELECT c.n_clickers, MAX(r.n) AS n_converters,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lag_us END) AS p50_us,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lag_us END) AS p90_us,
+      |       MIN(lag_us) AS min_us, MAX(lag_us) AS max_us
+      |FROM r CROSS JOIN (SELECT COUNT(*) AS n_clickers FROM fc) c
+      |GROUP BY c.n_clickers""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts"))
+      .join(fc, col("p_user") === col("user_id") && col("ts") >= col("c_ts"))
+      .groupBy(col("p_user")).agg(min(col("ts")).as("p_ts"))
+    val lagt = fc.join(fp, col("user_id") === col("p_user"))
+      .select(col("user_id"),
+        (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lag_us"))
+    val r = lagt.select(col("lag_us"),
+      row_number().over(Window.orderBy("lag_us", "user_id")).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val clickers = fc.agg(count(lit(1)).as("n_clickers"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("lag_us")))
+    r.crossJoin(broadcast(clickers))
+      .groupBy("n_clickers")
+      .agg(max(col("n")).as("n_converters"), pick(0.5).as("p50_us"),
+        pick(0.9).as("p90_us"), min(col("lag_us")).as("min_us"),
+        max(col("lag_us")).as("max_us"))
+  }
+
+  /** A32 — LAST-TOUCH ATTRIBUTION: for every converting user, the event
+    * immediately preceding their FIRST purchase in transaction order
+    * (`ts, event_id` — the st04 convention) gets the credit; output is
+    * the touch-type mix with exact ppm shares (t15's integer-division
+    * convention — no float in the readout). Users whose very first
+    * event is the purchase have no prior touch and drop out of both the
+    * numerator and the denominator.
+    *
+    * Scale shape: one user-keyed rank window over the corpus, a keyed
+    * MIN agg for the first-purchase rank, and a self-join on
+    * (user, rank−1) — user-keyed start to finish, |types| output rows.
+    */
+  val a32Attribution: GraftQuery = GraftQuery(
+    "a32_attribution",
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |fp AS (SELECT user_id,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+      |       FROM r GROUP BY 1),
+      |att AS (
+      |  SELECT r.user_id, r.event_type AS touch
+      |  FROM r JOIN fp ON r.user_id = fp.user_id AND r.rn = fp.prn - 1)
+      |SELECT touch, COUNT(*) AS n_users,
+      |       CAST((COUNT(*) * 1000000) // t.total AS BIGINT) AS share_ppm
+      |FROM att CROSS JOIN (SELECT COUNT(*) AS total FROM att) t
+      |GROUP BY touch, t.total ORDER BY touch""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val r = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+    // conditional MIN, not a filtered branch: the first-purchase rank
+    // comes out of the same pass as the rank table (a filter here would
+    // sit above the window — unpushable by construction — and cost a
+    // second traversal of r; non-purchasers yield null prn, which the
+    // inner join's prn−1 comparison drops)
+    val fp = r.groupBy(col("user_id").as("p_user"))
+      .agg(min(when(col("event_type") === "purchase", col("rn"))).as("prn"))
+    val att = r.join(fp,
+        col("user_id") === col("p_user") && col("rn") === col("prn") - 1)
+      .select(col("user_id"), col("event_type").as("touch"))
+    val total = att.agg(count(lit(1)).as("total"))
+    att.groupBy("touch").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("touch"), col("n_users"),
+        expr("(n_users * 1000000) div total").as("share_ppm"))
+      .orderBy("touch")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1380,7 +1489,7 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, a30AbLift, j02TimeAlign,
+    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques)
 }

@@ -262,6 +262,73 @@ object DedupQueries {
       .orderBy(desc("jaccard_est"), asc("id_a"), asc("id_b"))
   }
 
+  /** M4 — near-dup THRESHOLD TUNING CURVE (e14's job for the MinHash
+    * family): for every candidate threshold t/16, how many pairs the
+    * 16-position estimator would admit vs how many exact Jaccard
+    * admits — the table that justifies m03's ≥ 4/16 production choice
+    * instead of guessing it. Measured on the consecutive-id pair set
+    * (m02's unbiased O(n) probe of the pair space). The exact side is
+    * binned by PURE INTEGER arithmetic — `(16·|∩|) div |∪| ≥ t` ⟺
+    * `J ≥ t/16` — so no float division order can move a boundary pair.
+    *
+    * Scale shape: one signature/shingle scan builds the pair probes;
+    * both curves then collapse to a ≤17×17 (est_bin, exact_bin)
+    * histogram via a map-side-combinable agg, and the 13-threshold
+    * readout is a broadcast cross join over that tiny table — the
+    * threshold sweep costs O(1) beyond the scan, never 13 passes.
+    */
+  val m04ThresholdCurve: GraftQuery = GraftQuery(
+    "m04_threshold_curve", {
+      val perms = Dedup.permConstants(NumPerms)
+      val shsE = Dedup.sqlShingleHashes(Dedup.sqlTokenHashes("text"), ShingleK)
+      val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"${Dedup.sqlMinHashSig("shs", a, b)} AS sig_$i"
+      }
+      val matches = (0 until NumPerms)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val interE = "len(list_filter(a.shs, x -> list_contains(b.shs, x)))"
+      s"""WITH docs AS (SELECT doc_id AS id, $shsE AS shs FROM documents),
+         |sigs AS (SELECT id, shs, ${sigCols.mkString(", ")} FROM docs),
+         |pairs AS (
+         |  SELECT ($matches) AS m_est, $interE AS inter,
+         |         (len(a.shs) + len(b.shs) - $interE) AS uni
+         |  FROM sigs a JOIN sigs b ON b.id = a.id + 1),
+         |binned AS (
+         |  SELECT m_est, ($NumPerms * inter) // uni AS m_ex FROM pairs),
+         |thr AS (SELECT unnest(range(4, ${NumPerms + 1})) AS t)
+         |SELECT CAST(t.t AS BIGINT) AS t_sixteenths,
+         |       (CAST(t.t AS DOUBLE) / $NumPerms.0) AS threshold,
+         |       CAST(SUM(CASE WHEN b.m_est >= t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+         |       CAST(SUM(CASE WHEN b.m_ex >= t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM binned b CROSS JOIN thr t
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val f = Dedup.withShingleHashes(
+        Tables.documents(spark, dir), "doc_id", "text", ShingleK)
+      .select(col("id"), col("shs"),
+        graft.plans.DedupExprs.minHashSigs(col("shs"), NumPerms).as("sigs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = size(array_intersect(col("a.shs"), col("b.shs")))
+    val pairs = f.as("a").join(f.as("b"), col("b.id") === col("a.id") + 1)
+      .select(
+        aggregate(zip_with(col("a.sigs"), col("b.sigs"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).as("m_est"),
+        inter.as("inter"),
+        (size(col("a.shs")) + size(col("b.shs")) - inter).as("uni"))
+    val hist = pairs
+      .select(col("m_est"), expr(s"($NumPerms * inter) div uni").as("m_ex"))
+      .groupBy("m_est", "m_ex").agg(count(lit(1)).as("n"))
+    val thr = spark.range(4, NumPerms + 1).select(col("id").as("t"))
+    hist.crossJoin(broadcast(thr))
+      .groupBy(col("t").as("t_sixteenths"),
+        (col("t").cast("double") / NumPerms).as("threshold"))
+      .agg(sum(when(col("m_est") >= col("t"), col("n")).otherwise(0L)).as("n_est"),
+        sum(when(col("m_ex") >= col("t"), col("n")).otherwise(0L)).as("n_exact"))
+      .orderBy("t_sixteenths")
+  }
+
   /** G1 — n-gram (word-bigram) Jaccard similarity over a deterministic
     * pair set (consecutive doc ids) — the exact-similarity scalar the LSH
     * pipelines approximate.
@@ -496,6 +563,7 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
-    m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, s01SimHash,
+    m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
+    s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)
 }

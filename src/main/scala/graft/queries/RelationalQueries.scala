@@ -528,9 +528,87 @@ object RelationalQueries {
       .orderBy("dirty_id")
   }
 
+  /** J10 — POINT-IN-TIME join of facts to an SCD2 dimension: every click
+    * is attributed to the dimension version (x10's bucket history, built
+    * from the same user's purchases) that was valid AT the click's event
+    * time — the canonical warehouse join that makes historical reports
+    * reproducible: joining facts to the CURRENT dimension silently
+    * rewrites the past every time the dimension changes. Containment is
+    * `valid_from <= ts < valid_to` (open current version = null
+    * valid_to); clicks before a user's first version get no row (inner).
+    *
+    * Scale shape: the interval predicate rides a plain user-keyed
+    * equi-join — the key carries all the locality, and versions per key
+    * are few (bounded by that key's change count), so no range-join
+    * machinery is needed; both sides shuffle once on user_id and AQE
+    * handles key skew. A version-heavy dimension would switch to j06's
+    * union-window as-of form (identical semantics — as-of on version
+    * starts ≡ interval containment, since versions partition the
+    * timeline from the first change on).
+    */
+  val j10Scd2Pit: GraftQuery = GraftQuery(
+    "j10_scd2_pit",
+    """WITH upd AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value / 100) AS BIGINT) AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |marked AS (
+      |  SELECT user_id, ts, event_id, bucket,
+      |         CASE WHEN lag(bucket) OVER w IS NULL
+      |                OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS chg
+      |  FROM upd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, bucket,
+      |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM marked),
+      |hist AS (
+      |  SELECT user_id, version, bucket, MIN(ts) AS valid_from
+      |  FROM runs GROUP BY user_id, version, bucket),
+      |dim AS (
+      |  SELECT user_id, bucket, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+      |  FROM hist),
+      |clicks AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT d.bucket, COUNT(*) AS n_clicks,
+      |       COUNT(DISTINCT c.user_id) AS n_users,
+      |       CAST(SUM(CAST(c.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM clicks c JOIN dim d
+      |  ON c.user_id = d.user_id AND c.ts >= d.valid_from
+      |     AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val upd = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 100).cast("long").as("bucket"))
+    val marked = upd.withColumn("chg",
+      when(lag(col("bucket"), 1).over(w).isNull ||
+        lag(col("bucket"), 1).over(w) =!= col("bucket"), 1L).otherwise(0L))
+    val runs = marked.withColumn("version",
+      sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy("user_id", "version", "bucket")
+      .agg(min(col("ts")).as("valid_from"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    val dim = hist.select(col("user_id").as("d_user"), col("bucket"),
+      col("valid_from"),
+      lead(col("valid_from"), 1).over(byVersion).as("valid_to"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    clicks.join(dim,
+        col("user_id") === col("d_user") && col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
-    j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, a01TimeBucket)
+    j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,
+    a01TimeBucket)
 }
