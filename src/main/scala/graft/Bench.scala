@@ -60,7 +60,10 @@ object Bench {
         // clear so every timed run pays the query's real cost
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        // forcedCount, not count(): count alone lets the optimizer prune
+        // the very columns (windows, scores, interpolations) the query
+        // exists to compute — see Eval.forcedCount
+        try { Eval.forcedCount(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -29,6 +29,38 @@ object GraftQuery {
   * binary fraction), so round-to-nearest is unambiguous, and decimal
   * addition is associative.
   */
+/** Benchmark evaluation that cannot cheat. */
+object Eval {
+  /** Row count with EVERY output column forced to compute.
+    *
+    * `df.count()` alone lets the optimizer PRUNE columns nothing
+    * downstream reads — a window function, an interpolation, a scoring
+    * projection vanish from the executed plan entirely, and the bench
+    * times the row cardinality instead of the operator (a cross-join
+    * grid of 450M rows "computed" in 1.5 s was the tell). Folding
+    * `xxhash64` of all columns into the count's aggregate makes every
+    * column load-bearing — the plan above is unchanged, the added cost
+    * is one hash per row — and `bit_xor` keeps the fold overflow-free
+    * under ANSI. Map-typed columns are unhashable and skipped; if a
+    * frame is all-maps, this degrades to plain count.
+    */
+  def forcedCount(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType    => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType  => hashable(a.elementType)
+      case _             => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => df(f.name))
+    if (cols.isEmpty) df.count()
+    else df.select(xxhash64(struct(cols: _*)).as("__h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)"))
+      .collect()(0).getLong(0)
+  }
+}
+
 object Det {
   /** Exact, order-independent sum of a double column: bit-equal across engines. */
   def dsum(c: Column, scale: Int = 4): Column =

@@ -136,7 +136,11 @@ object ScaleBench {
       val gates = (DocQueries ++
         EventQueries.filter(_ => hasTable(tier, "events")) ++
         RelQueries.filter(_ => hasTable(tier, "lineitem"))).map { q =>
-        q -> (() => SparkEntry.queries(q)(spark, dir).count())
+        // forcedCount: plain count() lets the optimizer prune unread
+        // columns, deleting windows/projections from the executed plan —
+        // w02/w07 "flat" rows at 10M events were grid cardinality, not
+        // the operator (see Eval.forcedCount)
+        q -> (() => graft.Eval.forcedCount(SparkEntry.queries(q)(spark, dir)))
       }
       val planes = 6 + (math.log(factor.toDouble) / math.log(2.0)).round.toInt
       // k ∝ √n balances BRUTE SemDeDup's two stages (assignment n·k,
@@ -184,6 +188,16 @@ object ScaleBench {
         // therefore the pure retrieval pass over the store — the claim
         // under measurement is retrieval ∝ matched postings, with the
         // corpus nowhere in the plan
+        // w07 over a FIXED ~1500-user sample: the tier generator grows
+        // users AND days 10× each, so the full users×days grid blows up
+        // 100× per tier (450M rows at 100×, ~26 min honest) — geometry,
+        // not the operator. Pinning the user count makes the sweep
+        // measure the fill windows' scaling in DAYS, the dimension the
+        // operator actually owns; the full-grid form remains the gate.
+        s"w07_gap_interpolate[users~1500]" -> (() =>
+          graft.Eval.forcedCount(graft.queries.AnalyticsQueries.gapInterpolate(
+            Tables.events(spark, dir)
+              .filter(pmod(col("user_id"), lit(factor.toLong)) === 0)))),
         s"t21b_retrieval[stored]" -> {
           var bm25Store: String = null
           () => {

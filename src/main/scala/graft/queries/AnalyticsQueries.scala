@@ -1170,11 +1170,13 @@ object AnalyticsQueries {
     * form because PSI's log is transcendental and this suite keeps
     * oracle arithmetic exact). Per-bucket term
     * `(o·N − n_t·c_b)² / (n_t·c_b·N)`: the numerator is built in exact
-    * BIGINTs, cast to DOUBLE while still < 2⁵³ (holds to ~10⁷ rows ×
-    * 10⁷ total; beyond that the same numerator rides DECIMAL(38,0)),
-    * squared and divided as identical double expressions in both
-    * engines, and the per-segment sum rides the decimal grid. Verdict
-    * column compares χ² against the χ²₉ 95th-percentile constant.
+    * DECIMAL(18,0) products (exact to 10¹⁸ events — BIGINT products
+    * overflowed ANSI at the 10M-event tier, caught the moment the
+    * bench stopped letting count() prune the column), cast to DOUBLE,
+    * squared; the denominator is the identical double triple-product
+    * in both engines (each factor < 2⁵³ exact, same association), and
+    * the per-segment sum rides the decimal grid. Verdict column
+    * compares χ² against the χ²₉ 95th-percentile constant.
     *
     * Scale shape: TWO map-side-combinable aggregates collapse the
     * corpus to |segments|×10 and 10 rows; the pooled side broadcasts;
@@ -1193,8 +1195,11 @@ object AnalyticsQueries {
        |nt AS (SELECT event_type, SUM(o) AS n_t FROM seg GROUP BY 1),
        |terms AS (
        |  SELECT seg.event_type,
-       |         (CAST(o * n - n_t * c AS DOUBLE) * CAST(o * n - n_t * c AS DOUBLE))
-       |           / CAST(n_t * c * n AS DOUBLE) AS term
+       |         (CAST(CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+       |               - CAST(n_t AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS DOUBLE)
+       |          * CAST(CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+       |                 - CAST(n_t AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)) AS DOUBLE))
+       |           / (CAST(n_t AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) AS term
        |  FROM seg JOIN pooled USING (bucket) JOIN nt USING (event_type) CROSS JOIN tot)
        |SELECT event_type, ${Det.sqlSum("term", 12)} AS chi2,
        |       CASE WHEN ${Det.sqlSum("term", 12)} > 16.92 THEN 1 ELSE 0 END AS drifted
@@ -1207,12 +1212,16 @@ object AnalyticsQueries {
     val pooled = b.groupBy("bucket").agg(count(lit(1)).as("c"))
     val tot = b.agg(count(lit(1)).as("n"))
     val nt = seg.groupBy("event_type").agg(sum("o").as("n_t"))
-    val numer = (col("o") * col("n") - col("n_t") * col("c")).cast("double")
+    val d18 = "decimal(18,0)"
+    val numer = (col("o").cast(d18) * col("n").cast(d18) -
+      col("n_t").cast(d18) * col("c").cast(d18)).cast("double")
+    val denom = col("n_t").cast("double") * col("c").cast("double") *
+      col("n").cast("double")
     val chi2 = Det.dsum(col("term"), 12)
     seg.join(broadcast(pooled), "bucket")
       .join(broadcast(nt), "event_type")
       .crossJoin(broadcast(tot))
-      .withColumn("term", numer * numer / (col("n_t") * col("c") * col("n")).cast("double"))
+      .withColumn("term", numer * numer / denom)
       .groupBy("event_type")
       .agg(chi2.as("chi2"), when(chi2 > 16.92, 1).otherwise(0).as("drifted"))
       .orderBy("event_type")
@@ -1482,6 +1491,103 @@ object AnalyticsQueries {
       .orderBy("touch")
   }
 
+  /** W07 — time-series GAP FILL by LINEAR INTERPOLATION (the pandas
+    * `interpolate(limit_direction='both')` idiom; a18 is the zero-fill
+    * twin): each user's daily purchase series over the full day grid,
+    * with missing days filled between that user's previous and next
+    * OBSERVED days — `pv + (nv−pv)·Δd/Δtotal` — and leading/trailing
+    * gaps carried from the nearest observation. The anchors come from
+    * IGNORE-NULLS running windows (last_value backward, first_value
+    * forward) over the SAME per-user day order, so one sort serves
+    * both; observed values are decimal-exact sums and the interpolation
+    * arithmetic is the identical IEEE expression in both engines.
+    *
+    * Scale shape: the sparse aggregate is the only corpus-sized
+    * shuffle; the grid is |active users| × |days| derived rows (never
+    * materialized pre-join), and the fill windows are user-keyed with
+    * O(1) state per row. Output ∝ grid, not events.
+    */
+  val w07GapInterpolate: GraftQuery = GraftQuery(
+    "w07_gap_interpolate",
+    """WITH agg AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d,
+      |         SUM(CAST(value AS DECIMAL(28,6))) AS sv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT MIN(date_trunc('day', ts)) AS mn, MAX(date_trunc('day', ts)) AS mx
+      |  FROM events),
+      |days AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |         FROM bounds),
+      |users AS (SELECT DISTINCT user_id FROM agg),
+      |grid AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d),
+      |j AS (
+      |  SELECT g.user_id, g.day, CAST(a.sv AS DOUBLE) AS obs
+      |  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.d = g.day),
+      |w AS (
+      |  SELECT user_id, day, obs,
+      |    last_value(obs IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(obs IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, day,
+      |  CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS observed,
+      |  CASE WHEN obs IS NOT NULL THEN obs
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) *
+      |            (CAST(date_diff('day', pd, day) AS DOUBLE) /
+      |             CAST(date_diff('day', pd, nd) AS DOUBLE)) END AS value
+      |FROM w ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    gapInterpolate(Tables.events(spark, dir))
+  }
+
+  /** w07's plan over an arbitrary events frame — ScaleBench feeds a
+    * fixed-size user sample so the tier sweep measures the fill
+    * windows' scaling in DAYS (the operator's own dimension) instead of
+    * the tier geometry's users×days grid blowup.
+    */
+  def gapInterpolate(ev: DataFrame): DataFrame = {
+    val agg = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("a_user"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("sv"))
+    val days = ev
+      .agg(min(date_trunc("day", col("ts"))).as("mn"),
+        max(date_trunc("day", col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val users = agg.select(col("a_user").as("user_id")).distinct()
+    val j = users.crossJoin(days)
+      .join(agg, col("user_id") === col("a_user") && col("d") === col("day"), "left")
+      .select(col("user_id"), col("day"), col("sv").cast("double").as("obs"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("obs").isNotNull, col("day"))
+    val w = j.select(col("user_id"), col("day"), col("obs"),
+      last(col("obs"), ignoreNulls = true).over(back).as("pv"),
+      last(obsDay, ignoreNulls = true).over(back).as("pd"),
+      first(col("obs"), ignoreNulls = true).over(fwd).as("nv"),
+      first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+    w.select(col("user_id"), col("day"),
+      when(col("obs").isNotNull, 1).otherwise(0).as("observed"),
+      when(col("obs").isNotNull, col("obs"))
+        .when(col("pv").isNull, col("nv"))
+        .when(col("nv").isNull, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) *
+          (datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd")).cast("double"))).as("value"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1491,5 +1597,5 @@ object AnalyticsQueries {
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
     a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
-    w04SessionWindow, w05CumulativeUniques)
+    w04SessionWindow, w05CumulativeUniques, w07GapInterpolate)
 }

@@ -699,8 +699,14 @@ object TextQueries {
     * lookups and example retrieval. Indexed vocabulary is the
     * rollingHash % 2 = 0 slice (a production build indexes everything;
     * the slice bounds the GATE's output, not the plan). Posting lists
-    * are pinned content-wise by a rolling hash of the sorted doc-id
-    * string — the t13 convention for list-valued outputs.
+    * are pinned content-wise by an ORDER-INDEPENDENT fingerprint — the
+    * SUM of each member id's rolling hash, map-side combinable and
+    * O(ids). (The first formulation hashed the space-joined sorted id
+    * string: same pinning power, but the concatenation is O(df)-sized
+    * and the interpreted per-char fold made a hot term's 3 MB posting
+    * string quadratic — ~25 min for one tier query once the bench
+    * stopped letting count() prune the column. An audit column must
+    * never be the scan's most expensive expression.)
     *
     * Scale shape: per-doc `array_distinct` dedups ON THE MAP SIDE
     * (a per-row HOF) so the explode emits each (doc, term) once and the
@@ -718,7 +724,8 @@ object TextQueries {
        |  WHERE (${sqlRollingHash("term")}) % 2 = 0)
        |SELECT term, COUNT(*) AS df,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       |       ${sqlRollingHash("array_to_string(list_sort(list(doc_id)), ' ')")} AS postings_hash
+       |       CAST(SUM(${sqlRollingHash("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
+       |         AS postings_fp
        |FROM dist GROUP BY term ORDER BY term""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
@@ -726,9 +733,7 @@ object TextQueries {
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        rollingHash(array_join(
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
-          " ")).as("postings_hash"))
+        sum(rollingHash(col("doc_id").cast("string"))).as("postings_fp"))
       .orderBy("term")
   }
 

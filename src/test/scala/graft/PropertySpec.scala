@@ -351,4 +351,29 @@ class PropertySpec extends SparkSpec {
       assert(survives, s"corruption at $pos of $name escaped all three window pairs")
     }
   }
+
+  /** Eval.forcedCount is the bench's anti-cheat evaluation: same row
+    * count as count(), but the executed plan must retain the computed
+    * columns count() would let the optimizer prune. The window case is
+    * the one that bit: under plain count() the Window node vanishes
+    * from the physical plan entirely.
+    */
+  test("forcedCount matches count() and keeps pruned-under-count windows in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = randomDf(1000)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("k").orderBy("v", "id")))
+    assert(Eval.forcedCount(df) == df.count())
+    // map columns are unhashable — skipped, not fatal
+    val withMap = df.withColumn("m", map(col("cat"), col("v")))
+    assert(Eval.forcedCount(withMap) == 1000L)
+    // the forced plan retains the Window; the count plan prunes it
+    def physical(d: DataFrame): String = d.queryExecution.executedPlan.toString
+    val counted = physical(df.groupBy().count())
+    val forced = physical(df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")))
+    assert(!counted.contains("Window"),
+      "expected plain count() to prune the window (optimizer behavior changed?)")
+    assert(forced.contains("Window"), "forcedCount lost the window node")
+  }
 }
