@@ -23,8 +23,23 @@ object TextFunctions {
 
   /** Polynomial rolling hash h = fold(h*31 + ascii(ch)) mod p — the
     * document-fingerprint primitive. Same value in Spark and DuckDB.
+    *
+    * Computed by the native codegen'd [[graft.plans.RollingHashExpr]]
+    * (one pass over the UTF8 bytes inside whole-stage codegen). The
+    * portable HOF twin below is what the DuckDB oracle mirrors; values
+    * are identical for 7-bit ASCII input (the whole corpus — pinned by
+    * ExpressionSpec) and byte-level beyond ASCII. The HOF form
+    * allocates a position array and an O(n) substring per character —
+    * O(n²) per string, 25× the whole bench cost of t04/x02 once the
+    * bench stopped letting count() prune fingerprint columns.
     */
-  def rollingHash(c: Column): Column =
+  def rollingHash(c: Column): Column = graft.plans.DedupExprs.rollingHash(c)
+
+  /** The portable higher-order-function formulation of [[rollingHash]]
+    * — the integer recurrence the DuckDB oracle runs, kept as the
+    * cross-engine semantic definition and pinned ≡ native by spec.
+    */
+  def rollingHashPortable(c: Column): Column =
     when(length(c) === 0, lit(0L)).otherwise(
       aggregate(
         sequence(lit(1), length(c)),

@@ -26,13 +26,21 @@ object IoQueries {
     * representation; the props column carries JSON (commas, quotes,
     * braces) and exercises quoting/escaping.
     */
+  /** The per-group timestamp/props fingerprints are BIT_XOR, not SUM:
+    * a SUM of epoch-microseconds overflows BIGINT under ANSI past ~5k
+    * rows per group (it did, at sf0.1, the moment the bench stopped
+    * letting count() prune the column), while XOR is exact,
+    * order-independent, and overflow-free at ANY scale — and with COUNT
+    * alongside, any per-row corruption the round-trip could introduce
+    * still flips the fingerprint.
+    */
   val io01CsvRoundtrip: GraftQuery = GraftQuery(
     "io01_csv_roundtrip", {
       val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
       s"""SELECT event_type, COUNT(*) AS n,
          |  ${Det.sqlSum("value", 6)} AS sum_value,
-         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
-         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash,
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     }) { (spark, dir) =>
@@ -49,9 +57,9 @@ object IoQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         Det.dsum(col("value"), 6).as("sum_value"),
-        sum(unix_micros(col("ts"))).as("sum_ts_us"),
-        sum(graft.functions.TextFunctions.rollingHash(col("props")))
-          .as("sum_props_hash"),
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy("event_type")
   }
@@ -65,8 +73,8 @@ object IoQueries {
       val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
       s"""SELECT event_type, COUNT(*) AS n,
          |  ${Det.sqlSum("value", 6)} AS sum_value,
-         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
-         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     }) { (spark, dir) =>
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -82,9 +90,9 @@ object IoQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         Det.dsum(col("value"), 6).as("sum_value"),
-        sum(unix_micros(col("ts"))).as("sum_ts_us"),
-        sum(graft.functions.TextFunctions.rollingHash(col("props")))
-          .as("sum_props_hash"))
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"))
       .orderBy("event_type")
   }
 
@@ -160,8 +168,8 @@ object IoQueries {
       val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
       s"""SELECT event_type, COUNT(*) AS n,
          |  ${Det.sqlSum("value", 6)} AS sum_value,
-         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
-         |  CAST(SUM($propsHash) AS BIGINT) AS sum_props_hash,
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     }) { (spark, dir) =>
@@ -173,9 +181,9 @@ object IoQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         Det.dsum(col("value"), 6).as("sum_value"),
-        sum(unix_micros(col("ts"))).as("sum_ts_us"),
-        sum(graft.functions.TextFunctions.rollingHash(col("props")))
-          .as("sum_props_hash"),
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy("event_type")
   }
@@ -201,7 +209,7 @@ object IoQueries {
          |  COUNT(*) AS n,
          |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_h,
          |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nc,
-         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN $rh ELSE 0 END) AS BIGINT) AS sum_h,
+         |  BIT_XOR(CASE WHEN doc_id % 2 = 0 THEN $rh ELSE 0 END) AS xor_h,
          |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_nc
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     }) { (spark, dir) =>
@@ -220,7 +228,7 @@ object IoQueries {
       .agg(count(lit(1)).as("n"),
         sum(when(col("h").isNotNull, 1L).otherwise(0L)).as("n_h"),
         sum(when(col("n_chars").isNotNull, 1L).otherwise(0L)).as("n_nc"),
-        sum(coalesce(col("h"), lit(0L))).as("sum_h"),
+        bit_xor(coalesce(col("h"), lit(0L))).as("xor_h"),
         sum(coalesce(col("n_chars"), lit(0L))).as("sum_nc"))
       .orderBy("lang")
   }
@@ -243,7 +251,7 @@ object IoQueries {
     "io06_compaction", {
       val rh = graft.functions.TextFunctions.sqlRollingHash("text")
       s"""SELECT lang, COUNT(*) AS n,
-         |  CAST(SUM($rh) AS BIGINT) AS sum_h,
+         |  BIT_XOR($rh) AS xor_h,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     }) { (spark, dir) =>
@@ -259,7 +267,7 @@ object IoQueries {
     spark.read.parquet(compacted)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
-        sum(rollingHash(col("text"))).as("sum_h"),
+        bit_xor(rollingHash(col("text"))).as("xor_h"),
         sum(col("n_chars")).as("sum_nc"))
       .orderBy("lang")
   }
@@ -286,7 +294,7 @@ object IoQueries {
     "io07_partitioned_lake", {
       val rh = graft.functions.TextFunctions.sqlRollingHash("text")
       s"""SELECT lang, source, COUNT(*) AS n,
-         |  CAST(SUM($rh) AS BIGINT) AS sum_h,
+         |  BIT_XOR($rh) AS xor_h,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc
          |FROM documents WHERE lang IN ('en', 'de')
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -302,7 +310,7 @@ object IoQueries {
       .filter(col("lang").isin("en", "de"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"),
-        sum(rollingHash(col("text"))).as("sum_h"),
+        bit_xor(rollingHash(col("text"))).as("xor_h"),
         sum(col("n_chars")).as("sum_nc"))
       .orderBy("lang", "source")
   }

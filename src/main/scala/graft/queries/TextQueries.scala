@@ -700,8 +700,10 @@ object TextQueries {
     * rollingHash % 2 = 0 slice (a production build indexes everything;
     * the slice bounds the GATE's output, not the plan). Posting lists
     * are pinned content-wise by an ORDER-INDEPENDENT fingerprint — the
-    * SUM of each member id's rolling hash, map-side combinable and
-    * O(ids). (The first formulation hashed the space-joined sorted id
+    * BIT_XOR of each member id's rolling hash, map-side combinable,
+    * O(ids), and overflow-free at any df (postings are distinct ids, so
+    * XOR's duplicate-cancellation caveat cannot bite). (The first
+    * formulation hashed the space-joined sorted id
     * string: same pinning power, but the concatenation is O(df)-sized
     * and the interpreted per-char fold made a hot term's 3 MB posting
     * string quadratic — ~25 min for one tier query once the bench
@@ -724,8 +726,7 @@ object TextQueries {
        |  WHERE (${sqlRollingHash("term")}) % 2 = 0)
        |SELECT term, COUNT(*) AS df,
        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-       |       CAST(SUM(${sqlRollingHash("CAST(doc_id AS VARCHAR)")}) AS BIGINT)
-       |         AS postings_fp
+       |       BIT_XOR(${sqlRollingHash("CAST(doc_id AS VARCHAR)")}) AS postings_fp
        |FROM dist GROUP BY term ORDER BY term""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
@@ -733,7 +734,7 @@ object TextQueries {
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
-        sum(rollingHash(col("doc_id").cast("string"))).as("postings_fp"))
+        bit_xor(rollingHash(col("doc_id").cast("string"))).as("postings_fp"))
       .orderBy("term")
   }
 

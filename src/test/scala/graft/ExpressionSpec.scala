@@ -21,7 +21,7 @@ class ExpressionSpec extends SparkSpec {
     }
     val df = strings.toDF("s")
     val out = df.select(
-      TextFunctions.rollingHash($"s").as("hof"),
+      TextFunctions.rollingHashPortable($"s").as("hof"),
       expr("graft_rolling_hash(s)").as("native"))
     val mismatches = out.filter($"hof" =!= $"native").count()
     assert(mismatches == 0)
