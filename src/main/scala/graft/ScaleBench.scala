@@ -54,7 +54,10 @@ object ScaleBench {
     "d15_hash_split", "t22_quality_gate", "io08_manifest_publish",
     // m04: signature scan + pair probes collapse to a ≤17×17 histogram
     // before the 13-threshold readout — the sweep must stay O(scan)
-    "m04_threshold_curve")
+    "m04_threshold_curve",
+    // t23: the corpus cost is the exact token-count agg; every sketch
+    // stage runs on |vocab| rows — should track t01's scan profile
+    "t23_cms_topk")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -77,7 +80,10 @@ object ScaleBench {
     // r8 seventh wave: j10 rides a user-keyed equi-join (versions/key
     // bounded); a31/a32 are user-keyed windows + keyed MIN aggs — a31's
     // one global window runs on |converters| rows
-    "j10_scd2_pit", "a31_conversion_lag", "a32_attribution")
+    "j10_scd2_pit", "a31_conversion_lag", "a32_attribution",
+    // w08: distributed two-pass prefix sum — per-day local windows +
+    // |days|-row carry; should scale with the day-keyed sort
+    "w08_max_concurrency")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 
@@ -198,6 +204,10 @@ object ScaleBench {
           graft.Eval.forcedCount(graft.queries.AnalyticsQueries.gapInterpolate(
             Tables.events(spark, dir)
               .filter(pmod(col("user_id"), lit(factor.toLong)) === 0)))),
+        // e15 verbatim: codes scan ∝ n, distance tables fixed (5 queries
+        // × 8 codes × 4 subspaces) — the claim is retrieval ∝ code rows
+        "e15_pq_adc_topk" -> (() =>
+          graft.Eval.forcedCount(SparkEntry.queries("e15_pq_adc_topk")(spark, dir))),
         s"t21b_retrieval[stored]" -> {
           var bm25Store: String = null
           () => {

@@ -428,6 +428,52 @@ object Similarity {
         col("best.c_id").as("code"), col("best.dist").as("dist_q"))
   }
 
+  /** PQ ASYMMETRIC-DISTANCE top-k retrieval — the search half of
+    * [[pqAssign]]'s encoding: each query precomputes a DISTANCE TABLE
+    * (per subspace, its exact squared-L2 to every codeword's
+    * subvector), and a database vector's approximate distance is then
+    * just the SUM of m table lookups on its codes — the corpus is
+    * scanned as m small ints per row, never as floats. All math on the
+    * int8-quantized grid (exact integers; no float-order hazard).
+    *
+    * Scale shape: the distance tables are |queries|·m·|codes| rows —
+    * broadcast; the only corpus-sized work is the code scan plus a
+    * (q_id, vec_id)-keyed partial-agg sum (map-side combinable, m rows
+    * in per key), then a per-query top-k window over candidate rows.
+    * This is why PQ wins at 100 TB: 4 bytes/vector scanned instead of
+    * 256, and the float corpus appears nowhere in the search plan.
+    */
+  def pqAdcTopK(vectors: DataFrame, idCol: String, embCol: String,
+                codebookPred: Column, queryPred: Column, k: Int,
+                m: Int = 4, dsub: Int = 16): DataFrame = {
+    val codes = pqAssign(vectors, idCol, embCol, codebookPred, m, dsub)
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+    def subs(qc: Column, out: String) =
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("long").as("s"),
+          slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
+    val csub = v.filter(codebookPred)
+      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
+    val qsub = v.filter(queryPred)
+      .select(col("id").as("q_id"), subs(col("q"), "qs"))
+      .select(col("q_id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    val tab = qsub.join(csub, "s")
+      .select(col("q_id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("tdist"))
+    val scored = codes
+      .join(broadcast(tab),
+        codes("subspace") === tab("s") && codes("code") === tab("c_id") &&
+          codes("vec_id") =!= tab("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("tdist")).as("adc_dist"))
+    val w = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adc_dist")
+  }
+
   /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)
     * — e.g. [[trainIvfCentroids]] output.
     */

@@ -1588,6 +1588,56 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** W08 — PEAK CONCURRENCY per day (the load-profile sweep-line):
+    * each event opens a half-open 30-minute presence interval
+    * [ts, ts+30m); the op reports, per day, the maximum number of
+    * simultaneously-open intervals. Classic formulation is ONE global
+    * running sum over ±1 boundary points — an unpartitionable
+    * O(corpus) window. This plan is the DISTRIBUTED two-pass prefix
+    * sum instead: per-day local running sums at full parallelism, a
+    * |days|-row carry-in window for the cross-day offset, then
+    * carry + local. Ties at equal t process −1 before +1 (the
+    * half-open rule), and within an equal (t, delta) group the
+    * partial-sum MULTISET is permutation-invariant, so the per-day MAX
+    * is deterministic without a per-event tie-break.
+    *
+    * Scale shape: boundary points are 2 rows/event; the only
+    * corpus-sized shuffles are the day-keyed window sort and the
+    * day-keyed max agg. The carry window touches |days| rows. A day
+    * whose interior has no boundary points does not appear (its
+    * concurrency is constant and owned by neighboring days' carries).
+    */
+  val w08MaxConcurrency: GraftQuery = GraftQuery(
+    "w08_max_concurrency",
+    """WITH iv AS (SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+      |pts AS (SELECT s AS t, 1 AS delta FROM iv
+      |        UNION ALL SELECT e AS t, -1 AS delta FROM iv),
+      |run AS (SELECT t, delta,
+      |          SUM(delta) OVER (ORDER BY t, delta
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |        FROM pts)
+      |SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+      |       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+      |FROM run GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val iv = Tables.events(spark, dir)
+      .select(col("ts").as("s"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
+    val pts = iv.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("e").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", date_trunc("day", col("t")))
+    val localW = Window.partitionBy("day").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = pts.withColumn("local_run", sum("delta").over(localW))
+    val carryW = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = pts.groupBy("day").agg(sum("delta").as("dtot"))
+      .withColumn("carry_in", coalesce(sum("dtot").over(carryW), lit(0L)))
+      .select("day", "carry_in")
+    local.join(broadcast(carry), "day")
+      .select(col("day"), (col("carry_in") + col("local_run")).as("conc"))
+      .groupBy("day").agg(max("conc").as("max_concurrent"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1597,5 +1647,5 @@ object AnalyticsQueries {
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
     a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
-    w04SessionWindow, w05CumulativeUniques, w07GapInterpolate)
+    w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency)
 }

@@ -392,6 +392,40 @@ object SimilarityQueries {
       .orderBy("vec_id", "subspace")
   }
 
+  /** E15 — PQ ASYMMETRIC-DISTANCE top-k ([[Similarity.pqAdcTopK]]): the
+    * retrieval half of e11's encoding. Each query precomputes exact
+    * integer squared-L2 distance tables to the 8 codewords per
+    * subspace; a database vector scores as the SUM of 4 table lookups
+    * on its codes — the search scans codes, never floats. The oracle
+    * replays encoding, tables, lookup-sum, and the (dist, id) top-10
+    * tie-break end to end.
+    */
+  val e15PqAdcTopK: GraftQuery = GraftQuery(
+    "e15_pq_adc_topk",
+    s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+       |cb AS (SELECT id AS c_id, q AS cq FROM v WHERE id < $NumCentroids),
+       |sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM v, range(0, 4) t(s)),
+       |csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM cb, range(0, 4) t(s)),
+       |d AS (SELECT id, s, c_id,
+       |        CAST(list_sum([(qs[i]-cqs[i])*(qs[i]-cqs[i]) for i in range(1, 17)]) AS BIGINT) AS dist
+       |      FROM sub JOIN csub USING (s)),
+       |codes AS (SELECT id, s, c_id AS code FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM d)
+       |          WHERE rn = 1),
+       |tab AS (SELECT id AS q_id, s, c_id, dist FROM d WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, codes.id AS n_id, CAST(SUM(tab.dist) AS BIGINT) AS adc_dist
+       |  FROM codes JOIN tab ON tab.s = codes.s AND tab.c_id = codes.code
+       |  WHERE codes.id != tab.q_id GROUP BY q_id, codes.id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumCentroids, col("id") < NumQueries, K)
+      .orderBy("q_id", "rank")
+  }
+
   /** E12 — SIGN RANDOM PROJECTION (Johnson-Lindenstrauss / SRP dim
     * reduction): project the 64-d embeddings onto 16 ±1 hyperplane
     * directions — the SAME deterministic sign matrix the LSH bucketing
@@ -579,5 +613,6 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
+    e15PqAdcTopK,
     e14AnnRecall)
 }

@@ -992,9 +992,56 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** T23 — COUNT-MIN-SKETCH heavy hitters: the mergeable approximate
+    * twin of the exact frequency list (d06 / a04), the way a sharded
+    * 100 TB pipeline actually tracks hot tokens — per-shard 4×64
+    * integer sketches are ADDITIVE (map-side combine merges them for
+    * free; a20's HLL story, for counts). Estimate = min over the 4
+    * salted rows of the bucket sums; CMS never underestimates, which
+    * the gate ships as a per-term 0/1 the oracle recomputes. All
+    * hashing is the portable rolling hash, so the sketch is
+    * deterministic and engine-identical.
+    *
+    * Scale shape: the only corpus-sized work is the exact token-count
+    * agg (one shuffle, map-side combinable); salting, sketch build
+    * (256 rows), broadcast-back, and min-estimate all run on |vocab|
+    * rows. The output is the top-20 exact terms with their estimates —
+    * the sketch-vs-truth calibration table.
+    */
+  val t23CmsTopK: GraftQuery = GraftQuery(
+    "t23_cms_topk", {
+      val bucketE = sqlRollingHash("term || '#' || CAST(r AS VARCHAR)")
+      s"""WITH toks AS (SELECT unnest(${sqlTokens("text")}) AS term FROM documents),
+         |counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+         |salted AS (SELECT term, cnt, r, ($bucketE) % 64 AS bucket
+         |           FROM counts, range(0, 4) t(r)),
+         |sketch AS (SELECT r, bucket, SUM(cnt) AS bsum FROM salted GROUP BY r, bucket),
+         |est AS (SELECT term, cnt, MIN(bsum) AS cms_est
+         |        FROM salted JOIN sketch USING (r, bucket) GROUP BY term, cnt)
+         |SELECT term, cnt AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+         |       CASE WHEN cms_est > cnt THEN 1 ELSE 0 END AS overestimate
+         |FROM est ORDER BY n_exact DESC, term LIMIT 20""".stripMargin
+    }) { (spark, dir) =>
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val salted = counts
+      .select(col("term"), col("cnt"), explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket",
+        pmod(rollingHash(concat(col("term"), lit("#"), col("r").cast("string"))), lit(64)))
+    val sketch = salted.groupBy("r", "bucket").agg(sum("cnt").as("bsum"))
+    salted.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("term", "cnt")
+      .agg(min("bsum").as("cms_est"))
+      .select(col("term"), col("cnt").as("n_exact"), col("cms_est"),
+        when(col("cms_est") > col("cnt"), 1).otherwise(0).as("overestimate"))
+      .orderBy(desc("n_exact"), asc("term"))
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
-    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate)
+    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK)
 }
