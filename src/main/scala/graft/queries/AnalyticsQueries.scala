@@ -1619,7 +1619,15 @@ object AnalyticsQueries {
       |SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
       |       CAST(MAX(conc) AS BIGINT) AS max_concurrent
       |FROM run GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val iv = Tables.events(spark, dir)
+    maxConcurrency(Tables.events(spark, dir))
+  }
+
+  /** w08's distributed two-pass plan over an arbitrary events frame
+    * (PropertySpec drives it with random intervals against the global
+    * single-window formulation).
+    */
+  def maxConcurrency(ev: DataFrame): DataFrame = {
+    val iv = ev
       .select(col("ts").as("s"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("e"))
     val pts = iv.select(col("s").as("t"), lit(1L).as("delta"))
       .unionAll(iv.select(col("e").as("t"), lit(-1L).as("delta")))

@@ -562,9 +562,40 @@ object RowOpsQueries {
       .orderBy("split")
   }
 
+  /** X14 — K-ANONYMITY audit (the privacy-family completion: t07
+    * scrubs direct identifiers, x11 cascades deletions, this flags
+    * RE-IDENTIFICATION risk): group the corpus by its quasi-identifier
+    * combination — (lang, source, length bucket), the released
+    * attributes an adversary could join on — and flag every group
+    * smaller than k=5; rows in flagged groups need suppression or
+    * coarser generalization before release. The output is the full
+    * equivalence-class table with sizes and flags, the artifact a
+    * privacy review actually reads.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus
+    * (|QI-combos| output rows); enforcement composes as a broadcast of
+    * the flagged combos back over the corpus (the x11 flag-and-scan
+    * pattern) — never a row-level shuffle.
+    */
+  val x14KAnonymity: GraftQuery = GraftQuery(
+    "x14_k_anonymity",
+    """SELECT lang, source, n_chars // 100 AS len_bucket,
+      |       COUNT(*) AS n,
+      |       CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS is_anonymous
+      |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        when(col("n") >= 5, 1).otherwise(0).as("is_anonymous"))
+      .orderBy("lang", "source", "len_bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
-    x10Scd2History, x11DeletePropagation, x13BitemporalRestate)
+    x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
+    x14KAnonymity)
 }

@@ -1022,7 +1022,17 @@ object TextQueries {
          |       CASE WHEN cms_est > cnt THEN 1 ELSE 0 END AS overestimate
          |FROM est ORDER BY n_exact DESC, term LIMIT 20""".stripMargin
     }) { (spark, dir) =>
-    val counts = Tables.documents(spark, dir)
+    cmsEstimates(Tables.documents(spark, dir))
+      .orderBy(desc("n_exact"), asc("term"))
+      .limit(20)
+  }
+
+  /** t23's full-vocabulary calibration frame (term, n_exact, cms_est,
+    * overestimate) — PropertySpec asserts est ≥ exact over ALL terms,
+    * the CMS one-sided-error guarantee the gate's top-20 samples.
+    */
+  def cmsEstimates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = docs
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val salted = counts
@@ -1035,8 +1045,6 @@ object TextQueries {
       .agg(min("bsum").as("cms_est"))
       .select(col("term"), col("cnt").as("n_exact"), col("cms_est"),
         when(col("cms_est") > col("cnt"), 1).otherwise(0).as("overestimate"))
-      .orderBy(desc("n_exact"), asc("term"))
-      .limit(20)
   }
 
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,

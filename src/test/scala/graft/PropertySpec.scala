@@ -352,6 +352,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** w08's distributed two-pass prefix sum must equal the classic
+    * single global running sum — on RANDOM timestamps (many midnight
+    * crossings, duplicate instants), not just the gate's corpus. The
+    * reference formulation here is the unpartitioned window the
+    * distributed plan exists to replace.
+    */
+  test("w08 two-pass sweep-line equals the global running-sum formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val ev = (1 to 4000).map { i =>
+      // cluster timestamps so concurrency is non-trivial and duplicates occur
+      new Timestamp(base + rnd.nextInt(6 * 86400) / 37 * 37 * 1000L)
+    }.toDF("ts")
+    val twoPass = graft.queries.AnalyticsQueries.maxConcurrency(ev)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val iv = ev.select($"ts".as("s"), ($"ts" + expr("INTERVAL 30 MINUTES")).as("e"))
+    val pts = iv.select($"s".as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select($"e".as("t"), lit(-1L).as("delta")))
+    val globalW = Window.orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = pts.withColumn("conc", sum("delta").over(globalW))
+      .groupBy(date_trunc("day", $"t").as("day"))
+      .agg(max("conc").as("m")).orderBy("day")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(twoPass == global)
+  }
+
+  /** CMS one-sided error: the estimate can never be BELOW the exact
+    * count, for every term in the vocabulary (the gate samples the
+    * top-20; this sweeps all of it on random token data).
+    */
+  test("t23 CMS estimate >= exact count for every vocabulary term") {
+    val docs = (1 to 300).map { _ =>
+      (1 to 1 + rnd.nextInt(30))
+        .map(_ => s"tok${rnd.nextInt(200)}").mkString(" ")
+    }.toDF("text")
+    val est = graft.queries.TextQueries.cmsEstimates(docs)
+    assert(est.count() > 150, "vocabulary unexpectedly small")
+    assert(est.filter($"cms_est" < $"n_exact").isEmpty)
+    // and the sketch is genuinely lossy here: some term must overestimate
+    assert(est.filter($"overestimate" === 1).count() > 0)
+  }
+
   /** Eval.forcedCount is the bench's anti-cheat evaluation: same row
     * count as count(), but the executed plan must retain the computed
     * columns count() would let the optimizer prune. The window case is
