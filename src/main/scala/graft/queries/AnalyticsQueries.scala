@@ -1588,6 +1588,111 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
+  /** A34 — TREND SLOPE monitor: per event type, the ordinary-least-
+    * squares slope of the daily count series (events/day per day of
+    * calendar time) with a rising/falling flag — the growth-monitoring
+    * twin of a27's spike flag (level anomaly) and a28's χ² (shape
+    * drift). Everything up to the final division is EXACT integer
+    * arithmetic: x = epoch-day index, y = daily count, slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with both sides assembled in
+    * DECIMAL(18,0) products (the a28 overflow lesson — BIGINT products
+    * of epoch-day sums overflow ANSI past ~10⁹ events/day), and the
+    * rising flag compares the exact numerator to zero, so the verdict
+    * NEVER depends on float division; the reported slope is the one
+    * identical double division in both engines.
+    *
+    * Scale shape: the corpus collapses to |types|×|days| rows in one
+    * map-side-combinable agg; the regression runs on that tiny frame.
+    */
+  val a34TrendSlope: GraftQuery = GraftQuery(
+    "a34_trend_slope",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+      |         COUNT(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         SUM(CAST(x AS DECIMAL(18,0))) AS sx, SUM(CAST(y AS DECIMAL(18,0))) AS sy,
+      |         SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+      |         SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      |  FROM daily GROUP BY 1),
+      |nd AS (
+      |  SELECT event_type, n,
+      |         CAST(n AS DECIMAL(18,0)) * sxy - sx * sy AS num,
+      |         CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS den
+      |  FROM sums)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+      |       CASE WHEN num > 0 THEN 1 ELSE 0 END AS rising
+      |FROM nd ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val d18 = "decimal(18,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val sums = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d18)).as("sx"), sum(col("y").cast(d18)).as("sy"),
+      sum(col("x").cast(d18) * col("y").cast(d18)).as("sxy"),
+      sum(col("x").cast(d18) * col("x").cast(d18)).as("sxx"))
+    sums
+      .withColumn("num", col("n").cast(d18) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n").cast(d18) * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"),
+        when(col("num") > 0, 1).otherwise(0).as("rising"))
+      .orderBy("event_type")
+  }
+
+  /** A35 — SOURCE-CONCENTRATION audit (Herfindahl–Hirschman index per
+    * language): how dominated each language's corpus slice is by its
+    * largest sources — the diversity dial a curation pipeline watches
+    * when t15/c03's mixture weights shift (HHI → 10⁶ means one source
+    * owns the slice; → 10⁶/k means k equal sources). Exact integer
+    * arithmetic throughout: HHI_ppm = ⌊10⁶·Σc² / (Σc)²⌋ and the
+    * dominant share ppm likewise, via DECIMAL products (Σc² at 10¹²
+    * docs/source would overflow BIGINT squared) and integer floor
+    * division — no float ever divides.
+    *
+    * Scale shape: corpus → |lang|×|source| counts in one map-side
+    * combinable agg; the index math runs on that tiny frame (the
+    * max-share pick is a min-struct, not a window).
+    */
+  val a35SourceHhi: GraftQuery = GraftQuery(
+    "a35_source_hhi",
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS DECIMAL(18,0)) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang, COUNT(*) AS n_sources, SUM(n) AS tot,
+      |         SUM(n * n) AS ss, MAX(n) AS nmax
+      |  FROM c GROUP BY 1)
+      |SELECT lang, CAST(n_sources AS BIGINT) AS n_sources,
+      |       CAST(tot AS BIGINT) AS n_docs,
+      |       CAST((1000000 * CAST(ss AS HUGEINT)) // CAST(tot * tot AS HUGEINT) AS BIGINT) AS hhi_ppm,
+      |       CAST((1000000 * CAST(nmax AS HUGEINT)) // CAST(tot AS HUGEINT) AS BIGINT) AS top_share_ppm
+      |FROM agg ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val d18 = "decimal(18,0)"
+    val c = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).cast(d18).as("n"))
+    c.groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum("n").as("tot"),
+        sum(col("n") * col("n")).as("ss"), max("n").as("nmax"))
+      // `div` (integral divide), not floor(a/b): Spark decimal division
+      // rounds the quotient at a derived scale BEFORE floor sees it — a
+      // true quotient just under an integer can round up across it
+      .select(col("lang"), col("n_sources"),
+        col("tot").cast("long").as("n_docs"),
+        expr(s"CAST((CAST(1000000 AS $d18) * ss) div (tot * tot) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr(s"CAST((CAST(1000000 AS $d18) * nmax) div tot AS BIGINT)")
+          .as("top_share_ppm"))
+      .orderBy("lang")
+  }
+
   /** W08 — PEAK CONCURRENCY per day (the load-profile sweep-line):
     * each event opens a half-open 30-minute presence interval
     * [ts, ts+30m); the op reports, per day, the maximum number of
@@ -1653,7 +1758,7 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, j02TimeAlign,
+    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a34TrendSlope, a35SourceHhi, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency)
 }

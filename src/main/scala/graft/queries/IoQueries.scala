@@ -357,7 +357,64 @@ object IoQueries {
       .orderBy("lang")
   }
 
+  /** IO9 — MALFORMED-INPUT tolerance (the dirty-feed reality the
+    * reference's scrapers face: a landed CSV always contains rows that
+    * don't parse). A clean CSV landing is polluted with deliberately
+    * corrupt lines (unparseable id column, derived from `doc_id%25=3`
+    * rows), then read back TWICE through the schema-owned reader:
+    * PERMISSIVE mode quarantines each bad row into the corrupt-record
+    * column (nothing is lost — the raw line survives for a dead-letter
+    * sink) while DROPMALFORMED silently drops them. The gate pins all
+    * four counts and an XOR fingerprint of the surviving ids against
+    * the oracle's predicate-derived expectations — one corrupt row
+    * leaking into the clean set, or one clean row misparsed, breaks it.
+    *
+    * Scale shape: both reads are ordinary parallel CSV scans; the
+    * quarantine column is per-row, the audit one map-side aggregate.
+    */
+  val io09MalformedCsv: GraftQuery = GraftQuery(
+    "io09_malformed_csv",
+    """WITH bad AS (SELECT COUNT(*) AS n_bad FROM documents WHERE doc_id % 25 = 3),
+      |clean AS (SELECT COUNT(*) AS n_clean, BIT_XOR(doc_id) AS xor_ids FROM documents)
+      |SELECT n_clean + n_bad AS n_total, n_clean AS n_parsed,
+      |       n_bad AS n_quarantined, n_clean AS n_after_drop, xor_ids
+      |FROM bad, clean""".stripMargin) { (spark, dir) =>
+    val out = Dsl.tempStore("io09_csv")
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").csv(s"$out/landed")
+    // the polluter: same landing directory, lines whose id column can
+    // never parse as LONG — what a half-written or garbled feed leaves
+    import spark.implicits._
+    docs.filter(pmod(col("doc_id"), lit(25)) === 3)
+      .select(concat(lit("corrupt-"), col("doc_id"), lit(","), col("lang")).as("value"))
+      .as[String]
+      .write.mode("overwrite").text(s"$out/landed_bad")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_bad", StringType))) // corrupt-record quarantine
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(s"$out/landed", s"$out/landed_bad")
+    val dropped = spark.read.schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED")
+      .csv(s"$out/landed", s"$out/landed_bad")
+    val p = permissive.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_parsed"),
+      sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+      bit_xor(when(col("_bad").isNull, col("doc_id"))).as("xor_ids"))
+    // count(doc_id), NOT count(*): CSV column pruning means DROPMALFORMED
+    // only drops a row when a REFERENCED column fails to parse — a bare
+    // count(*) parses nothing and drops nothing (measured: 520, not 500).
+    // The audit must touch the column it claims to audit.
+    val d = dropped.agg(count(col("doc_id")).as("n_after_drop"))
+    p.crossJoin(d)
+      .select(col("n_total"), col("n_parsed"), col("n_quarantined"),
+        col("n_after_drop"), col("xor_ids"))
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
-    io07PartitionedLake, io08ManifestPublish)
+    io07PartitionedLake, io08ManifestPublish, io09MalformedCsv)
 }
