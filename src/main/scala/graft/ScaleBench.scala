@@ -57,7 +57,9 @@ object ScaleBench {
     "m04_threshold_curve",
     // t23: the corpus cost is the exact token-count agg; every sketch
     // stage runs on |vocab| rows — should track t01's scan profile
-    "t23_cms_topk")
+    "t23_cms_topk",
+    // a35/x14: one map-side agg to a tiny frame — flat-profile audits
+    "a35_source_hhi", "x14_k_anonymity")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -83,7 +85,10 @@ object ScaleBench {
     "j10_scd2_pit", "a31_conversion_lag", "a32_attribution",
     // w08: distributed two-pass prefix sum — per-day local windows +
     // |days|-row carry; should scale with the day-keyed sort
-    "w08_max_concurrency")
+    "w08_max_concurrency",
+    // sm07: foreachBatch CDC-apply — store ∝ |users|, one keyed
+    // merge join per batch; a34/a35 are map-side-agg monitors
+    "sm07_stream_upsert", "a34_trend_slope")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

@@ -541,8 +541,47 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** SM7 — STREAMING CDC-APPLY ([[graft.streaming.StreamUpsert]]): the
+    * foreachBatch deployment of x06's latest-wins upsert — each
+    * micro-batch merges into a versioned parquet snapshot store
+    * (commit-visible via the `_SUCCESS` marker, earlier versions kept
+    * for time travel), and the gate reads the store's FINAL state back
+    * and compares it against the batch argmax oracle: one row per
+    * user, the (ts, event_id)-latest event. UpsertStreamSpec drives
+    * the multi-batch evolution and replay idempotence the single
+    * AvailableNow batch can't exercise.
+    */
+  val sm07StreamUpsert: GraftQuery = GraftQuery(
+    "sm07_stream_upsert",
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |       event_type AS last_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    withStagedEventsStream(spark, dir, "sm07_src") { events =>
+      val store = java.nio.file.Files
+        .createTempDirectory("sm07_store").toString + "/snap"
+      events
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.streaming.StreamUpsert.applyBatch(
+            batch.sparkSession, store, batch,
+            keys = Seq("user_id"), version = Seq("ts", "event_id"))
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      graft.streaming.StreamUpsert.readSnapshot(spark, store).get
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     st04LateProfile,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
-    sm05StreamStaticJoin, sm06StreamOuterJoin)
+    sm05StreamStaticJoin, sm06StreamOuterJoin, sm07StreamUpsert)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.{EventStreams, StreamUpsert}
+import graft.streaming.EventStreams.Event
+import graft.operators.Upsert
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Multi-batch behavior of the foreachBatch CDC-apply (sm07's gate runs
+  * one AvailableNow batch; this drives the store through genuine
+  * micro-batch evolution, replay, and crash visibility).
+  */
+class UpsertStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000)
+  private val keys = Seq("user_id")
+  private val ver = Seq("ts", "event_id")
+
+  private def snap(store: String) =
+    StreamUpsert.readSnapshot(spark, store).get
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSet
+
+  test("three micro-batches evolve the store; final state = one backfill compaction") {
+    implicit val ctx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("ups_stream").toString + "/snap"
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamUpsert.applyBatch(b.sparkSession, store, b, keys, ver)
+      }
+      .start()
+    try {
+      mem.addData(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(20), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(StreamUpsert.latestVersion(store).contains(0))
+      assert(snap(store) == Set(
+        (1L, ts(10), 1L, "click", 1.0), (2L, ts(20), 2L, "view", 2.0)))
+      // batch 2: update user 1 (newer), stale row for user 2 (older) — ignored
+      mem.addData(Event(3, ts(30), 1, "buy", 3.0), Event(4, ts(5), 2, "view", 9.0))
+      q.processAllAvailable()
+      assert(StreamUpsert.latestVersion(store).contains(1))
+      assert(snap(store) == Set(
+        (1L, ts(30), 3L, "buy", 3.0), (2L, ts(20), 2L, "view", 2.0)))
+      // batch 3: new key + intra-batch duplicate (compacted map-side)
+      mem.addData(Event(5, ts(40), 3, "click", 4.0), Event(6, ts(50), 3, "click", 5.0))
+      q.processAllAvailable()
+      val fin = snap(store)
+      assert(fin == Set(
+        (1L, ts(30), 3L, "buy", 3.0), (2L, ts(20), 2L, "view", 2.0),
+        (3L, ts(50), 6L, "click", 5.0)))
+      // incremental ≡ backfill: one compaction over all six rows
+      val all = Seq(
+        Event(1, ts(10), 1, "click", 1.0), Event(2, ts(20), 2, "view", 2.0),
+        Event(3, ts(30), 1, "buy", 3.0), Event(4, ts(5), 2, "view", 9.0),
+        Event(5, ts(40), 3, "click", 4.0), Event(6, ts(50), 3, "click", 5.0)).toDF()
+      val backfill = Upsert.compact(all, keys, ver)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .as[(Long, Timestamp, Long, String, Double)].collect().toSet
+      assert(fin == backfill)
+
+      // replay idempotence: redeliver batch 3 (foreachBatch retry) —
+      // a new version lands but the STATE is unchanged
+      val batch3 = Seq(Event(5, ts(40), 3, "click", 4.0),
+        Event(6, ts(50), 3, "click", 5.0)).toDF()
+      StreamUpsert.applyBatch(spark, store, batch3, keys, ver)
+      assert(StreamUpsert.latestVersion(store).contains(3))
+      assert(snap(store) == fin)
+
+      // crash visibility: an uncommitted version dir (no _SUCCESS) is
+      // invisible to readers
+      val dead = java.nio.file.Paths.get(store, "v00009")
+      java.nio.file.Files.createDirectories(dead)
+      assert(StreamUpsert.latestVersion(store).contains(3))
+    } finally q.stop()
+  }
+}
