@@ -1751,6 +1751,174 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** A36 — BUCKETED MERGEABLE PERCENTILES (the observability/HDR
+    * histogram shape): per event type, `value` collapses into
+    * two-leading-decimal-digit magnitude buckets (exact integer bucket
+    * ids — never a float log), and p50/p95/p99 are read off the
+    * cumulative bucket counts as the first bucket upper bound covering
+    * ⌈q·n⌉ rows. Unlike a17/a24 (exact rank picks — a full per-group
+    * sort), the histogram is ADDITIVE: per-partition/per-day bucket
+    * counts merge by plain summation (a19/a20's re-aggregation story
+    * for percentiles), which is why HDR-style sketches are what
+    * latency pipelines actually ship at scale.
+    *
+    * Determinism: cents = exact DECIMAL(18,2) scaling of the double
+    * (never float·100); bucket id = (digit count, leading two digits)
+    * via string math — integer-exact in both engines; percentile
+    * thresholds via integer ⌈⌉ division. No float appears anywhere.
+    *
+    * Scale shape: the corpus collapses to |types|×|buckets| rows
+    * (≤ ~180/type at 2-digit precision) in ONE map-side-combinable
+    * agg; the cumulative window and the threshold picks run on that
+    * tiny frame.
+    */
+  val a36HdrPercentiles: GraftQuery = GraftQuery(
+    "a36_hdr_percentiles",
+    """WITH c AS (
+      |  SELECT event_type,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |         LENGTH(CAST(cents AS VARCHAR)) AS m,
+      |         CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 2) AS BIGINT) AS sub,
+      |         COUNT(*) AS n_b
+      |  FROM c GROUP BY 1, 2, 3),
+      |ub AS (
+      |  SELECT event_type, m, sub, n_b,
+      |         CASE WHEN m <= 2 THEN sub
+      |              ELSE (sub + 1) * CAST(POWER(10, m - 2) AS BIGINT) - 1
+      |         END AS ub_cents
+      |  FROM b),
+      |cum AS (
+      |  SELECT event_type, ub_cents, n_b,
+      |         SUM(n_b) OVER (PARTITION BY event_type ORDER BY m, sub
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+      |         SUM(n_b) OVER (PARTITION BY event_type) AS n
+      |  FROM ub)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |       MIN(CASE WHEN cum_n >= (50 * n + 99) // 100 THEN ub_cents END) AS p50_cents,
+      |       MIN(CASE WHEN cum_n >= (95 * n + 99) // 100 THEN ub_cents END) AS p95_cents,
+      |       MIN(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN ub_cents END) AS p99_cents
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+    val b = cents
+      .select(col("event_type"),
+        length(col("cents").cast("string")).as("m"),
+        substring(col("cents").cast("string"), 1, 2).cast("bigint").as("sub"))
+      .groupBy("event_type", "m", "sub").agg(count(lit(1)).as("n_b"))
+      .withColumn("ub_cents",
+        when(col("m") <= 2, col("sub"))
+          .otherwise((col("sub") + 1) * pow(lit(10), col("m") - 2).cast("bigint") - 1))
+    val cumW = Window.partitionBy("event_type").orderBy("m", "sub")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("event_type")
+    val cum = b
+      .withColumn("cum_n", sum("n_b").over(cumW))
+      .withColumn("n", sum("n_b").over(totW))
+    def pick(q: Int) =
+      min(when(col("cum_n") >= expr(s"($q * n + 99) div 100"), col("ub_cents")))
+    cum.groupBy("event_type")
+      .agg(max("n").as("n"), pick(50).as("p50_cents"),
+        pick(95).as("p95_cents"), pick(99).as("p99_cents"))
+      .orderBy("event_type")
+  }
+
+  /** A37 — ASSOCIATION-RULE lift over event types (market-basket
+    * co-occurrence on the behavior graph's other axis from g08): for
+    * every unordered type pair, the number of users engaging in BOTH,
+    * support/confidence in exact ppm integers, and a lift>1 flag
+    * compared as cross-multiplied BIGINTs (n_ab·n_users vs n_a·n_b —
+    * the a30 denominators-cleared convention, so the flag never
+    * depends on float division).
+    *
+    * Scale shape: NO self-join — per-user distinct types collapse to a
+    * sorted set (bounded by |types|, here ≤5) in one keyed agg, pairs
+    * explode per-row from that set (≤ C(|types|,2) rows/user), and the
+    * pair counts are map-side combinable down to |types|² rows. The
+    * oracle states the same semantics as the naive distinct self-join.
+    */
+  val a37AssocLift: GraftQuery = GraftQuery(
+    "a37_assoc_lift",
+    """WITH ua AS (SELECT DISTINCT user_id, event_type FROM events),
+      |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ua),
+      |na AS (SELECT event_type, COUNT(*) AS n FROM ua GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         COUNT(*) AS n_ab
+      |  FROM ua a JOIN ua b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_ab,
+      |       CAST((1000000 * n_ab) // t.n_users AS BIGINT) AS support_ppm,
+      |       CAST((1000000 * n_ab) // na_a.n AS BIGINT) AS conf_a_b_ppm,
+      |       CASE WHEN n_ab * t.n_users > na_a.n * na_b.n THEN 1 ELSE 0 END
+      |         AS lift_positive
+      |FROM p, tot t
+      |JOIN na na_a ON na_a.event_type = p.type_a
+      |JOIN na na_b ON na_b.event_type = p.type_b
+      |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+    val ua = Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct()
+    val sets = ua.groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    // per-row pair generation from the bounded per-user set — the
+    // distinct self-join's semantics without its user-keyed join
+    val pairs = sets.select(explode(flatten(expr(
+      """transform(types, (x, i) ->
+        |  transform(slice(types, i + 2, size(types)),
+        |            y -> struct(x AS a, y AS b)))""".stripMargin))).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val na = ua.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val tot = sets.agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(na.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(na.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("CAST((1000000 * n_ab) div n_users AS BIGINT)").as("support_ppm"),
+        expr("CAST((1000000 * n_ab) div n_a AS BIGINT)").as("conf_a_b_ppm"),
+        when(col("n_ab") * col("n_users") > col("n_a") * col("n_b"), 1)
+          .otherwise(0).as("lift_positive"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** W09 — TRAILING 7-DAY DISTINCT USERS per day (the rolling-DAU/WAU
+    * dashboard curve): for each observed day, how many distinct users
+    * were active in the trailing week. The naive form is a sliding
+    * COUNT(DISTINCT) window — unpartitionable and O(users) state per
+    * frame at 100 TB. This plan pays distinctness ONCE on the
+    * (user, day) grain (map-side combinable dedup, |users|×|days|
+    * upper bound), then each active-day row EXPLODES into the ≤7
+    * window days it contributes to — a bounded 7× generate on the
+    * deduped table, never on raw events — and the per-window-day
+    * distinct count is a plain keyed agg. w05 is the unbounded
+    * (cumulative) twin; a20's HLL sketches are the approximate
+    * mergeable path when exactness can be traded.
+    */
+  val w09TrailingDau: GraftQuery = GraftQuery(
+    "w09_trailing_dau",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ud)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day,
+      |       COUNT(DISTINCT u.user_id) AS wau
+      |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val contrib = ud.select(col("user_id"),
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+    val observed = ud.select("day").distinct()
+    contrib.join(observed, contrib("wday") === observed("day"), "left_semi")
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("wday").cast("timestamp").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1758,7 +1926,9 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a34TrendSlope, a35SourceHhi, j02TimeAlign,
+    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a34TrendSlope, a35SourceHhi,
+    a36HdrPercentiles, a37AssocLift, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
-    w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency)
+    w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
+    w09TrailingDau)
 }

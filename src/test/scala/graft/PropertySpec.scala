@@ -419,4 +419,100 @@ class PropertySpec extends SparkSpec {
       "expected plain count() to prune the window (optimizer behavior changed?)")
     assert(forced.contains("Window"), "forcedCount lost the window node")
   }
+
+  /** a36's load-bearing claim is MERGEABILITY: bucket counts are
+    * additive, so per-slice histograms sum to the whole-corpus
+    * histogram and the percentile picks off the merged counts equal
+    * the direct ones — the a19/a20 re-aggregation story applied to
+    * percentiles (what exact rank picks a17/a24 can never do).
+    * Pinned by splitting the corpus on event_id parity, summing the
+    * two slices' bucket counts, and re-deriving p50/p95/p99.
+    */
+  test("a36 HDR buckets merge: split-sum percentiles equal direct percentiles") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    def buckets(df: DataFrame): DataFrame = df
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .select(col("event_type"),
+        length(col("cents").cast("string")).as("m"),
+        substring(col("cents").cast("string"), 1, 2).cast("bigint").as("sub"))
+      .groupBy("event_type", "m", "sub").agg(count(lit(1)).as("n_b"))
+    def percentiles(b: DataFrame): Set[String] = {
+      import org.apache.spark.sql.expressions.Window
+      val cumW = Window.partitionBy("event_type").orderBy("m", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = b
+        .withColumn("ub_cents",
+          when(col("m") <= 2, col("sub"))
+            .otherwise((col("sub") + 1) * pow(lit(10), col("m") - 2).cast("bigint") - 1))
+        .withColumn("cum_n", sum("n_b").over(cumW))
+        .withColumn("n", sum("n_b").over(Window.partitionBy("event_type")))
+      def pick(q: Int) =
+        min(when(col("cum_n") >= expr(s"($q * n + 99) div 100"), col("ub_cents")))
+      cum.groupBy("event_type")
+        .agg(pick(50).as("p50"), pick(95).as("p95"), pick(99).as("p99"))
+        .collect().map(_.toString).toSet
+    }
+    val even = buckets(ev.filter(col("event_id") % 2 === 0))
+    val odd = buckets(ev.filter(col("event_id") % 2 === 1))
+    val merged = even.unionAll(odd)
+      .groupBy("event_type", "m", "sub").agg(sum("n_b").as("n_b"))
+    assert(percentiles(merged) == percentiles(buckets(ev)))
+    // and the bucket upper bound truly bounds its members: every value
+    // lands in a bucket whose ub is >= the value's cents
+    val viol = ev
+      .select((col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .select(col("cents"),
+        length(col("cents").cast("string")).as("m"),
+        substring(col("cents").cast("string"), 1, 2).cast("bigint").as("sub"))
+      .withColumn("ub",
+        when(col("m") <= 2, col("sub"))
+          .otherwise((col("sub") + 1) * pow(lit(10), col("m") - 2).cast("bigint") - 1))
+      .filter(col("ub") < col("cents"))
+    assert(viol.isEmpty)
+  }
+
+  /** a37's per-row pair generation from the bounded per-user type set
+    * must equal the naive distinct self-join it replaces.
+    */
+  test("a37 set-exploded pairs equal the distinct self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val ua = Tables.events(spark, dir).select("user_id", "event_type").distinct()
+    val viaJoin = ua.as("a").join(ua.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .collect().map(_.toString).toSet
+    val viaSets = ua.groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(explode(flatten(expr(
+        """transform(types, (x, i) ->
+          |  transform(slice(types, i + 2, size(types)),
+          |            y -> struct(x AS a, y AS b)))""".stripMargin))).as("p"))
+      .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .collect().map(_.toString).toSet
+    assert(viaSets == viaJoin)
+  }
+
+  /** w09 with a 0-day trailing window degenerates to plain daily
+    * distinct users — pins the explode-window construction against the
+    * direct groupBy it generalizes.
+    */
+  test("w09 trailing window of one day equals daily distinct users") {
+    val dir = "/root/testdata/sf0.001"
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val direct = ud.groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      .collect().map(_.toString).toSet
+    val viaExplode = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 0))).as("wday"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .collect().map(_.toString).toSet
+    assert(viaExplode == direct)
+  }
 }
