@@ -116,4 +116,38 @@ object TextFunctions {
     size(regexp_extract_all(c, lit(bpePattern), lit(0)))
   def sqlBpeTokenCount(e: String): String =
     s"len(regexp_extract_all($e, '$bpePattern'))"
+
+  /** Apply ONE BPE merge to a word: re-segment the character sequence
+    * of `w`, greedily merging left-to-right every non-overlapping
+    * occurrence of the 2-char pair `p` into a single unit — exactly the
+    * tokenizer-training update that follows a t16 pair-count round
+    * (merge the winning pair everywhere, recount, repeat). Greedy
+    * non-overlap is the real BPE rule: in "aaaa" with pair "aa" the
+    * merges are positions 1 and 3, never 2 ("aaa" → ["aa","a"]).
+    *
+    * Returns the unit array. Implemented as a single left fold
+    * ([[org.apache.spark.sql.functions.aggregate]]) over character
+    * positions carrying (units-so-far, skip-next) state — a pure
+    * per-row Column expression, no explode, no shuffle: at corpus
+    * scale the merge application is a map. The sequential-state fold
+    * is what plain windows cannot express when p's halves are equal
+    * (consecutive overlapping matches); the oracle states the same
+    * semantics through the islands/run-parity window formulation and
+    * PropertySpec pins fold ≡ islands on real data.
+    */
+  def bpeApplyMerge(w: Column, p: Column): Column = {
+    def st(us: Column, skip: Column) = struct(us.as("us"), skip.as("skip"))
+    aggregate(
+      sequence(lit(1), length(w)), // callers must drop empty words: sequence(1,0) descends
+      st(array().cast("array<string>"), lit(0)),
+      (acc, i) => {
+        val us = acc.getField("us")
+        val skip = acc.getField("skip")
+        when(skip === 1, st(us, lit(0)))
+          .when(i < length(w) && w.substr(i, lit(2)) === p,
+            st(concat(us, array(w.substr(i, lit(2)))), lit(1)))
+          .otherwise(st(concat(us, array(w.substr(i, lit(1)))), lit(0)))
+      },
+      acc => acc.getField("us"))
+  }
 }

@@ -474,6 +474,75 @@ object Similarity {
       .select("q_id", "rank", "n_id", "adc_dist")
   }
 
+  /** IVF-PQ top-k — the composed billion-scale ANN index (FAISS
+    * `IVFx,PQy` with by_residual=false): coarse IVF routing restricts
+    * the search to `nprobe` clusters, and within them vectors score by
+    * [[pqAdcTopK]]'s asymmetric code-lookup distance instead of exact
+    * floats. e03 gates the routing alone, e15 the ADC scoring alone;
+    * this gates their interaction — the cluster restriction must apply
+    * to the CODES, and a neighbor outside every probed cluster must
+    * never score, however close its codes.
+    *
+    * Routing metric is full-vector integer squared-L2 on the quantized
+    * grid (the same metric family PQ scores in — cosine routing with L2
+    * scoring would rank differently at cluster borders), assignment and
+    * probes from one shared affinity frame.
+    *
+    * Scale shape: the coarse centroid table broadcasts (both for
+    * assignment and probes); codes ⋈ cluster is the index-build
+    * co-location join (in a stored index the code row CARRIES its
+    * cluster — here it is materialized once); search-time work is
+    * |probed clusters| worth of code rows through a broadcast of the
+    * per-query distance tables, then a (q, vec)-keyed partial agg —
+    * the corpus is scanned as m ints/row and only inside probed
+    * clusters, the IVF and PQ savings multiplying.
+    */
+  def knnIvfPqAdc(vectors: DataFrame, idCol: String, embCol: String,
+                  coarsePred: Column, codebookPred: Column, queryPred: Column,
+                  k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
+    val aff = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+    val wAssign = Window.partitionBy("id").orderBy(asc("gdist"), asc("g_id"))
+    val assigned = aff.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("g_id").as("cluster"))
+    val probes = aff.filter(queryPred)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("id").as("q_id"), col("g_id").as("cluster"))
+    val clustered = pqAssign(vectors, idCol, embCol, codebookPred, m, dsub)
+      .join(assigned, col("vec_id") === assigned("id")).drop("id")
+    def subs(qc: Column, out: String) =
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("long").as("s"),
+          slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
+    val csub = v.filter(codebookPred)
+      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
+    val qsub = v.filter(queryPred)
+      .select(col("id").as("tq_id"), subs(col("q"), "qs"))
+      .select(col("tq_id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    val tab = qsub.join(csub, "s")
+      .select(col("tq_id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("tdist"))
+    val scored = clustered.join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(tab),
+        col("tq_id") === col("q_id") && col("subspace") === tab("s") &&
+          col("code") === tab("c_id") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("tdist")).as("adc_dist"))
+    val wTop = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adc_dist")
+  }
+
   /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)
     * — e.g. [[trainIvfCentroids]] output.
     */

@@ -610,9 +610,60 @@ object SimilarityQueries {
       .orderBy("q_id")
   }
 
+  /** E16 — IVF-PQ composed search ([[Similarity.knnIvfPqAdc]]): e03's
+    * coarse routing over e15's code-lookup scoring — the FAISS
+    * `IVFx,PQy` index shape. Coarse centroids (ids 8..11, DISJOINT
+    * from the PQ codebook ids < 8 — routing granularity and code
+    * resolution are independent dials) assign every vector by
+    * full-vector integer squared-L2; each query probes its 2 nearest
+    * clusters; only codes of vectors INSIDE probed clusters meet the
+    * query's ADC distance tables. The oracle replays routing,
+    * encoding, tables, the cluster restriction, and the top-10
+    * tie-break end to end — pinning the composition (a near vector in
+    * an unprobed cluster must NOT appear).
+    */
+  val e16IvfPqSearch: GraftQuery = GraftQuery(
+    "e16_ivfpq_search",
+    s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+       |g AS (SELECT id AS g_id, q AS gq FROM v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
+       |aff AS (
+       |  SELECT id, g_id,
+       |         CAST(list_sum([(q[i]-gq[i])*(q[i]-gq[i]) for i in range(1, len(q)+1)]) AS BIGINT) AS gdist
+       |  FROM v CROSS JOIN g),
+       |ra AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY gdist, g_id) AS rn FROM aff),
+       |assigned AS (SELECT id, g_id AS cluster FROM ra WHERE rn = 1),
+       |probes AS (SELECT id AS q_id, g_id AS cluster FROM ra WHERE id < $NumQueries AND rn <= $NProbe),
+       |cb AS (SELECT id AS c_id, q AS cq FROM v WHERE id < $NumCentroids),
+       |sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM v, range(0, 4) t(s)),
+       |csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM cb, range(0, 4) t(s)),
+       |d AS (SELECT id, s, c_id,
+       |        CAST(list_sum([(qs[i]-cqs[i])*(qs[i]-cqs[i]) for i in range(1, 17)]) AS BIGINT) AS dist
+       |      FROM sub JOIN csub USING (s)),
+       |codes AS (SELECT id, s, c_id AS code FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM d)
+       |          WHERE rn = 1),
+       |tab AS (SELECT id AS q_id, s, c_id, dist FROM d WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT p.q_id, c.id AS n_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+       |  FROM codes c
+       |  JOIN assigned a ON a.id = c.id
+       |  JOIN probes p ON p.cluster = a.cluster
+       |  JOIN tab t ON t.q_id = p.q_id AND t.s = c.s AND t.c_id = c.code
+       |  WHERE c.id != p.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnIvfPqAdc(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+        col("id") < NumCentroids, col("id") < NumQueries, K, NProbe)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
-    e15PqAdcTopK,
+    e15PqAdcTopK, e16IvfPqSearch,
     e14AnnRecall)
 }

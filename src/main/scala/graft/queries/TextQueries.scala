@@ -1047,9 +1047,90 @@ object TextQueries {
         when(col("cms_est") > col("cnt"), 1).otherwise(0).as("overestimate"))
   }
 
+  /** T24 — BPE MERGE APPLICATION (the update step t16 counts for):
+    * take the corpus-winning character pair (t16's rank-1 merge,
+    * derived in-query over the SAME weighted pair counts), re-segment
+    * every word by greedily merging its non-overlapping occurrences
+    * left-to-right ([[bpeApplyMerge]]), and emit the top-30 unit
+    * vocabulary after the merge — one full train-loop iteration
+    * (count → pick → apply → recount) now sits under the oracle.
+    *
+    * Scale shape: segmentation runs on the DISTINCT-WORD table with
+    * multiplicities (vocabulary-sized — the corpus is never
+    * re-segmented word instance by word instance; the reassembled
+    * counts are weighted by cnt), the merge pair is a 1-row broadcast,
+    * and the fold itself is a pure per-row expression. The oracle
+    * derives greedy non-overlap through the independent islands
+    * formulation (run-grouped character windows, odd positions within
+    * each run of consecutive matches) — two different constructions of
+    * the same semantics must agree bit-for-bit.
+    */
+  val t24BpeApplyMerge: GraftQuery = GraftQuery(
+    "t24_bpe_apply_merge",
+    s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+       |wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE len(w) >= 1 GROUP BY w),
+       |pc AS (
+       |  SELECT pair, SUM(cnt) AS freq FROM (
+       |    SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair, cnt
+       |    FROM wc WHERE len(w) >= 2)
+       |  GROUP BY pair),
+       |top AS (SELECT pair FROM pc ORDER BY freq DESC, pair LIMIT 1),
+       |chars AS (SELECT w, unnest(range(1, len(w) + 1)) AS pos FROM wc),
+       |mpos AS (
+       |  SELECT c.w, c.pos FROM chars c, top t
+       |  WHERE c.pos < len(c.w) AND substr(c.w, CAST(c.pos AS INT), 2) = t.pair),
+       |runs AS (
+       |  SELECT w, pos,
+       |         pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS g
+       |  FROM mpos),
+       |kept AS (
+       |  SELECT w, pos FROM (
+       |    SELECT w, pos,
+       |           row_number() OVER (PARTITION BY w, g ORDER BY pos) AS rn
+       |    FROM runs)
+       |  WHERE rn % 2 = 1),
+       |units AS (
+       |  SELECT w, substr(w, CAST(pos AS INT), 2) AS unit FROM kept
+       |  UNION ALL
+       |  SELECT c.w, substr(c.w, CAST(c.pos AS INT), 1) AS unit
+       |  FROM chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.w = c.w AND k.pos = c.pos)
+       |    AND NOT EXISTS (SELECT 1 FROM kept k WHERE k.w = c.w AND k.pos = c.pos - 1)),
+       |uf AS (
+       |  SELECT unit, CAST(SUM(cnt) AS BIGINT) AS freq
+       |  FROM units JOIN wc USING (w) GROUP BY unit),
+       |ranked AS (
+       |  SELECT unit, freq,
+       |         row_number() OVER (ORDER BY freq DESC, unit) AS rank
+       |  FROM uf)
+       |SELECT rank, unit, freq FROM ranked WHERE rank <= 30
+       |ORDER BY rank""".stripMargin) { (spark, dir) =>
+    val wc = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = wc.filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), asc("pair")).limit(1)
+      .select(col("pair").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("unit"))
+    wc.crossJoin(broadcast(top))
+      .select(explode(bpeApplyMerge(col("w"), col("p"))).as("unit"), col("cnt"))
+      .groupBy("unit").agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), asc("unit")).limit(30)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "unit", "freq")
+      .orderBy("rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
-    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK)
+    t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
+    t24BpeApplyMerge)
 }

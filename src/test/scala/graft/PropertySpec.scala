@@ -497,6 +497,106 @@ class PropertySpec extends SparkSpec {
     assert(viaSets == viaJoin)
   }
 
+  /** t24's per-row fold must implement exactly greedy left-to-right
+    * non-overlapping BPE merging — pinned on the crafted overlap cases
+    * windows get wrong, then fold ≡ the independent islands/run-parity
+    * formulation over the real corpus vocabulary.
+    */
+  test("t24 bpeApplyMerge: greedy non-overlap cases and fold ≡ islands on real words") {
+    import graft.functions.TextFunctions.bpeApplyMerge
+    val cases = Seq(
+      ("aaaa", "aa", Seq("aa", "aa")),
+      ("aaa", "aa", Seq("aa", "a")),
+      ("abab", "ab", Seq("ab", "ab")),
+      ("xabay", "ab", Seq("x", "ab", "a", "y")),
+      ("q", "ab", Seq("q")),
+      ("ab", "ab", Seq("ab")))
+    val got = cases.toDF("w", "p", "want")
+      .select(bpeApplyMerge(col("w"), col("p")).as("got"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString) }
+
+    // fold vs islands over the sf0.001 vocabulary with its real top pair
+    val dir = "/root/testdata/sf0.001"
+    val wc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = wc.filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+      .orderBy(desc("freq"), asc("pair")).limit(1)
+      .select(col("pair").as("p"))
+    val foldUnits = wc.crossJoin(broadcast(top))
+      .select(explode(bpeApplyMerge(col("w"), col("p"))).as("unit"), col("cnt"))
+      .groupBy("unit").agg(sum("cnt").as("freq"))
+      .collect().map(_.toString).toSet
+    // islands: explode chars, group runs of consecutive matches, keep odd
+    import org.apache.spark.sql.expressions.Window
+    val chars = wc.crossJoin(broadcast(top))
+      .select(col("w"), col("cnt"), col("p"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+    val mpos = chars.filter(col("pos") < length(col("w")) &&
+      col("w").substr(col("pos"), lit(2)) === col("p"))
+    val runs = mpos.withColumn("g",
+      col("pos") - row_number().over(Window.partitionBy("w").orderBy("pos")))
+    val kept = runs.withColumn("rn",
+        row_number().over(Window.partitionBy("w", "g").orderBy("pos")))
+      .filter(col("rn") % 2 === 1)
+      .select(col("w").as("kw"), col("pos").as("kpos"))
+    val mergedUnits = kept.join(wc, col("kw") === col("w"))
+      .select(col("w").substr(col("kpos"), lit(2)).as("unit"), col("cnt"))
+    val soloUnits = chars
+      .join(kept, col("kw") === col("w") && col("kpos") === col("pos"), "left_anti")
+      .join(kept, col("kw") === col("w") && col("kpos") === col("pos") - 1, "left_anti")
+      .select(col("w").substr(col("pos"), lit(1)).as("unit"), col("cnt"))
+    val islandUnits = mergedUnits.unionAll(soloUnits)
+      .groupBy("unit").agg(sum("cnt").as("freq"))
+      .collect().map(_.toString).toSet
+    assert(foldUnits == islandUnits)
+  }
+
+  /** e16's composition invariant: every returned neighbor's assigned
+    * coarse cluster must be one of its query's probed clusters — the
+    * IVF restriction genuinely gates the PQ scoring (a vector outside
+    * every probed cluster never scores, however close its codes).
+    */
+  test("e16 neighbors all lie inside their query's probed clusters") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val res = Similarity.knnIvfPqAdc(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, col("id") < 5,
+      k = 10, nprobe = 2)
+    // recompute routing exactly as the operator does
+    val v = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("q"))
+    val g = v.filter(col("id") >= 8 && col("id") < 12)
+      .select(col("id").as("g_id"), col("q").as("gq"))
+    val aff = v.crossJoin(broadcast(g))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy("id").orderBy(asc("gdist"), asc("g_id"))
+    val ranked = aff.withColumn("rn", row_number().over(wA))
+    val clusterOf = ranked.filter(col("rn") === 1)
+      .select(col("id"), col("g_id").as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probesOf = ranked.filter(col("id") < 5 && col("rn") <= 2)
+      .select(col("id"), col("g_id"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(2)
+      assert(probesOf(q).contains(clusterOf(n)),
+        s"neighbor $n of query $q sits in cluster ${clusterOf(n)} outside probes ${probesOf(q)}")
+    }
+  }
+
   /** w09 with a 0-day trailing window degenerates to plain daily
     * distinct users — pins the explode-window construction against the
     * direct groupBy it generalizes.
