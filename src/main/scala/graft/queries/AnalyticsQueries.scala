@@ -1919,6 +1919,70 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** W10 — EXPONENTIALLY-WEIGHTED moving average of daily revenue per
+    * event type (the EWMA smoother behind anomaly/trend dashboards,
+    * completing the monitor family: a27 level spikes, a28 shape drift,
+    * a34 growth direction, w10 smoothed level). α = 1/2 over a trailing
+    * 8-day horizon, and the whole smoother stays EXACT: daily cents
+    * (DECIMAL-scaled), weight 2^(7−lag) as a BIGINT, and the reported
+    * numerator/denominator pair is the cleared-fraction form of
+    * Σ2^(7−lag)·x / Σ2^(7−lag) — only the final division is a double
+    * (IEEE-identical both engines). Gaps genuinely shrink the
+    * denominator (a missing day contributes no weight), the a27
+    * calendar-frame semantics.
+    *
+    * Scale shape: the EWMA recurrence is sequential state, but over a
+    * bounded horizon it is a w09-style CONTRIBUTION EXPLODE — the
+    * corpus collapses map-side to |types|×|days| daily sums, each day
+    * row fans out to the ≤8 target days it contributes to (bounded 8×
+    * generate on the tiny frame), and the smoothed value is one keyed
+    * agg. No unpartitionable running window ever sees event rows.
+    */
+  val w10EwmaRevenue: GraftQuery = GraftQuery(
+    "w10_ewma_revenue",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT event_type, day + CAST(lag AS INT) AS tday,
+      |         cents * (1 << (7 - lag)) AS wx,
+      |         (1 << (7 - lag)) AS wt
+      |  FROM daily, unnest(range(0, 8)) AS t(lag)),
+      |agg AS (
+      |  SELECT c.event_type, c.tday AS day,
+      |         CAST(SUM(c.wx) AS BIGINT) AS ewma_num,
+      |         CAST(SUM(c.wt) AS BIGINT) AS ewma_den
+      |  FROM contrib c
+      |  WHERE EXISTS (SELECT 1 FROM daily d
+      |                WHERE d.event_type = c.event_type AND d.day = c.tday)
+      |  GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS TIMESTAMP) AS day, ewma_num, ewma_den,
+      |       CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents
+      |FROM agg ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("cents"),
+        explode(sequence(lit(0), lit(7))).as("lag"))
+      .select(col("event_type"), date_add(col("day"), col("lag")).as("tday"),
+        (col("cents") * expr("shiftleft(CAST(1 AS BIGINT), 7 - lag)")).as("wx"),
+        expr("shiftleft(CAST(1 AS BIGINT), 7 - lag)").as("wt"))
+    contrib
+      .join(daily.select(col("event_type"), col("day").as("tday")),
+        Seq("event_type", "tday"), "left_semi")
+      .groupBy(col("event_type"), col("tday").as("day"))
+      .agg(sum("wx").cast("bigint").as("ewma_num"),
+        sum("wt").cast("bigint").as("ewma_den"))
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("ewma_num"), col("ewma_den"),
+        (col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+          .as("ewma_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1930,5 +1994,5 @@ object AnalyticsQueries {
     a36HdrPercentiles, a37AssocLift, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
-    w09TrailingDau)
+    w09TrailingDau, w10EwmaRevenue)
 }

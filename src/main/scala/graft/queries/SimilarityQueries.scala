@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.operators.Similarity
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search query suite over `embeddings`: exact brute-force
@@ -661,9 +663,66 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E17 — BINARY (Hamming) embedding search: each 64-d float vector
+    * compresses to its 64 SIGN BITS packed into two 32-bit halves
+    * (the i07 dHash convention — two BIGINT halves instead of one
+    * 64-bit word keeps every fold clear of ANSI sign-bit overflow),
+    * and retrieval ranks by Hamming distance = popcount(xor) on the
+    * halves. The extreme end of the storage/recall trade e07 (int8,
+    * 4×) and e11/e15 (PQ codes, 64×) walk: 256× compression, the
+    * corpus scanned as TWO LONGS per row, distance in two
+    * bit_count(xor) ALU ops — no arithmetic on vector elements at all
+    * at search time. e12's sign projection keeps projected VALUES;
+    * this keeps raw-dimension signs as the index itself.
+    *
+    * Scale shape: packing is a pure per-row fold (no shuffle); the
+    * 5-query side broadcasts; scoring is a map over the packed scan;
+    * per-query top-10 via rank window on candidate rows. Deterministic
+    * everywhere — bit math has no float-order hazard by construction.
+    */
+  val e17HammingTopK: GraftQuery = GraftQuery(
+    "e17_hamming_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |         list_reduce([CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |                      for x in embedding[1:32]], (a, b) -> a * 2 + b) AS h1,
+       |         list_reduce([CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |                      for x in embedding[33:64]], (a, b) -> a * 2 + b) AS h2
+       |  FROM embeddings),
+       |q AS (SELECT id AS q_id, h1 AS qh1, h2 AS qh2 FROM v WHERE id < $NumQueries),
+       |scored AS (
+       |  SELECT q_id, v.id AS n_id,
+       |         bit_count(xor(CAST(h1 AS BIGINT), CAST(qh1 AS BIGINT))) +
+       |         bit_count(xor(CAST(h2 AS BIGINT), CAST(qh2 AS BIGINT))) AS hamming
+       |  FROM v CROSS JOIN q WHERE v.id != q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, CAST(hamming AS BIGINT) AS hamming
+       |FROM ranked WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    def pack(emb: Column, from: Int): Column =
+      aggregate(slice(emb, from, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        pack(col("embedding"), 1).as("h1"),
+        pack(col("embedding"), 33).as("h2"))
+    val q = v.filter(col("id") < NumQueries)
+      .select(col("id").as("q_id"), col("h1").as("qh1"), col("h2").as("qh2"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        (expr("bit_count(h1 ^ qh1)") + expr("bit_count(h2 ^ qh2)"))
+          .cast("bigint").as("hamming"))
+    val w = Window.partitionBy("q_id").orderBy(asc("hamming"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "n_id", "hamming")
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
-    e15PqAdcTopK, e16IvfPqSearch,
+    e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK,
     e14AnnRecall)
 }

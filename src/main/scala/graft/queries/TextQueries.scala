@@ -1127,10 +1127,64 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** T25 — BIGRAM LANGUAGE-MODEL TABLE (the KenLM-style count model a
+    * data pipeline trains for perplexity filtering): conditional
+    * next-token probabilities P(w2|w1) with add-one smoothing, kept in
+    * EXACT ppm integers — p_ppm = ⌊10⁶·(c12+1)/(c1+V)⌋, the
+    * denominators-cleared rational convention (log-prob would need
+    * `ln`, which is not cross-engine reproducible; the ranking this
+    * model drives is monotone in the rational). a29 is the same Markov
+    * estimator over event streams; this trains over corpus text, where
+    * V (the smoothing vocabulary) is itself corpus-derived. t17 (DSIR)
+    * consumes exactly this kind of gram table as its importance
+    * numerator.
+    *
+    * Scale shape: one bigram explode into a map-side-combinable count
+    * (pair keys bounded by vocab²), unigram counts from the same
+    * token explode, V as a 1-row broadcast; the top-50 readout is a
+    * bounded sort (TakeOrdered), never a global shuffle of the table.
+    */
+  val t25BigramLm: GraftQuery = GraftQuery(
+    "t25_bigram_lm",
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |uni AS (SELECT unnest(tk) AS w FROM tok),
+       |c1 AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+       |v AS (SELECT COUNT(*) AS vocab FROM c1),
+       |bi AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM tok),
+       |c12 AS (
+       |  SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2,
+       |         COUNT(*) AS n_12
+       |  FROM bi GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT w1, w2, n_12, c1.n AS n_1,
+       |         CAST((1000000 * (n_12 + 1)) // (c1.n + v.vocab) AS BIGINT) AS p_ppm
+       |  FROM c12 JOIN c1 ON c1.w = c12.w1, v),
+       |top AS (SELECT * FROM scored ORDER BY n_12 DESC, w1, w2 LIMIT 50)
+       |SELECT w1, w2, n_12, n_1, p_ppm FROM top
+       |ORDER BY n_12 DESC, w1, w2""".stripMargin) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = tok.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val v = c1.agg(count(lit(1)).as("vocab"))
+    val c12 = tok.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_12"))
+    c12.join(broadcast(c1.select(col("w").as("w1"), col("n").as("n_1"))), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), col("n_12"), col("n_1"),
+        expr("CAST((1000000 * (n_12 + 1)) div (n_1 + vocab) AS BIGINT)").as("p_ppm"))
+      .orderBy(desc("n_12"), asc("w1"), asc("w2")).limit(50)
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
-    t24BpeApplyMerge)
+    t24BpeApplyMerge, t25BigramLm)
 }

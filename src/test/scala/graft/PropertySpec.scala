@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Preprocess}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 import scala.util.Random
@@ -595,6 +595,92 @@ class PropertySpec extends SparkSpec {
       assert(probesOf(q).contains(clusterOf(n)),
         s"neighbor $n of query $q sits in cluster ${clusterOf(n)} outside probes ${probesOf(q)}")
     }
+  }
+
+  /** e17's packed-halves Hamming must equal the per-dimension sign
+    * mismatch count it compresses — the 256× compression is LOSSLESS
+    * for the sign metric, on every pair of a 200-vector sample.
+    */
+  test("e17 packed Hamming equals per-dim sign mismatch count") {
+    val dir = "/root/testdata/sf0.001"
+    def packF(emb: Column, from: Int): Column =
+      aggregate(slice(emb, from, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x >= 0, 1L).otherwise(0L))
+    val v = Tables.embeddings(spark, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        packF(col("embedding"), 1).as("h1"), packF(col("embedding"), 33).as("h2"))
+    val pairs = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(
+        (expr("bit_count(a.h1 ^ b.h1)") + expr("bit_count(a.h2 ^ b.h2)")).as("packed"),
+        aggregate(zip_with(col("a.emb"), col("b.emb"),
+          (x, y) => when((x >= 0) =!= (y >= 0), 1L).otherwise(0L)),
+          lit(0L), _ + _).as("direct"))
+    assert(pairs.filter(col("packed") =!= col("direct")).isEmpty)
+  }
+
+  /** t25's smoothed estimator must be a proper probability component:
+    * for every context w1, Σ_w2 (n_12+1) over OBSERVED next-tokens is
+    * ≤ n_1 + V (the full smoothed mass including unseen w2 is exactly
+    * n_1 + V), and every p_ppm < 10⁶.
+    */
+  test("t25 bigram LM: smoothed mass bounded, conditional counts consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val tok = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("tk"))
+    val c1 = tok.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val vocab = c1.count()
+    val c12 = tok.filter(size(col("tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_12"))
+    val joined = c12.join(c1.withColumnRenamed("w", "w1"), "w1")
+      .withColumn("p_ppm",
+        expr(s"CAST((1000000 * (n_12 + 1)) div (n + $vocab) AS BIGINT)"))
+    assert(joined.filter(col("p_ppm") >= 1000000L).isEmpty)
+    // per-context observed smoothed mass never exceeds the full mass
+    val mass = joined.groupBy("w1")
+      .agg(sum(col("n_12") + 1).as("observed_mass"), first("n").as("n_1"))
+    assert(mass.filter(col("observed_mass") > col("n_1") + lit(vocab)).isEmpty)
+    // and Σ n_12 = Σ (len-1): every adjacent position is one bigram
+    val nBigrams = c12.agg(sum("n_12")).collect()(0).getLong(0)
+    val nPositions = tok.filter(size(col("tk")) >= 2)
+      .agg(sum(size(col("tk")) - 1)).collect()(0).getLong(0)
+    assert(nBigrams == nPositions)
+  }
+
+  /** w10's contribution-explode must equal the EWMA recurrence it
+    * replaces: recompute Σ 2^(7−lag)·x over the trailing 8 days
+    * directly from the collected daily series (driver-side ground
+    * truth on the tiny |types|×|days| frame).
+    */
+  test("w10 contribution-explode equals the direct trailing-8-day weighted sum") {
+    val dir = "/root/testdata/sf0.001"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val expect = (for {
+      (t, rows) <- byType.toSeq
+      series = rows.map(r => r._2 -> r._3).toMap
+      day <- series.keys
+    } yield {
+      val terms = (0 to 7).flatMap { lag =>
+        series.get(day.minusDays(lag.toLong)).map(x => (x * (1L << (7 - lag)), 1L << (7 - lag)))
+      }
+      (t, day.toString, terms.map(_._1).sum, terms.map(_._2).sum)
+    }).toSet
+    val got = SparkEntry.queries("w10_ewma_revenue")(spark, dir)
+      .select(col("event_type"), col("day").cast("date").cast("string"),
+        col("ewma_num"), col("ewma_den"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
   }
 
   /** w09 with a 0-day trailing window degenerates to plain daily
