@@ -59,7 +59,14 @@ object ScaleBench {
     // stage runs on |vocab| rows — should track t01's scan profile
     "t23_cms_topk",
     // a35/x14: one map-side agg to a tiny frame — flat-profile audits
-    "a35_source_hhi", "x14_k_anonymity")
+    "a35_source_hhi", "x14_k_anonymity",
+    // r8 eighth wave: t24 segments the DISTINCT-WORD table (vocab-sized
+    // work after the word-count agg — should track t01's scan profile);
+    // t25 is two explodes into vocab²-bounded counts + a bounded top-50
+    "t24_bpe_apply_merge", "t25_bigram_lm",
+    // d16: hash projection + TakeOrdered per-partition heaps — should be
+    // the flattest row-op profile next to d15
+    "d16_exact_sample")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -88,7 +95,19 @@ object ScaleBench {
     "w08_max_concurrency",
     // sm07: foreachBatch CDC-apply — store ∝ |users|, one keyed
     // merge join per batch; a34/a35 are map-side-agg monitors
-    "sm07_stream_upsert", "a34_trend_slope")
+    "sm07_stream_upsert", "a34_trend_slope",
+    // r8 eighth wave: a36 collapses to |types|×|buckets| map-side; a37
+    // is one user-keyed set agg + bounded pair generate; w09/w10 are
+    // bounded contribution explodes on the (user|type)×day dedup frame
+    "a36_hdr_percentiles", "a37_assoc_lift", "w09_trailing_dau",
+    "w10_ewma_revenue",
+    // r8 ninth wave: w11 rides w09's explode on the |items|×|days|
+    // frame; g09's star steps are MIN aggs + keyed joins (edge count
+    // never grows); x15 is x06's one full-outer join with tombstones.
+    // io10 is deliberately NOT tier-measured: it is write-bound (two
+    // full lake writes per run) and io07/io08 already measure the
+    // partitioned-write shape per tier.
+    "w11_trending_items", "g09_cc_star_round", "x15_merge_changeset")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 
@@ -224,6 +243,26 @@ object ScaleBench {
             graft.queries.TextQueries.bm25Retrieve(spark, bm25Store).count()
           }
         },
+        // e16 with coarse ∝ √n (the IVF provisioning rule, e06's knob):
+        // fixed coarse k at 100× would make each probe scan n/k of the
+        // corpus — a mis-provisioned index, not the operator; codebook
+        // stays 8 (code resolution is independent of corpus size)
+        s"e16_ivfpq[coarse=$centroids]" -> (() =>
+          graft.operators.Similarity.knnIvfPqAdc(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("id") >= 8 && col("id") < lit(8 + centroids),
+            col("id") < 8, col("id") < 5, 10, 2).count()),
+        // e17 verbatim: pack is a per-row fold, scoring scans 2 longs/row
+        // against a broadcast 5-query side — the flattest ANN profile
+        "e17_hamming_topk" -> (() =>
+          graft.Eval.forcedCount(SparkEntry.queries("e17_hamming_topk")(spark, dir))),
+        // e18 at e05's plane scaling: fixed planes at 100× would pocket
+        // whole-corpus buckets (e02's documented ceiling) — the probe
+        // count grows with planes, the per-bucket candidate set shrinks
+        s"e18_multiprobe[planes=$planes]" -> (() =>
+          graft.operators.Similarity.knnLshMultiProbe(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            col("id") < 5, 10, planes, 64).count()),
         // force the distributed pointer-jumping path (the 100 TB worst
         // case) even where the union-find fast path would engage
         "g02_components_distributed" -> (() => {

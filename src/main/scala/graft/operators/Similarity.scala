@@ -302,6 +302,44 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]
+    * probes only the query's own bucket — recall is then hostage to the
+    * hash (a true neighbor one sign-bit away is invisible). Multi-probe
+    * also visits the `planes` buckets at Hamming distance 1 from the
+    * query's signature (each single-bit flip — the buckets a borderline
+    * hyperplane side lands in), buying recall WITHOUT more hash tables:
+    * 1+planes probes per query instead of an independent-table copy of
+    * the corpus per extra probe. e14's recall evaluation is the dial
+    * this trades against.
+    *
+    * Scale shape: identical to e02 — the probe expansion happens on the
+    * BROADCAST query side (1+planes rows per query, still tiny); the
+    * corpus-side bucket equi-join and the exact-cosine rerank are
+    * unchanged. A vector lives in exactly one bucket and the probe set
+    * is distinct, so no (q, candidate) pair duplicates — no distinct.
+    */
+  def knnLshMultiProbe(vectors: DataFrame, idCol: String, embCol: String,
+                       queryPred: Column, k: Int, planes: Int,
+                       dims: Int): DataFrame = {
+    val v = withBucket(withNormFixed(vectors, idCol, embCol, dims), "emb", planes, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = v.filter(queryPred)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("norm_f").as("q_norm"), col("bucket").as("q_bucket"))
+      .withColumn("probe", explode(expr(
+        s"concat(array(q_bucket), transform(sequence(0, ${planes - 1}), " +
+          "j -> q_bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")))
+    val scored = v.join(broadcast(q),
+        col("bucket") === col("probe") && col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineFromFixed(dotF(col("q_emb"), col("emb"), dims),
+          col("q_norm"), col("norm_f")).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+  }
+
   /** Lloyd-trained IVF centroids: k-means over cosine affinity. Seeds are
     * the k lowest-id vectors (deterministic); each round broadcasts the
     * current centroids, assigns every vector to its argmax-cosine centroid

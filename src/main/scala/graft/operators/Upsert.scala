@@ -67,4 +67,40 @@ object Upsert {
       .select(cols.map(c =>
         when(takeU, col(s"u.$c")).otherwise(col(s"s.$c")).as(c)): _*)
   }
+
+  /** Full MERGE semantics — the `MERGE INTO` shape ([[latestWins]] plus
+    * tombstones): `changes` carries `opCol` ∈ {'U','D'}; the LATEST
+    * change per key (by `version`, compacted batch-side first) is
+    * authoritative — 'U' upserts the key (WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT), 'D' removes it (WHEN MATCHED DELETE). Keys the
+    * changeset never mentions keep their snapshot row. Returns the new
+    * snapshot with an `action` audit column ('inserted' | 'updated' |
+    * 'kept'); deleted keys are absent by definition.
+    *
+    * Scale shape: identical to [[latestWins]] — the batch alone pays the
+    * compaction window, the snapshot joins ONCE full-outer on the key
+    * and is never re-sorted (O(snapshot read + batch)); tombstones ride
+    * the same join, so a combined update+delete day costs one pass, not
+    * an upsert pass plus an x11 delete pass.
+    */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+                     keys: Seq[String], version: Seq[String],
+                     opCol: String = "op"): DataFrame = {
+    val dataCols = snapshot.columns.toSeq
+    require(changes.columns.contains(opCol), s"changes must carry $opCol")
+    require(changes.columns.filterNot(_ == opCol).sameElements(dataCols),
+      s"schema mismatch: ${changes.columns.mkString(",")} vs ${dataCols.mkString(",")}")
+    val s = snapshot.withColumn("__pres", lit(true)).as("s")
+    val c = compact(changes, keys, version)
+      .withColumn("__pres", lit(true)).as("c")
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"c.$k")).reduce(_ && _)
+    s.join(c, cond, "full_outer")
+      .filter(!(col(s"c.$opCol") <=> lit("D")))
+      .select(dataCols.map(cn =>
+        when(col("c.__pres").isNotNull, col(s"c.$cn"))
+          .otherwise(col(s"s.$cn")).as(cn)) :+
+        when(col("c.__pres").isNotNull && col("s.__pres").isNotNull, lit("updated"))
+          .when(col("c.__pres").isNotNull, lit("inserted"))
+          .otherwise(lit("kept")).as("action"): _*)
+  }
 }

@@ -1983,6 +1983,57 @@ object AnalyticsQueries {
       .orderBy("event_type", "day")
   }
 
+  /** W11 — TRENDING ITEMS (windowed top-k): the top-3 engaged items
+    * per day by TRAILING-7-DAY interaction count — the trending/
+    * leaderboard surface every feed ships. Items are the `props.k`
+    * payload (the JSON-extraction path p07 gates); the trailing window
+    * is w09's contribution explode (each (item, day) count row fans
+    * out to its ≤7 target days — bounded generate on the
+    * |items|×|days| frame, never raw events); the per-day top-3 is a
+    * rank window over |items| candidate rows per day, ties to the
+    * lower item id.
+    *
+    * Scale shape: corpus → |items|×|days| map-side counts; everything
+    * after runs on that tiny frame. The naive form — a sliding
+    * count-distinct-ish window over raw events — never exists here.
+    */
+  val w11TrendingItems: GraftQuery = GraftQuery(
+    "w11_trending_items",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM daily),
+      |win AS (
+      |  SELECT d.day, x.item, CAST(SUM(x.n) AS BIGINT) AS n7
+      |  FROM days d JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT day, item, n7,
+      |         row_number() OVER (PARTITION BY day ORDER BY n7 DESC, item) AS rank
+      |  FROM win)
+      |SELECT CAST(day AS TIMESTAMP) AS day, rank, item, n7
+      |FROM ranked WHERE rank <= 3 ORDER BY day, rank""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = daily.select(col("item"), col("n"),
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"))
+    val observed = daily.select(col("day").as("tday")).distinct()
+    val win = contrib.join(observed, Seq("tday"), "left_semi")
+      .groupBy(col("tday").as("day"), col("item"))
+      .agg(sum("n").cast("bigint").as("n7"))
+    val w = Window.partitionBy("day").orderBy(desc("n7"), asc("item"))
+    win.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("day").cast("timestamp").as("day"), col("rank").cast("long").as("rank"),
+        col("item"), col("n7"))
+      .orderBy("day", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -1994,5 +2045,5 @@ object AnalyticsQueries {
     a36HdrPercentiles, a37AssocLift, j02TimeAlign,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
-    w09TrailingDau, w10EwmaRevenue)
+    w09TrailingDau, w10EwmaRevenue, w11TrendingItems)
 }

@@ -459,6 +459,60 @@ object DedupQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** X15 — full MERGE with tombstones ([[graft.operators.Upsert
+    * .applyChangeset]]): the `MERGE INTO` shape x06 (upsert only) and
+    * x11 (delete only) each cover half of — one changeset carries both
+    * updates AND deletes (op = 'D' for event_id % 10 < 2, else 'U';
+    * deterministic and oracle-reproducible), the latest change per key
+    * is authoritative, and the result snapshot carries an
+    * inserted/updated/kept audit column with deleted keys absent.
+    * One keyed full-outer join applies the whole day — not an upsert
+    * pass plus a delete pass.
+    */
+  val x15MergeChangeset: GraftQuery = GraftQuery(
+    "x15_merge_changeset",
+    """WITH snap AS (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT user_id, event_type, event_id, ts, value,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16')
+      |  WHERE rn = 1),
+      |chg AS (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |         CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op FROM (
+      |    SELECT *,
+      |           row_number() OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT COALESCE(c.user_id, s.user_id) AS user_id,
+      |         COALESCE(c.event_type, s.event_type) AS event_type,
+      |         COALESCE(c.event_id, s.event_id) AS event_id,
+      |         COALESCE(c.ts, s.ts) AS ts,
+      |         COALESCE(c.value, s.value) AS value,
+      |         CASE WHEN c.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN 'updated'
+      |              WHEN c.user_id IS NOT NULL THEN 'inserted'
+      |              ELSE 'kept' END AS action
+      |  FROM snap s FULL OUTER JOIN chg c
+      |    ON s.user_id = c.user_id AND s.event_type = c.event_type
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT user_id, event_type, event_id, ts, value, action
+      |FROM merged ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+    import graft.operators.Upsert
+    val keys = Seq("user_id", "event_type")
+    val version = Seq("ts", "event_id")
+    val events = Tables.events(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val snapshot = Upsert.compact(events.filter(col("ts") < cut), keys, version)
+    val changes = events.filter(col("ts") >= cut)
+      .withColumn("op", when(col("event_id") % 10 < 2, "D").otherwise("U"))
+    Upsert.applyChangeset(snapshot, changes, keys, version)
+      .orderBy("user_id", "event_type")
+  }
+
   /** X7 — bloom-pruned semi join ([[graft.operators.BloomPrune]]): keep
     * lineitems of urgent orders. The big side is pre-pruned by a
     * codegen'd bloom probe of the small side's keys (the explicit form
@@ -563,6 +617,7 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
+    x15MergeChangeset,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)

@@ -385,6 +385,77 @@ object GraphQueries {
       .orderBy(desc("weight"), asc("u1"), asc("u2")).limit(100)
   }
 
+  /** G09 — one LARGE-STAR + SMALL-STAR round (the published
+    * MapReduce/Spark connected-components algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): large-star hangs
+    * every STRICTLY-LARGER neighbor of u under m(u) = min(Γ(u) ∪ {u});
+    * small-star then hangs u's smaller-or-equal neighborhood (and u)
+    * under its local minimum. Alternating the two provably converges
+    * in O(log²
+    * n) rounds to star graphs rooted at component minima — the
+    * O(log d)-round alternative to g02's pointer-jumping loop
+    * (GraphSpec pins that the alternation's fixpoint labels equal
+    * [[graft.operators.Dedup.connectedComponents]] exactly). The gate
+    * runs exactly one LS∘SS round and emits the resulting canonical
+    * edge set, so the round algebra both engines iterate is itself
+    * under the oracle.
+    *
+    * Scale shape: each star step is per-node m = one map-side
+    * combinable MIN agg + one edge ⋈ m keyed join + distinct — never
+    * an adjacency-list buffer; the celebrity node's neighborhood
+    * aggregates. Edge count never grows (each input edge maps to one
+    * output edge), so rounds are shuffle-stable.
+    */
+  val g09CcStarRound: GraftQuery = GraftQuery(
+    "g09_cc_star_round",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |m1 AS (SELECT node, LEAST(MIN(nbr), node) AS m FROM adj GROUP BY node),
+       |ls AS (SELECT DISTINCT a.nbr AS child, m1.m AS parent
+       |       FROM adj a JOIN m1 ON m1.node = a.node
+       |       WHERE a.nbr > a.node),
+       |adj2 AS (SELECT child AS node, parent AS nbr FROM ls WHERE child <> parent
+       |         UNION ALL SELECT parent, child FROM ls WHERE child <> parent),
+       |le AS (SELECT node, nbr FROM adj2 WHERE nbr <= node),
+       |m2 AS (SELECT node, LEAST(MIN(nbr), node) AS m FROM le GROUP BY node),
+       |ss AS (SELECT DISTINCT child, parent FROM (
+       |         SELECT l.nbr AS child, m2.m AS parent
+       |         FROM le l JOIN m2 ON m2.node = l.node
+       |         UNION ALL SELECT node, m FROM m2)
+       |       WHERE child <> parent)
+       |SELECT child, parent FROM ss ORDER BY child, parent""".stripMargin) { (spark, dir) =>
+    val edges = edgesDf(spark, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val m1 = adj.groupBy("node").agg(min("nbr").as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("m"))
+    val ls = adj.filter(col("nbr") > col("node"))
+      .join(m1, "node")
+      .select(col("nbr").as("child"), col("m").as("parent"))
+      .distinct()
+    val adj2 = ls.filter(col("child") =!= col("parent"))
+      .select(col("child").as("node"), col("parent").as("nbr"))
+      .unionAll(ls.filter(col("child") =!= col("parent"))
+        .select(col("parent").as("node"), col("child").as("nbr")))
+    val le = adj2.filter(col("nbr") <= col("node"))
+    val m2 = le.groupBy("node").agg(min("nbr").as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("m"))
+    val ss = le.join(m2.select(col("node"), col("m")), "node")
+      .select(col("nbr").as("child"), col("m").as("parent"))
+      .unionAll(m2.select(col("node").as("child"), col("m").as("parent")))
+      .filter(col("child") =!= col("parent"))
+      .distinct()
+    ss.orderBy("child", "parent")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
-    g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement)
+    g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
+    g09CcStarRound)
 }

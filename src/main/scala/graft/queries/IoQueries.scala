@@ -414,7 +414,62 @@ object IoQueries {
         col("n_after_drop"), col("xor_ids"))
   }
 
+  /** IO10 — DYNAMIC PARTITION OVERWRITE (the "backfill one day"
+    * lakehouse op, Spark's `partitionOverwriteMode=dynamic`): a
+    * day-partitioned events lake receives a restated batch covering
+    * THREE days; in dynamic mode the second write replaces exactly the
+    * partitions the batch touches and leaves every other day's files
+    * untouched (static mode — the default — would wipe the whole
+    * table; that trap is why this op exists as a gate). The restated
+    * rows carry value+1000 cents so leakage is arithmetic, not just
+    * counts: the oracle computes original-days ∪ restated-days from
+    * the raw table — any surviving old row in a restated day, or any
+    * lost untouched day, breaks the per-day sums.
+    *
+    * Scale shape: the backfill write shuffles ONLY the batch (one
+    * repartition on the partition key); untouched partitions cost
+    * nothing — no read, no rewrite, no lock. The read-back is an
+    * ordinary partition-pruned scan.
+    */
+  val io10DynamicOverwrite: GraftQuery = GraftQuery(
+    "io10_dynamic_overwrite",
+    """WITH base AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |expected AS (
+      |  SELECT day,
+      |         CASE WHEN day IN ('2024-01-05', '2024-01-06', '2024-01-07')
+      |              THEN cents + 1000 ELSE cents END AS cents
+      |  FROM base)
+      |SELECT day, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM expected GROUP BY day ORDER BY day""".stripMargin) { (spark, dir) =>
+    val lake = Dsl.tempStore("io10_lake")
+    val base = Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+    base.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    val restatedDays = Seq("2024-01-05", "2024-01-06", "2024-01-07")
+    val batch = base.filter(col("day").isin(restatedDays: _*))
+      .withColumn("cents", col("cents") + 1000)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(lake)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("bigint").as("sum_cents"))
+      .select(col("day").cast("string").as("day"), col("n"), col("sum_cents"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
-    io07PartitionedLake, io08ManifestPublish, io09MalformedCsv)
+    io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
+    io10DynamicOverwrite)
 }

@@ -592,10 +592,39 @@ object RowOpsQueries {
       .orderBy("lang", "source", "len_bucket")
   }
 
+  /** D16 — EXACT-SIZE deterministic sample (the eval-set cut): the k
+    * rows with the smallest (portable-hash-bucket, key) — a fixed-size
+    * companion to d10's Bernoulli rate sampling (d10 gives each row an
+    * independent keep decision, so the sample SIZE varies; an eval set
+    * must be exactly k rows). Same reproducibility contract: membership
+    * is a pure function of the key — stable across reruns, engines,
+    * cluster sizes, and consistent with any other consumer hashing the
+    * same keys. "Smallest hash" is consistent sampling: growing the
+    * corpus only ever swaps members whose hash crosses the k-th
+    * boundary, never reshuffles the whole sample (the MinHash-sketch
+    * membership rule applied to sampling).
+    *
+    * Scale shape: a codegen'd hash projection + global top-k —
+    * `TakeOrderedAndProject` per-partition heaps, never a full sort
+    * shuffle; ties broken by the key itself (total order).
+    */
+  val d16ExactSample: GraftQuery = GraftQuery(
+    "d16_exact_sample",
+    s"""WITH h AS (
+       |  SELECT doc_id, ${graft.operators.Sampling.sqlHashBucket("doc_id")} AS bucket
+       |  FROM documents)
+       |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket
+       |FROM h ORDER BY bucket, doc_id LIMIT 500""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .orderBy("bucket", "doc_id").limit(500)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
-    x14KAnonymity)
+    x14KAnonymity, d16ExactSample)
 }

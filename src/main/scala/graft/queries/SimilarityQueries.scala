@@ -63,6 +63,39 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E18 — MULTI-PROBE LSH top-k ([[Similarity.knnLshMultiProbe]]):
+    * e02 plus the `Planes` buckets one sign-bit from the query's
+    * signature — recall recovered without extra hash tables (the
+    * published multi-probe trade). The oracle replays the probe-set
+    * generation (bucket ∪ single-bit flips), the bucket restriction,
+    * and the exact-cosine rerank; PropertySpec pins e02 ⊆ e18 candidate
+    * sets and the Hamming-1 probe geometry.
+    */
+  val e18MultiProbeLsh: GraftQuery = GraftQuery(
+    "e18_multiprobe_lsh",
+    s"""WITH v0 AS ($sqlV),
+       |vf AS (SELECT id, emb, norm_f, ${Similarity.sqlVfix("emb")} AS vfix FROM v0),
+       |v AS (SELECT id, emb, norm_f,
+       |             ${Similarity.sqlLshBucketFromVfix("vfix", Planes, Dims)} AS bucket FROM vf),
+       |q0 AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm, bucket AS q_bucket
+       |       FROM v WHERE id < $NumQueries),
+       |q AS (SELECT q_id, q_emb, q_norm,
+       |             unnest(list_prepend(q_bucket,
+       |               [xor(q_bucket, CAST(1 << j AS BIGINT)) for j in range(0, $Planes)]))
+       |               AS probe
+       |      FROM q0),
+       |scored AS (
+       |  SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+       |  FROM q JOIN v ON v.bucket = q.probe AND v.id != q.q_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    Similarity.knnLshMultiProbe(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("id") < NumQueries, K, Planes, Dims)
+      .orderBy("q_id", "rank")
+  }
+
   /** E3 — IVF top-k: nearest-centroid assignment, nprobe=2 cluster probe. */
   val e03KnnIvf: GraftQuery = GraftQuery(
     "e03_knn_ivf",
@@ -723,6 +756,6 @@ object SimilarityQueries {
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
-    e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK,
+    e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e14AnnRecall)
 }

