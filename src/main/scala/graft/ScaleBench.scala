@@ -107,7 +107,11 @@ object ScaleBench {
     // io10 is deliberately NOT tier-measured: it is write-bound (two
     // full lake writes per run) and io07/io08 already measure the
     // partitioned-write shape per tier.
-    "w11_trending_items", "g09_cc_star_round", "x15_merge_changeset")
+    "w11_trending_items", "g09_cc_star_round", "x15_merge_changeset",
+    // a33 collapses to |types|×7 map-side; j11 is one user-keyed window
+    // pass (both directions from the same sort); g10 is two label joins
+    // + tiny per-community math
+    "a33_seasonal_index", "j11_nearest_event", "g10_modularity")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation")
 

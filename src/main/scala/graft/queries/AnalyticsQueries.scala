@@ -2034,6 +2034,138 @@ object AnalyticsQueries {
       .orderBy("day", "rank")
   }
 
+  /** A33 — SEASONAL (day-of-week) INDEX per event type: each weekday's
+    * mean revenue relative to the type's overall mean, in exact ppm —
+    * the multiplicative seasonality profile that completes the monitor
+    * family (a27 level spikes, a28 shape drift, a34 growth, w10
+    * smoothed level; a33 is the calendar shape they must be judged
+    * against — a "spike" every Saturday is seasonality, not anomaly).
+    * Exactness: index = avg_dow/avg_all cross-multiplied —
+    * ppm = ⌊10⁶·sum_dow·n_all / (n_dow·sum_all)⌋ through DECIMAL(38,0)
+    * products (the a35 overflow convention); weekday from pure integer
+    * epoch-day arithmetic ((days+4) mod 7, 0 = Sunday) — never an
+    * engine-specific DOW function.
+    *
+    * Scale shape: the corpus collapses to |types|×7 rows in ONE
+    * map-side-combinable agg; the per-type totals and the index math
+    * run on that frame.
+    */
+  val a33SeasonalIndex: GraftQuery = GraftQuery(
+    "a33_seasonal_index",
+    """WITH base AS (
+      |  SELECT event_type,
+      |         (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT event_type, dow, COUNT(*) AS n_dow,
+      |             CAST(SUM(cents) AS BIGINT) AS sum_dow
+      |      FROM base GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(n_dow) AS n_all, SUM(sum_dow) AS sum_all
+      |      FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, n_dow, sum_dow,
+      |       CAST((1000000 * CAST(sum_dow AS HUGEINT) * n_all)
+      |            // (CAST(n_dow AS HUGEINT) * sum_all) AS BIGINT) AS index_ppm
+      |FROM d JOIN t USING (event_type)
+      |ORDER BY event_type, dow""".stripMargin) { (spark, dir) =>
+    val d38 = "decimal(38,0)"
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        ((expr("unix_micros(ts) div 86400000000") + 4) % 7).as("dow"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+    val d = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_dow"), sum("cents").cast("bigint").as("sum_dow"))
+    val t = d.groupBy("event_type")
+      .agg(sum("n_dow").as("n_all"), sum("sum_dow").as("sum_all"))
+    d.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("n_dow"), col("sum_dow"),
+        expr(s"CAST((CAST(1000000 AS $d38) * sum_dow * n_all) div " +
+          s"(CAST(n_dow AS $d38) * sum_all) AS BIGINT)").as("index_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** J11 — NEAREST-EVENT temporal join: for every purchase, the
+    * nearest click by ABSOLUTE time distance within ±1 hour, ties to
+    * the earlier side — the bidirectional refinement of j06's
+    * backward-only as-of ("which click drove this purchase" wants the
+    * closest touch, before OR after). No range explosion: both
+    * directions come from ONE user-keyed window pass — the
+    * IGNORE-NULLS running last/first anchors w07 established — so the
+    * cost is j06's single shuffle, not a ±1h interval join.
+    *
+    * Scale shape: one window sort per user serves both directions;
+    * the pick is a per-row comparison. Output ∝ matched purchases.
+    */
+  val j11NearestEvent: GraftQuery = GraftQuery(
+    "j11_nearest_event",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         last_value(CASE WHEN event_type = 'click'
+      |                         THEN event_id END IGNORE NULLS) OVER wb AS prev_id,
+      |         last_value(CASE WHEN event_type = 'click'
+      |                         THEN ts END IGNORE NULLS) OVER wb AS prev_ts,
+      |         first_value(CASE WHEN event_type = 'click'
+      |                          THEN event_id END IGNORE NULLS) OVER wf AS next_id,
+      |         first_value(CASE WHEN event_type = 'click'
+      |                          THEN ts END IGNORE NULLS) OVER wf AS next_ts
+      |  FROM events
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |purchases AS (
+      |  SELECT user_id, event_id, ts,
+      |         epoch_us(ts) - epoch_us(prev_ts) AS dp,
+      |         epoch_us(next_ts) - epoch_us(ts) AS dn,
+      |         prev_id, next_id
+      |  FROM ordered WHERE event_type = 'purchase'),
+      |picked AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN dp IS NOT NULL AND dp <= 3600000000
+      |                   AND (dn IS NULL OR dn > 3600000000 OR dp <= dn)
+      |              THEN prev_id
+      |              WHEN dn IS NOT NULL AND dn <= 3600000000 THEN next_id
+      |         END AS click_id,
+      |         CASE WHEN dp IS NOT NULL AND dp <= 3600000000
+      |                   AND (dn IS NULL OR dn > 3600000000 OR dp <= dn)
+      |              THEN dp
+      |              WHEN dn IS NOT NULL AND dn <= 3600000000 THEN dn
+      |         END AS dist_us
+      |  FROM purchases)
+      |SELECT user_id, event_id, click_id, CAST(dist_us AS BIGINT) AS dist_us
+      |FROM picked WHERE click_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isClick = col("event_type") === "click"
+    val ordered = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      // scan-pushable narrowing: only clicks (anchors) and purchases
+      // (outputs) participate — at 100 TB the other types never leave
+      // the parquet scan. The later `= 'purchase'` filter selects
+      // WINDOW OUTPUT rows and cannot push by construction (the window
+      // needs the click rows) — PlanSpec's audit documents it as the
+      // one above-window exception.
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("prev_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(wb))
+      .withColumn("prev_ts", last(when(isClick, col("ts")), ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(when(isClick, col("event_id")), ignoreNulls = true).over(wf))
+      .withColumn("next_ts", first(when(isClick, col("ts")), ignoreNulls = true).over(wf))
+    val hour = 3600000000L
+    val p = ordered.filter(col("event_type") === "purchase")
+      .withColumn("dp", expr("unix_micros(ts)") - expr("unix_micros(prev_ts)"))
+      .withColumn("dn", expr("unix_micros(next_ts)") - expr("unix_micros(ts)"))
+    val takePrev = col("dp").isNotNull && col("dp") <= hour &&
+      (col("dn").isNull || col("dn") > hour || col("dp") <= col("dn"))
+    val takeNext = col("dn").isNotNull && col("dn") <= hour
+    p.select(col("user_id"), col("event_id"),
+        when(takePrev, col("prev_id")).when(takeNext, col("next_id")).as("click_id"),
+        when(takePrev, col("dp")).when(takeNext, col("dn")).cast("bigint").as("dist_us"))
+      .filter(col("click_id").isNotNull)
+      .orderBy("event_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -2041,8 +2173,9 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a34TrendSlope, a35SourceHhi,
-    a36HdrPercentiles, a37AssocLift, j02TimeAlign,
+    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a33SeasonalIndex,
+    a34TrendSlope, a35SourceHhi,
+    a36HdrPercentiles, a37AssocLift, j02TimeAlign, j11NearestEvent,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
     w09TrailingDau, w10EwmaRevenue, w11TrendingItems)

@@ -455,7 +455,91 @@ object GraphQueries {
     ss.orderBy("child", "parent")
   }
 
+  /** G10 — MODULARITY of a community assignment (the quality metric
+    * the g05 label-propagation loop optimizes — what e14's recall
+    * evaluation is to the ANN family, this is to the community
+    * family): Q = Σ_c (e_c/m − (d_c/2m)²) over the round-1 labels,
+    * kept EXACT by clearing denominators — Q·4m² = Σ_c (4·m·e_c −
+    * d_c²), all BIGINT; only the final report division is a double
+    * (IEEE-identical both engines). Also reports m, the community
+    * count, and the intra-edge total, so a Q drift localizes.
+    *
+    * Scale shape: labels are g05's two map-side aggs; e_c is one join
+    * of edges against the label table on BOTH endpoints (two
+    * broadcast-or-keyed hash joins) + a count per label; d_c one
+    * degree agg joined to labels. Everything after runs on
+    * |communities| rows.
+    */
+  val g10Modularity: GraftQuery = GraftQuery(
+    "g10_modularity",
+    s"""WITH edges AS ($edgesSql),
+       |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |adj AS (SELECT u AS node, v AS nbr FROM und
+       |        UNION ALL SELECT v, u FROM und),
+       |cnt AS (SELECT node, nbr AS label, COUNT(*) AS c FROM adj GROUP BY node, nbr),
+       |best AS (SELECT node, label,
+       |                row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       |         FROM cnt),
+       |labels AS (SELECT node, label FROM best WHERE rn = 1),
+       |m AS (SELECT COUNT(*) AS m FROM und),
+       |ec AS (SELECT lu.label, COUNT(*) AS e_c
+       |       FROM und JOIN labels lu ON lu.node = und.u
+       |                JOIN labels lv ON lv.node = und.v
+       |       WHERE lu.label = lv.label GROUP BY lu.label),
+       |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+       |dc AS (SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS d_c
+       |       FROM deg JOIN labels l ON l.node = deg.node GROUP BY l.label),
+       |terms AS (
+       |  SELECT dc.label, COALESCE(ec.e_c, 0) AS e_c, dc.d_c,
+       |         4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c AS t
+       |  FROM dc LEFT JOIN ec ON ec.label = dc.label, m)
+       |SELECT CAST(m.m AS BIGINT) AS m,
+       |       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |       CAST(SUM(e_c) AS BIGINT) AS intra_edges,
+       |       CAST(SUM(t) AS BIGINT) AS q_num,
+       |       CAST(4 * m.m * m.m AS BIGINT) AS q_den,
+       |       CAST(SUM(t) AS DOUBLE) / CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+       |FROM terms, m GROUP BY m.m""".stripMargin) { (spark, dir) =>
+    val edges = edgesDf(spark, dir)
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val labels = adj.groupBy("node", "nbr").agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(min(struct((-col("c")).as("negc"), col("nbr").as("label"))).as("ml"))
+      .select(col("node"), col("ml.label").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = und.agg(count(lit(1)).as("m"))
+    val ec = und
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
+    val dc = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      .join(labels, "node")
+      .groupBy("label").agg(sum("d").cast("bigint").as("d_c"))
+    dc.join(ec, Seq("label"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .select(col("m"),
+        (lit(4) * col("m") * col("e_c") - col("d_c") * col("d_c")).as("t"),
+        col("e_c"), col("d_c"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_communities"),
+        sum("e_c").cast("bigint").as("intra_edges"),
+        sum("t").cast("bigint").as("q_num"))
+      .select(col("m"), col("n_communities"), col("intra_edges"), col("q_num"),
+        (lit(4) * col("m") * col("m")).cast("bigint").as("q_den"),
+        (col("q_num").cast("double") / (lit(4) * col("m") * col("m")).cast("double"))
+          .as("modularity"))
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
-    g09CcStarRound)
+    g09CcStarRound, g10Modularity)
 }

@@ -175,6 +175,13 @@ class PlanSpec extends SparkSpec {
     // columns that exist on the physical scans of this plan: FileScan
     // output lists `[c1#1,c2#2,...]`
     val scanOut = """FileScan parquet [^\[\n]*\[([^\]]*)\]""".r
+    // Documented exceptions: filters that select WINDOW OUTPUT rows —
+    // the window frame needs the rows the filter drops, so pushing the
+    // predicate into the scan would change the window's inputs and the
+    // answer. Each entry must narrow its scan by other means (j11
+    // pushes `event_type IN (click, purchase)` instead — the audit
+    // below separately asserts that In() reached the scan).
+    val aboveWindow = Map("j11_nearest_event" -> Set("event_type"))
     var checked = 0
     for (n <- PlanDump.AuditQueries) {
       val plan = planOf(n)
@@ -187,7 +194,7 @@ class PlanSpec extends SparkSpec {
       val filterLines = plan.linesIterator.filter(_.contains("Filter")).mkString("\n")
       for (m <- atom.findAllMatchIn(filterLines)) {
         val (c, op) = (m.group(1), m.group(2))
-        if (scanCols(c)) {
+        if (scanCols(c) && !aboveWindow.getOrElse(n, Set.empty).contains(c)) {
           checked += 1
           assert(plan.contains(s"${opName(op)}($c"),
             s"$n: scan-expressible predicate `$c ${m.group(2)} ${m.group(3)}` " +
@@ -195,6 +202,10 @@ class PlanSpec extends SparkSpec {
         }
       }
     }
+    // the j11 exception's compensating narrowing must actually push:
+    // the scan carries an In(event_type, ...) filter
+    assert(planOf("j11_nearest_event").contains("In(event_type"),
+      "j11: the compensating IN(click, purchase) narrowing left the scan")
     // vacuity guard: the suite is known to carry at least the four orders
     // date ranges, r_name/o_orderstatus equalities, event_type equalities
     // and the vec_id probe bounds — if the regexes stop matching the plan

@@ -784,6 +784,70 @@ class PropertySpec extends SparkSpec {
     assert(writeLake("static") == 3L)
   }
 
+  /** j11's window-pass pick must equal the brute-force nearest click:
+    * for every purchase, argmin |Δt| over ALL the user's clicks within
+    * ±1h, ties to the earlier click — recomputed on the driver.
+    */
+  test("j11 window-pass nearest click equals the brute-force argmin") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    val hour = 3600000000L
+    val expect = ev.filter(_._4 == "purchase").flatMap { case (u, pid, pts, _) =>
+      val cands = clicksByUser.getOrElse(u, Array.empty)
+        .map { case (_, cid, cts, _) => (math.abs(pts - cts), cts, cid) }
+        .filter(_._1 <= hour)
+      if (cands.isEmpty) None
+      else {
+        // nearest; tie → earlier ts; further tie → the window's own
+        // (ts, event_id) order makes the lower id the prev side
+        val best = cands.minBy { case (d, cts, cid) => (d, cts, cid) }
+        Some((pid, best._3, best._1))
+      }
+    }.toSet
+    val got = SparkEntry.queries("j11_nearest_event")(spark, dir)
+      .select("event_id", "click_id", "dist_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  /** a33's weekday formula must match the real calendar (2024-01-01
+    * was a Monday), and per-type weekday counts must partition the
+    * type's total.
+    */
+  test("a33 epoch-day weekday formula matches the calendar; counts partition") {
+    val dowOfJan1 = spark.sql(
+      "SELECT (unix_micros(TIMESTAMP '2024-01-01 00:00:00') div 86400000000 + 4) % 7")
+      .collect()(0).getLong(0)
+    assert(dowOfJan1 == 1L, "2024-01-01 must be Monday (dow=1, 0=Sunday)")
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("a33_seasonal_index")(spark, dir).collect()
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 6))
+    val byType = out.groupBy(_.getString(0))
+    val totals = Tables.events(spark, dir).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rows) =>
+      assert(rows.map(_.getLong(2)).sum == totals(t), s"weekday counts don't partition $t")
+    }
+  }
+
+  /** g10's exact-rational modularity must respect the theory bounds
+    * and its internal identities (Σd_c = 2m, intra ≤ m).
+    */
+  test("g10 modularity: bounds and degree-sum identity hold") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("g10_modularity")(spark, dir).collect()(0)
+    val (m, nc, intra, qNum, qDen, q) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(qDen == 4 * m * m)
+    assert(intra <= m && nc >= 1)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of bounds")
+    assert(math.abs(q - qNum.toDouble / qDen.toDouble) == 0.0)
+  }
+
   /** w09 with a 0-day trailing window degenerates to plain daily
     * distinct users — pins the explode-window construction against the
     * direct groupBy it generalizes.
