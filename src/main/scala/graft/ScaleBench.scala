@@ -113,7 +113,7 @@ object ScaleBench {
     // + tiny per-community math
     "a33_seasonal_index", "j11_nearest_event", "g10_modularity")
   // lineitem-backed heavies: only at tiers generated in `full` mode
-  private val RelQueries = Seq("a08_correlation")
+  private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 
   def main(args: Array[String]): Unit = {
     val Array(scaleRoot, outJson) = args

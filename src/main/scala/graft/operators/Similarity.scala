@@ -302,6 +302,89 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cosine")
   }
 
+  /** Persist the IVF-PQ index [[knnIvfPqAdc]] computes in-query — the
+    * production ANN deployment split (t21b's stored-index story for
+    * vectors): the index is built ONCE offline (coarse centroids, PQ
+    * codebook subvectors, per-vector codes WITH their cluster
+    * co-located on the row), and retrieval reads ONLY the store — the
+    * raw embedding corpus appears nowhere in the search plan.
+    *
+    * Store layout: `store/coarse` (g_id, gq), `store/codebook`
+    * (c_id, s, cqs), `store/codes` (vec_id, subspace, code, cluster).
+    * At cluster scale `codes` is bucketed by cluster so a probe reads
+    * O(selected clusters), the io07 partition-pruning story.
+    */
+  def buildIvfPqStore(vectors: DataFrame, idCol: String, embCol: String,
+                      coarsePred: Column, codebookPred: Column, store: String,
+                      m: Int = 4, dsub: Int = 16): Unit = {
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
+    coarse.write.mode("overwrite").parquet(s"$store/coarse")
+    def subs(qc: Column, out: String) =
+      explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("long").as("s"),
+          slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
+    v.filter(codebookPred)
+      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
+      .write.mode("overwrite").parquet(s"$store/codebook")
+    val aff = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+    val wAssign = Window.partitionBy("id").orderBy(asc("gdist"), asc("g_id"))
+    val assigned = aff.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("g_id").as("cluster"))
+    pqAssign(vectors, idCol, embCol, codebookPred, m, dsub)
+      .join(assigned, col("vec_id") === assigned("id")).drop("id")
+      .write.mode("overwrite").parquet(s"$store/codes")
+    v.unpersist()
+  }
+
+  /** Retrieval against a [[buildIvfPqStore]] store: queries arrive as a
+    * (id, embedding) frame at runtime; everything else — routing
+    * centroids, distance-table codebook, corpus codes — comes from the
+    * store. Must return exactly [[knnIvfPqAdc]]'s answer (the e19 gate
+    * proves store fidelity against e16's oracle).
+    */
+  def ivfPqStoredTopK(spark: org.apache.spark.sql.SparkSession, store: String,
+                      queries: DataFrame, idCol: String, embCol: String,
+                      k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16): DataFrame = {
+    val coarse = spark.read.parquet(s"$store/coarse")
+    val csub = spark.read.parquet(s"$store/codebook")
+    val codes = spark.read.parquet(s"$store/codes")
+    val q = queries.select(col(idCol).as("q_id"), quantize(col(embCol)).as("qq"))
+    val probes = q.crossJoin(broadcast(coarse))
+      .select(col("q_id"), col("g_id"),
+        aggregate(zip_with(col("qq"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("gdist"), asc("g_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("g_id").as("cluster"))
+    val qsub = q.select(col("q_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.cast("long").as("s"),
+            slice(col("qq"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
+      .select(col("q_id").as("tq_id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    val tab = qsub.join(csub, "s")
+      .select(col("tq_id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("tdist"))
+    val scored = codes.join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(tab),
+        col("tq_id") === col("q_id") && col("subspace") === tab("s") &&
+          col("code") === tab("c_id") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("tdist")).as("adc_dist"))
+    val wTop = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adc_dist")
+  }
+
   /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]
     * probes only the query's own bucket — recall is then hostage to the
     * hash (a true neighbor one sign-bit away is invisible). Multi-probe

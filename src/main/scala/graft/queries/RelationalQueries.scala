@@ -605,8 +605,56 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** Q05 — SHIPPING-PRIORITY top-k (the TPC-H Q3 topology): revenue of
+    * the 10 highest-value orders in one market segment that were placed
+    * before a cutoff but still shipping after it — a selective dim
+    * filter riding a fact-fact join into a grouped top-k. The plan you
+    * want at 100 TB and the plan this builds: the BUILDING customer
+    * slice broadcasts into orders, BOTH date predicates are plain
+    * column-vs-literal comparisons that reach `PushedFilters` (the q02
+    * date-range lesson), the revenue agg is map-side combinable, and
+    * the top-10 is `TakeOrderedAndProject` — no global sort. Revenue
+    * is per-row double product (IEEE-deterministic) cast to DECIMAL
+    * and summed exactly (Det convention), tie-break (revenue DESC,
+    * l_orderkey).
+    */
+  val q05ShippingPriority: GraftQuery = GraftQuery(
+    "q05_shipping_priority",
+    """WITH r AS (
+      |  SELECT l_orderkey, o_orderdate,
+      |         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |    AND l_shipdate > TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate
+      |FROM r ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    val cut = lit("1997-01-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")).as("rev"))
+      .select(col("l_orderkey"), col("rev").cast("double").as("revenue"),
+        col("o_orderdate"))
+      .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
+    q05ShippingPriority,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
     j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,

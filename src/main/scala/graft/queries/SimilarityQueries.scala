@@ -657,8 +657,7 @@ object SimilarityQueries {
     * tie-break end to end — pinning the composition (a near vector in
     * an unprobed cluster must NOT appear).
     */
-  val e16IvfPqSearch: GraftQuery = GraftQuery(
-    "e16_ivfpq_search",
+  private val ivfPqOracleSql: String =
     s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
        |g AS (SELECT id AS g_id, q AS gq FROM v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
        |aff AS (
@@ -689,10 +688,35 @@ object SimilarityQueries {
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
        |           FROM scored)
        |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
-       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+       |ORDER BY q_id, rank""".stripMargin
+
+  val e16IvfPqSearch: GraftQuery = GraftQuery(
+    "e16_ivfpq_search", ivfPqOracleSql) { (spark, dir) =>
     Similarity.knnIvfPqAdc(Tables.embeddings(spark, dir), "vec_id", "embedding",
         col("id") >= NumCentroids && col("id") < NumCentroids + 4,
         col("id") < NumCentroids, col("id") < NumQueries, K, NProbe)
+      .orderBy("q_id", "rank")
+  }
+
+  /** E19 — IVF-PQ retrieval off a PERSISTED index
+    * ([[Similarity.buildIvfPqStore]]/[[Similarity.ivfPqStoredTopK]]):
+    * the production ANN split, t21b's stored-index story for vectors —
+    * the index (coarse centroids, codebook, per-vector codes with their
+    * cluster co-located) is written once; retrieval reads ONLY the
+    * store plus the 5-row runtime query frame — the embedding corpus
+    * appears nowhere in the search plan. Gated against e16's oracle
+    * verbatim, so STORE FIDELITY is itself verified: any loss in the
+    * persisted codes, clusters, or centroids breaks the hash.
+    */
+  val e19IvfPqStored: GraftQuery = GraftQuery(
+    "e19_ivfpq_stored", ivfPqOracleSql) { (spark, dir) =>
+    val store = Dsl.tempStore("e19_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", K, NProbe)
       .orderBy("q_id", "rank")
   }
 
@@ -757,5 +781,6 @@ object SimilarityQueries {
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
+    e19IvfPqStored,
     e14AnnRecall)
 }

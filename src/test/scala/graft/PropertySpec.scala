@@ -848,6 +848,26 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(q - qNum.toDouble / qDen.toDouble) == 0.0)
   }
 
+  /** e19's store fidelity: retrieval off the persisted index must
+    * return exactly the in-query e16 answer, row for row — any loss in
+    * the written codes, clusters, or centroids shows here.
+    */
+  test("e19 stored-index retrieval equals the in-query IVF-PQ answer") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val store = java.nio.file.Files.createTempDirectory("e19_spec").toString + "/index"
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val stored = Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 2)
+      .collect().map(_.toString).toSet
+    val inQuery = Similarity.knnIvfPqAdc(emb, "vec_id", "embedding",
+        col("id") >= 8 && col("id") < 12, col("id") < 8, col("id") < 5, 10, 2)
+      .collect().map(_.toString).toSet
+    assert(stored == inQuery)
+  }
+
   /** w09 with a 0-day trailing window degenerates to plain daily
     * distinct users — pins the explode-window construction against the
     * direct groupBy it generalizes.
