@@ -64,6 +64,8 @@ object ScaleBench {
     // work after the word-count agg — should track t01's scan profile);
     // t25 is two explodes into vocab²-bounded counts + a bounded top-50
     "t24_bpe_apply_merge", "t25_bigram_lm",
+    // t27: t02's per-row CASE + one map-side agg to |langs|² rows
+    "t27_langid_eval",
     // d16: hash projection + TakeOrdered per-partition heaps — should be
     // the flattest row-op profile next to d15
     "d16_exact_sample")
@@ -111,7 +113,10 @@ object ScaleBench {
     // a33 collapses to |types|×7 map-side; j11 is one user-keyed window
     // pass (both directions from the same sort); g10 is two label joins
     // + tiny per-community math
-    "a33_seasonal_index", "j11_nearest_event", "g10_modularity")
+    "a33_seasonal_index", "j11_nearest_event", "g10_modularity",
+    // x16: three store versions applied then vacuumed — the retention
+    // pass itself is O(versions) listing; applyBatch dominates
+    "x16_store_vacuum")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 

@@ -513,6 +513,41 @@ object DedupQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** X16 — versioned-store VACUUM (retention for sm07's snapshot
+    * store): three batches apply into the store (three committed
+    * versions), a retention pass keeps only the newest, and the
+    * read-back must still equal the full-history argmax — proving
+    * vacuum deletes exactly the EXPIRED versions and never the one
+    * readers resolve. The vacuum itself is pure file-listing work
+    * (O(versions), no table scan); idempotence, orphan handling and
+    * keep>1 windows are spec'd in UpsertStreamSpec.
+    */
+  val x16StoreVacuum: GraftQuery = GraftQuery(
+    "x16_store_vacuum",
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.StreamUpsert
+    val store = graft.queries.Dsl.tempStore("x16_store")
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "value")
+    val cut1 = lit("2024-01-11").cast("timestamp")
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    Seq(ev.filter(col("ts") < cut1),
+        ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+        ev.filter(col("ts") >= cut2))
+      .foreach(b => StreamUpsert.applyBatch(spark, store, b,
+        keys = Seq("user_id"), version = Seq("ts", "event_id")))
+    val deleted = StreamUpsert.vacuum(store, keepVersions = 1)
+    require(deleted.nonEmpty, "vacuum found nothing to expire — gate setup broken")
+    StreamUpsert.readSnapshot(spark, store).get
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   /** X7 — bloom-pruned semi join ([[graft.operators.BloomPrune]]): keep
     * lineitems of urgent orders. The big side is pre-pruned by a
     * codegen'd bloom probe of the small side's keys (the explicit form
@@ -617,7 +652,7 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
-    x15MergeChangeset,
+    x15MergeChangeset, x16StoreVacuum,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)

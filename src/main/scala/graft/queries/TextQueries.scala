@@ -1181,10 +1181,50 @@ object TextQueries {
       .orderBy(desc("n_12"), asc("w1"), asc("w2")).limit(50)
   }
 
+  /** T27 — LANGUAGE-ID EVALUATION (confusion matrix + per-language
+    * accuracy): t02 predicts a language per document; the corpus also
+    * CARRIES the true label — so score the classifier (the eval metric
+    * every quality/lang filter needs before it gates data: e14 is this
+    * for ANN, g10 for communities, t27 for classifiers). Emits the
+    * (true, predicted) confusion counts and each true language's
+    * accuracy in exact ppm integers.
+    *
+    * Scale shape: prediction is t02's per-row codegen'd CASE; the
+    * matrix is ONE map-side-combinable agg to ≤ |langs|² rows; the
+    * accuracy join runs on that tiny frame.
+    */
+  val t27LangIdEval: GraftQuery = GraftQuery(
+    "t27_langid_eval", {
+      val scoreE = langMarkers.map { case (l, ms) => l -> sqlLangScore("toks", ms) }
+      s"""WITH tok AS (SELECT lang, ${sqlTokens("text")} AS toks, text FROM documents),
+         |pred AS (SELECT lang, ${sqlLangPick(scoreE, "text")} AS lang_pred FROM tok),
+         |cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, SUM(n) AS n_lang,
+         |               SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS n_ok
+         |        FROM cm GROUP BY 1)
+         |SELECT cm.lang, cm.lang_pred, cm.n,
+         |       CAST((1000000 * t.n_ok) // t.n_lang AS BIGINT) AS lang_acc_ppm
+         |FROM cm JOIN tot t USING (lang)
+         |ORDER BY cm.lang, cm.lang_pred""".stripMargin
+    }) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(toks, ms) }
+    val cm = Tables.documents(spark, dir)
+      .select(col("lang"), langPick(scores, col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("lang")
+      .agg(sum("n").as("n_lang"),
+        sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L)).as("n_ok"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("CAST((1000000 * n_ok) div n_lang AS BIGINT)").as("lang_acc_ppm"))
+      .orderBy("lang", "lang_pred")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
-    t24BpeApplyMerge, t25BigramLm)
+    t24BpeApplyMerge, t25BigramLm, t27LangIdEval)
 }

@@ -62,4 +62,42 @@ object StreamUpsert {
     val next = cur.map(_ + 1).getOrElse(0)
     merged.write.mode("overwrite").parquet(f"$store/v$next%05d")
   }
+
+  /** VACUUM — retention for the versioned store: keep the newest
+    * `keepVersions` COMMITTED snapshots, delete every older version dir
+    * and every uncommitted (no `_SUCCESS`) dir — the crashed-writer
+    * orphans readers already cannot see. Never touches the latest
+    * committed version, so a concurrent [[readSnapshot]] is safe: it
+    * resolves the latest committed version, which vacuum preserves by
+    * construction. Idempotent — a re-run finds nothing older to drop.
+    *
+    * Returns the deleted directory names (deterministic order) so the
+    * caller can audit what a retention pass removed.
+    */
+  def vacuum(store: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "vacuum must keep at least the latest version")
+    val root = Paths.get(store)
+    if (!Files.isDirectory(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    val committed = dirs
+      .flatMap(p => versionOf(p.getFileName.toString).map(_ -> p))
+      .filter { case (v, _) => Files.exists(Paths.get(store, f"v$v%05d", "_SUCCESS")) }
+      .sortBy(-_._1)
+    val keep = committed.take(keepVersions).map(_._2.getFileName.toString).toSet
+    val doomed = dirs
+      .filter(p => !keep.contains(p.getFileName.toString))
+      // a version dir without _SUCCESS is an orphan (invisible to
+      // readers); a committed one outside the keep window is expired
+      .filter(p => versionOf(p.getFileName.toString).isDefined)
+      .sortBy(_.getFileName.toString)
+    doomed.foreach { d =>
+      val all = Files.walk(d)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
+    doomed.map(_.getFileName.toString)
+  }
 }

@@ -78,4 +78,41 @@ class UpsertStreamSpec extends SparkSpec {
       assert(StreamUpsert.latestVersion(store).contains(3))
     } finally q.stop()
   }
+
+  test("vacuum keeps the newest committed versions, drops expired + orphans, idempotent") {
+    val store = java.nio.file.Files
+      .createTempDirectory("ups_vacuum").toString + "/snap"
+    def versions: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(store)
+      java.nio.file.Files.list(root).iterator().asScala
+        .map(_.getFileName.toString).toSet
+    }
+    // three committed versions
+    (1 to 3).foreach { i =>
+      val b = Seq(Event(i.toLong, ts(i * 10L), i.toLong, "click", i.toDouble)).toDF()
+      StreamUpsert.applyBatch(spark, store, b, keys, ver)
+    }
+    // plus a crashed writer's orphan (no _SUCCESS)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "v00007"))
+    val before = snap(store)
+
+    // keep 2: v00002 + v00001 survive, v00000 + the orphan go
+    val deleted2 = StreamUpsert.vacuum(store, keepVersions = 2)
+    assert(deleted2 == Seq("v00000", "v00007"))
+    assert(versions == Set("v00001", "v00002"))
+    assert(snap(store) == before, "vacuum changed what readers see")
+
+    // keep 1: only the latest survives; idempotent second run
+    assert(StreamUpsert.vacuum(store, keepVersions = 1) == Seq("v00001"))
+    assert(versions == Set("v00002"))
+    assert(StreamUpsert.vacuum(store, keepVersions = 1).isEmpty)
+    assert(snap(store) == before)
+
+    // and the store keeps working after retention: a new batch lands v00003
+    StreamUpsert.applyBatch(spark, store,
+      Seq(Event(9, ts(90), 9, "buy", 9.0)).toDF(), keys, ver)
+    assert(StreamUpsert.latestVersion(store).contains(3))
+    assert(snap(store) == before + ((9L, ts(90), 9L, "buy", 9.0)))
+  }
 }
