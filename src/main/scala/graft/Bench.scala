@@ -50,7 +50,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // benchQueries, not queries: ε-band gates (a05b/a06b/a31b) declare a
+    // production form via GraftQuery.benchAs — the bench times what a
+    // deployment runs; the banded gate form stays Verify's job
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var failed = false

@@ -10,7 +10,20 @@ import org.apache.spark.sql.functions._
 final case class GraftQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    bench: Option[(SparkSession, String) => DataFrame] = None) {
+  /** Declare a production benchmark form distinct from the gate form.
+    *
+    * ε-band gates (a05b/a06b/a31b) compute exact twins PURELY to prove
+    * the sketch correct — rank windows and countDistinct the production
+    * deployment never runs. Benching the gate form times that proof, not
+    * the operator (r8's a05b 3.1 s is ~90% band computation). `benchAs`
+    * points Bench at the production plan while CORRECTNESS still gates
+    * the banded form — no query loses its oracle.
+    */
+  def benchAs(fn: (SparkSession, String) => DataFrame): GraftQuery =
+    copy(bench = Some(fn))
+}
 
 object GraftQuery {
   def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): GraftQuery =

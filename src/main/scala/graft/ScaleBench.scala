@@ -179,7 +179,10 @@ object ScaleBench {
         // columns, deleting windows/projections from the executed plan —
         // w02/w07 "flat" rows at 10M events were grid cardinality, not
         // the operator (see Eval.forcedCount)
-        q -> (() => graft.Eval.forcedCount(SparkEntry.queries(q)(spark, dir)))
+        // benchQueries: ε-band gates measure their PRODUCTION form here
+        // too — growth curves of the band proof would mis-grade the
+        // operator (same rationale as Bench's benchAs split)
+        q -> (() => graft.Eval.forcedCount(SparkEntry.benchQueries(q)(spark, dir)))
       }
       val planes = 6 + (math.log(factor.toDouble) / math.log(2.0)).round.toInt
       // k ∝ √n balances BRUTE SemDeDup's two stages (assignment n·k,

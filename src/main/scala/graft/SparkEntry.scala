@@ -39,4 +39,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** What Bench times: the production form where one is declared
+    * ([[GraftQuery.benchAs]] — the ε-band gates whose exact twins exist
+    * only to prove the sketch), the gate form everywhere else.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.bench.getOrElse(q.run)).toMap
 }

@@ -161,6 +161,29 @@ object AnalyticsQueries {
     * (wrong column, wrong accuracy, swapped quantiles) flips a flag and
     * fails the hash.
     */
+  /** a05b's long (metric, value) frame — shared by the gate and the
+    * production bench form. */
+  private def a05bLong(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(explode(array(
+      struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
+      struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
+    )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
+
+  /** a05b's PRODUCTION plan: one map-side-combinable agg with the GK
+    * percentile sketch — what a deployment runs and what Bench times
+    * (benchAs). The exact ε-band twins live only in the gate form.
+    */
+  private def a05bApprox(long: DataFrame, accuracy: Int): DataFrame =
+    long.groupBy("metric").agg(
+      count(lit(1)).as("cnt"),
+      avg("value").as("mean_a"),
+      stddev_samp(col("value")).as("std_a"),
+      min("value").as("min_v"),
+      percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("q"),
+      max("value").as("max_v"))
+
   val a05bDescribeApprox: GraftQuery = GraftQuery(
     "a05b_describe_approx",
     """WITH long AS (
@@ -174,19 +197,9 @@ object AnalyticsQueries {
       |FROM long GROUP BY metric ORDER BY metric""".stripMargin) { (spark, dir) =>
     val accuracy = 10000
     val eps = 1.0 / accuracy // published rank error of percentile_approx
-    val long = Tables.lineitem(spark, dir).select(explode(array(
-      struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
-      struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
-    )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val long = a05bLong(spark, dir)
     // the production plan under test: ONE map-side-combinable pass
-    val approx = long.groupBy("metric").agg(
-      count(lit(1)).as("cnt"),
-      avg("value").as("mean_a"),
-      stddev_samp(col("value")).as("std_a"),
-      min("value").as("min_v"),
-      percentile_approx(col("value"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("q"),
-      max("value").as("max_v"))
+    val approx = a05bApprox(long, accuracy)
     // gate-only exact twins: decimal moment sums + rank-window order
     // statistics at the band edges
     val moments = long.groupBy("metric").agg(
@@ -227,7 +240,7 @@ object AnalyticsQueries {
         inBand(col("q")(1), col("med_lo"), col("med_hi")).as("median_ok"),
         inBand(col("q")(2), col("q3_lo"), col("q3_hi")).as("q3_ok"))
       .orderBy("metric")
-  }
+  }.benchAs((spark, dir) => a05bApprox(a05bLong(spark, dir), 10000))
 
   /** A6 — per-column profile: non-null / null / distinct counts (ref:
     * ExploratoryAnalysis.py:34-44). Exact distinct for the oracle; the
@@ -794,6 +807,19 @@ object AnalyticsQueries {
         .select(lit(c).as("col_name"), col("non_null"), col("nulls"),
           (abs(col("ad") - col("ed")) <= lit(band) * col("ed"))
             .cast("long").as("band_ok"))
+    }.reduce(_ unionByName _).orderBy("col_name")
+  }.benchAs { (spark, dir) =>
+    // production form: HLL sketches only — the exact countDistinct
+    // passes above exist purely to band-check the sketch for the gate
+    val ev = Tables.events(spark, dir)
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    cols.map { c =>
+      ev.agg(
+        count(col(c)).as("non_null"),
+        (count(lit(1)) - count(col(c))).as("nulls"),
+        approx_count_distinct(col(c), 0.02).as("approx_distinct"))
+        .select(lit(c).as("col_name"), col("non_null"), col("nulls"),
+          col("approx_distinct"))
     }.reduce(_ unionByName _).orderBy("col_name")
   }
 
@@ -1382,6 +1408,27 @@ object AnalyticsQueries {
           .when(col("lift_num") < col("lift_den"), -1).otherwise(0))
   }
 
+  /** a31/a31b's shared upstream: the per-user (user_id, lag_us) table of
+    * first-click→first-subsequent-purchase microsecond lags, plus the
+    * first-click table (clicker denominator). Two filtered keyed MIN
+    * aggs and one keyed join, all on user_id — map-side combinable,
+    * partition-parallel at any scale.
+    */
+  private def conversionLags(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir)
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts"))
+      .join(fc, col("p_user") === col("user_id") && col("ts") >= col("c_ts"))
+      .groupBy(col("p_user")).agg(min(col("ts")).as("p_ts"))
+    val lagt = fc.join(fp, col("user_id") === col("p_user"))
+      .select(col("user_id"),
+        (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lag_us"))
+    (lagt, fc)
+  }
+
   /** A31 — TIME-TO-CONVERT distribution: per user, the exact microsecond
     * lag from FIRST click to the first purchase at-or-after it; the
     * readout is the conversion funnel's latency profile (clicker count,
@@ -1393,8 +1440,9 @@ object AnalyticsQueries {
     * Scale shape: two filtered keyed MIN aggs (map-side combinable) and
     * one keyed join, all on user_id; the one unpartitioned window runs
     * on |converters| rows — the gate-exactness cost (a05's documented
-    * convention); production swaps it for `approx_percentile` over the
-    * same per-user lag table without touching the upstream plan.
+    * convention), |converters| being O(users), NOT bounded. The
+    * production deployment is [[a31bConversionLagApprox]]: same upstream
+    * plan, GK sketch instead of the global rank window (VERDICT r8 #2).
     */
   val a31ConversionLag: GraftQuery = GraftQuery(
     "a31_conversion_lag",
@@ -1418,16 +1466,7 @@ object AnalyticsQueries {
       |       MIN(lag_us) AS min_us, MAX(lag_us) AS max_us
       |FROM r CROSS JOIN (SELECT COUNT(*) AS n_clickers FROM fc) c
       |GROUP BY c.n_clickers""".stripMargin) { (spark, dir) =>
-    val ev = Tables.events(spark, dir)
-    val fc = ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
-    val fp = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts"))
-      .join(fc, col("p_user") === col("user_id") && col("ts") >= col("c_ts"))
-      .groupBy(col("p_user")).agg(min(col("ts")).as("p_ts"))
-    val lagt = fc.join(fp, col("user_id") === col("p_user"))
-      .select(col("user_id"),
-        (expr("unix_micros(p_ts)") - expr("unix_micros(c_ts)")).as("lag_us"))
+    val (lagt, fc) = conversionLags(spark, dir)
     val r = lagt.select(col("lag_us"),
       row_number().over(Window.orderBy("lag_us", "user_id")).as("rn"),
       count(lit(1)).over(Window.partitionBy()).as("n"))
@@ -1440,6 +1479,81 @@ object AnalyticsQueries {
         pick(0.9).as("p90_us"), min(col("lag_us")).as("min_us"),
         max(col("lag_us")).as("max_us"))
   }
+
+  /** a31b's PRODUCTION plan: a31's upstream (keyed MIN aggs + keyed
+    * join) feeding ONE map-side-combinable global agg with the GK
+    * percentile sketch — no window anywhere, nothing ∝ |converters| on
+    * a single reducer. This is what Bench times (benchAs).
+    */
+  private def a31bApprox(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, accuracy: Int): DataFrame = {
+    val (lagt, fc) = conversionLags(spark, dir)
+    lagt.crossJoin(broadcast(fc.agg(count(lit(1)).as("n_clickers"))))
+      .groupBy("n_clickers")
+      .agg(count(lit(1)).as("n_converters"),
+        percentile_approx(col("lag_us"), array(lit(0.5), lit(0.9)),
+          lit(accuracy)).as("q"),
+        min(col("lag_us")).as("min_us"), max(col("lag_us")).as("max_us"))
+  }
+
+  /** A31B — conversion-lag percentiles AT SCALE: the a05b treatment
+    * applied to a31 (VERDICT r8 #2). a31's exact p50/p90 rank over ONE
+    * unpartitioned window of |converters| rows — O(users) on a single
+    * reducer, the suite's only unbounded global sort. The production
+    * path here replaces the window with `percentile_approx` inside the
+    * same global agg: map-side-combinable GK sketches, no sort, no
+    * single-reducer stage.
+    *
+    * ε-band oracle (a05b's convention): sketch outputs are
+    * engine-specific, so the gate exports pass/fail flags — each approx
+    * quantile must lie between the exact order statistics at ranks
+    * (p∓3/B)·n (∓1 rank-convention slack). The exact edges are computed
+    * with a31's rank window IN THE GATE FORM ONLY; `benchAs` points the
+    * bench at the sketch-only production plan.
+    */
+  val a31bConversionLagApprox: GraftQuery = GraftQuery(
+    "a31b_conversion_lag_approx",
+    """WITH fc AS (
+      |  SELECT user_id, MIN(ts) AS c_ts FROM events
+      |  WHERE event_type = 'click' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= fc.c_ts GROUP BY 1),
+      |lagt AS (
+      |  SELECT fc.user_id, epoch_us(p_ts) - epoch_us(c_ts) AS lag_us
+      |  FROM fc JOIN fp ON fc.user_id = fp.user_id)
+      |SELECT c.n_clickers, COUNT(*) AS n_converters,
+      |       MIN(lag_us) AS min_us, MAX(lag_us) AS max_us,
+      |       CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+      |FROM lagt CROSS JOIN (SELECT COUNT(*) AS n_clickers FROM fc) c
+      |GROUP BY c.n_clickers""".stripMargin) { (spark, dir) =>
+    val accuracy = 10000
+    val eps = 1.0 / accuracy
+    val approx = a31bApprox(spark, dir, accuracy)
+    // gate-only exact band edges: values at the sketch's rank-error
+    // bounds, via a31's global rank window (the proof, not the product)
+    val (lagt, _) = conversionLags(spark, dir)
+    val ranked = lagt
+      .withColumn("rn", row_number().over(Window.orderBy("lag_us", "user_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def edge(p: Double, nm: String): Seq[Column] = {
+      val lo = greatest(lit(1L),
+        floor((lit(p) - 3 * eps) * col("n")).cast("long") - 1)
+      val hi = least(col("n"), ceil((lit(p) + 3 * eps) * col("n")).cast("long") + 1)
+      Seq(max(when(col("rn") === lo, col("lag_us"))).as(s"${nm}_lo"),
+        max(when(col("rn") === hi, col("lag_us"))).as(s"${nm}_hi"))
+    }
+    val bands = ranked.agg(edge(0.5, "p50").head,
+      (edge(0.5, "p50").tail ++ edge(0.9, "p90")): _*)
+    def inBand(v: Column, lo: Column, hi: Column): Column =
+      (lo <= v && v <= hi).cast("long")
+    approx.crossJoin(broadcast(bands))
+      .select(col("n_clickers"), col("n_converters"),
+        col("min_us"), col("max_us"),
+        inBand(col("q")(0), col("p50_lo"), col("p50_hi")).as("p50_ok"),
+        inBand(col("q")(1), col("p90_lo"), col("p90_hi")).as("p90_ok"))
+  }.benchAs((spark, dir) => a31bApprox(spark, dir, 10000))
 
   /** A32 — LAST-TOUCH ATTRIBUTION: for every converting user, the event
     * immediately preceding their FIRST purchase in transaction order
@@ -1763,12 +1877,18 @@ object AnalyticsQueries {
     * latency pipelines actually ship at scale.
     *
     * Determinism: cents = exact DECIMAL(18,2) scaling of the double
-    * (never float·100); bucket id = (digit count, leading two digits)
-    * via string math — integer-exact in both engines; percentile
-    * thresholds via integer ⌈⌉ division. No float appears anywhere.
+    * (never float·100); bucket id = (sign, digit count, leading two
+    * digits) via string math on |cents| — integer-exact in both
+    * engines, and the SIGN is a separate bucket component (ADVICE r8:
+    * bucketing the signed string would glue '-' into the prefix and
+    * misorder the cumulative walk), so the operator is correct over
+    * the full signed domain, not just this corpus's value ≥ 0.01;
+    * percentile thresholds via integer ⌈⌉ division. No float appears
+    * anywhere. PropertySpec checks the signed domain against a
+    * driver-side brute force.
     *
     * Scale shape: the corpus collapses to |types|×|buckets| rows
-    * (≤ ~180/type at 2-digit precision) in ONE map-side-combinable
+    * (≤ ~360/type at 2-digit precision) in ONE map-side-combinable
     * agg; the cumulative window and the threshold picks run on that
     * tiny frame.
     */
@@ -1780,19 +1900,25 @@ object AnalyticsQueries {
       |  FROM events),
       |b AS (
       |  SELECT event_type,
-      |         LENGTH(CAST(cents AS VARCHAR)) AS m,
-      |         CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 2) AS BIGINT) AS sub,
+      |         CASE WHEN cents < 0 THEN -1 WHEN cents > 0 THEN 1 ELSE 0 END AS sgn,
+      |         LENGTH(CAST(ABS(cents) AS VARCHAR)) AS m,
+      |         CAST(SUBSTRING(CAST(ABS(cents) AS VARCHAR), 1, 2) AS BIGINT) AS sub,
       |         COUNT(*) AS n_b
-      |  FROM c GROUP BY 1, 2, 3),
+      |  FROM c GROUP BY 1, 2, 3, 4),
       |ub AS (
-      |  SELECT event_type, m, sub, n_b,
-      |         CASE WHEN m <= 2 THEN sub
-      |              ELSE (sub + 1) * CAST(POWER(10, m - 2) AS BIGINT) - 1
+      |  SELECT event_type, sgn, m, sub, n_b,
+      |         CASE WHEN sgn >= 0 THEN
+      |                CASE WHEN m <= 2 THEN sub
+      |                     ELSE (sub + 1) * CAST(POWER(10, m - 2) AS BIGINT) - 1 END
+      |              ELSE
+      |                CASE WHEN m <= 2 THEN -sub
+      |                     ELSE -(sub * CAST(POWER(10, m - 2) AS BIGINT)) END
       |         END AS ub_cents
       |  FROM b),
       |cum AS (
       |  SELECT event_type, ub_cents, n_b,
-      |         SUM(n_b) OVER (PARTITION BY event_type ORDER BY m, sub
+      |         SUM(n_b) OVER (PARTITION BY event_type
+      |           ORDER BY sgn, sgn * m, sgn * sub
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
       |         SUM(n_b) OVER (PARTITION BY event_type) AS n
       |  FROM ub)
@@ -1801,18 +1927,35 @@ object AnalyticsQueries {
       |       MIN(CASE WHEN cum_n >= (95 * n + 99) // 100 THEN ub_cents END) AS p95_cents,
       |       MIN(CASE WHEN cum_n >= (99 * n + 99) // 100 THEN ub_cents END) AS p99_cents
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val cents = Tables.events(spark, dir)
+    hdrCentsPercentiles(Tables.events(spark, dir)
       .select(col("event_type"),
-        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("cents")))
+  }
+
+  /** The a36 histogram as a reusable operator over a (event_type,
+    * cents) frame — full signed domain. Buckets are (sign, |digit
+    * count|, leading two digits of |cents|); the cumulative walk orders
+    * by (sgn, sgn·m, sgn·sub), which is ascending VALUE order on both
+    * sides of zero (larger-magnitude negative buckets first), and each
+    * bucket reports its value-space UPPER bound (for negatives, the
+    * end closest to zero: −sub·10^(m−2)).
+    */
+  def hdrCentsPercentiles(cents: DataFrame): DataFrame = {
+    val p10 = pow(lit(10), col("m") - 2).cast("bigint")
     val b = cents
       .select(col("event_type"),
-        length(col("cents").cast("string")).as("m"),
-        substring(col("cents").cast("string"), 1, 2).cast("bigint").as("sub"))
-      .groupBy("event_type", "m", "sub").agg(count(lit(1)).as("n_b"))
+        when(col("cents") < 0, -1).when(col("cents") > 0, 1)
+          .otherwise(0).as("sgn"),
+        length(abs(col("cents")).cast("string")).as("m"),
+        substring(abs(col("cents")).cast("string"), 1, 2).cast("bigint").as("sub"))
+      .groupBy("event_type", "sgn", "m", "sub").agg(count(lit(1)).as("n_b"))
       .withColumn("ub_cents",
-        when(col("m") <= 2, col("sub"))
-          .otherwise((col("sub") + 1) * pow(lit(10), col("m") - 2).cast("bigint") - 1))
-    val cumW = Window.partitionBy("event_type").orderBy("m", "sub")
+        when(col("sgn") >= 0,
+          when(col("m") <= 2, col("sub")).otherwise((col("sub") + 1) * p10 - 1))
+          .otherwise(
+            when(col("m") <= 2, -col("sub")).otherwise(-(col("sub") * p10))))
+    val cumW = Window.partitionBy("event_type")
+      .orderBy(col("sgn"), col("sgn") * col("m"), col("sgn") * col("sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy("event_type")
     val cum = b
@@ -2173,7 +2316,8 @@ object AnalyticsQueries {
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,
-    a29Transitions, a30AbLift, a31ConversionLag, a32Attribution, a33SeasonalIndex,
+    a29Transitions, a30AbLift, a31ConversionLag, a31bConversionLagApprox,
+    a32Attribution, a33SeasonalIndex,
     a34TrendSlope, a35SourceHhi,
     a36HdrPercentiles, a37AssocLift, j02TimeAlign, j11NearestEvent,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,

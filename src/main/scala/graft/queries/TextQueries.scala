@@ -873,9 +873,28 @@ object TextQueries {
     * postings store is additionally bucketed by term so a query touches
     * only its terms' files (the t19 block note).
     */
+  /** Term → postings-partition id: the hash-bucket layout key. Plain
+    * `hash` (Murmur3, seed 42) so build and retrieval agree byte-for-byte;
+    * pmod keeps it non-negative for directory names.
+    */
+  private def termBucket(term: org.apache.spark.sql.Column,
+                         buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(term), lit(buckets)).cast("int")
+
+  /** Postings-store bucket count. At the gate SF a handful of files per
+    * bucket; at 100 TB this is the knob that sizes per-bucket file counts
+    * (buckets ∝ vocabulary mass, like any term-sharded inverted index).
+    */
+  val Bm25Buckets = 16
+
   /** The offline half of t21b: postings (with `dl` denormalized), term
     * dfs, and the 1-row corpus stats, written under `store`. Amortized
-    * across every query the index will ever serve.
+    * across every query the index will ever serve. Postings are
+    * TERM-BUCKET PARTITIONED (`bucket = pmod(hash(term), B)`,
+    * `partitionBy`) so retrieval scopes its scan to the query terms'
+    * buckets via static partition pruning — the io07 layout applied to
+    * the index store itself; a flat layout would pay O(store) I/O per
+    * query at 100 TB (VERDICT r8 #1a).
     */
   def bm25BuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      store: String): Unit = {
@@ -884,7 +903,16 @@ object TextQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tfc.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tfc.join(dl, "doc_id").write.mode("overwrite").parquet(s"$store/postings")
+    tfc.join(dl, "doc_id")
+      .withColumn("bucket", termBucket(col("term"), Bm25Buckets))
+      // cluster rows by their target directory first: without it every
+      // write task opens a file in every bucket dir (tasks×buckets small
+      // files + committer overhead — measured ~2× on the build leg);
+      // with it, file count ∝ buckets. At 100 TB the same repartition is
+      // what bounds files-per-bucket.
+      .repartition(Bm25Buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$store/postings")
     tfc.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$store/terms")
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
@@ -894,13 +922,28 @@ object TextQueries {
 
   /** The online half of t21b: reads ONLY the store — one broadcast of
     * (4 query terms + stats) against the postings, keyed agg,
-    * TakeOrdered. No corpus scan, no dl join (denormalized at build).
+    * TakeOrdered. No corpus scan, no dl join (denormalized at build),
+    * and the postings scan is PARTITION-PRUNED to the query terms'
+    * buckets: the bucket set is a literal IN resolved against directory
+    * names at planning time (`PartitionFilters` — PlanSpec pins it), so
+    * unmatched buckets' files are never listed, let alone read.
+    * Retrieval I/O is ∝ the matched buckets, not the store.
     */
   def bm25Retrieve(spark: org.apache.spark.sql.SparkSession,
                    store: String): org.apache.spark.sql.DataFrame = {
-    val post = spark.read.parquet(s"$store/postings")
-    val q = spark.read.parquet(s"$store/terms")
+    val qDisk = spark.read.parquet(s"$store/terms")
       .orderBy(desc("df"), asc("term")).limit(4)
+    // the query side is limit(4) — collect it once, re-materialize as a
+    // local frame (it is the broadcast side regardless), and resolve its
+    // buckets driver-side: that literal IN is what buys STATIC partition
+    // pruning on the postings scan
+    val qRows = qDisk.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qDisk.schema)
+    val qBuckets = q.select(termBucket(col("term"), Bm25Buckets))
+      .collect().map(_.getInt(0)).distinct.sorted
+    val post = spark.read.parquet(s"$store/postings")
+      .filter(col("bucket").isin(qBuckets.map(Int.box): _*))
     val stats = spark.read.parquet(s"$store/stats")
     val tfd = col("tf").cast("double")
     val sd = col("s_tokens").cast("double")

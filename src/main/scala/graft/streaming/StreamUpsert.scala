@@ -28,9 +28,12 @@ import java.nio.file.{Files, Paths}
   */
 object StreamUpsert {
 
+  // toIntOption + length guard: a dir named exactly "v" (empty digit
+  // suffix passes forall) or one with an overflowing digit run must be
+  // SKIPPED as a non-version entry, not crash the whole retention pass
   private def versionOf(name: String): Option[Int] =
-    if (name.startsWith("v") && name.drop(1).forall(_.isDigit))
-      Some(name.drop(1).toInt)
+    if (name.length > 1 && name.startsWith("v") && name.drop(1).forall(_.isDigit))
+      name.drop(1).toIntOption
     else None
 
   /** Highest committed (has `_SUCCESS`) snapshot version, if any. */
@@ -64,12 +67,20 @@ object StreamUpsert {
   }
 
   /** VACUUM — retention for the versioned store: keep the newest
-    * `keepVersions` COMMITTED snapshots, delete every older version dir
-    * and every uncommitted (no `_SUCCESS`) dir — the crashed-writer
-    * orphans readers already cannot see. Never touches the latest
-    * committed version, so a concurrent [[readSnapshot]] is safe: it
-    * resolves the latest committed version, which vacuum preserves by
-    * construction. Idempotent — a re-run finds nothing older to drop.
+    * `keepVersions` COMMITTED snapshots, delete every older committed
+    * version dir, and delete an uncommitted (no `_SUCCESS`) dir ONLY
+    * when its version is at most the newest committed version — such a
+    * dir can only be a crashed writer's orphan, because the store is
+    * SINGLE-WRITER ([[applyBatch]] runs inside one foreachBatch loop)
+    * and the one live writer, if any, is writing `newest_committed + 1`,
+    * which has no `_SUCCESS` until its commit. Deleting by version-age
+    * instead of by bare commit-marker absence is what makes vacuum safe
+    * to race a live writer: the in-flight dir is spared, and a crashed
+    * orphan above the committed frontier is collected on the pass after
+    * the next successful commit overtakes it. Concurrent readers are
+    * safe for the same reason as before — [[readSnapshot]] resolves the
+    * latest committed version, which vacuum preserves by construction.
+    * Idempotent — a re-run finds nothing older to drop.
     *
     * Returns the deleted directory names (deterministic order) so the
     * caller can audit what a retention pass removed.
@@ -85,12 +96,19 @@ object StreamUpsert {
       .flatMap(p => versionOf(p.getFileName.toString).map(_ -> p))
       .filter { case (v, _) => Files.exists(Paths.get(store, f"v$v%05d", "_SUCCESS")) }
       .sortBy(-_._1)
+    val newestCommitted = committed.headOption.map(_._1)
     val keep = committed.take(keepVersions).map(_._2.getFileName.toString).toSet
     val doomed = dirs
       .filter(p => !keep.contains(p.getFileName.toString))
-      // a version dir without _SUCCESS is an orphan (invisible to
-      // readers); a committed one outside the keep window is expired
-      .filter(p => versionOf(p.getFileName.toString).isDefined)
+      .flatMap(p => versionOf(p.getFileName.toString).map(_ -> p))
+      .filter { case (v, p) =>
+        // committed outside the keep window → expired; uncommitted →
+        // only a crashed-writer orphan if the committed frontier has
+        // reached or passed it (the live writer writes newest+1; with
+        // no committed version at all, v00000 may be in flight — spare)
+        Files.exists(p.resolve("_SUCCESS")) || newestCommitted.exists(v <= _)
+      }
+      .map(_._2)
       .sortBy(_.getFileName.toString)
     doomed.foreach { d =>
       val all = Files.walk(d)

@@ -171,6 +171,25 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 3)
   }
 
+  test("trainIvfCentroids fails fast above the driver model budget") {
+    // 8 rows of 1024-d vectors, k=8: model = 8×1024×4 = 32 KB — over a
+    // 16 KB budget the guard must reject BEFORE any collect (VERDICT r8
+    // #6: the k×dims model is driver state every round; oversized k
+    // would otherwise OOM quietly)
+    val vecs = (0L until 8L)
+      .map(i => (i, Seq.tabulate(1024)(d => (i + d).toFloat)))
+      .toDF("vid", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(vecs, "vid", "emb", k = 8, iters = 1,
+        maxModelBytes = 16L << 10)
+    }
+    assert(e.getMessage.contains("1024") && e.getMessage.contains("k ∝ √n"))
+    // under a budget that admits the model it still trains
+    val ok = Similarity.trainIvfCentroids(vecs, "vid", "emb", k = 2, iters = 1,
+      maxModelBytes = 16L << 10)
+    assert(ok.count() == 2)
+  }
+
   test("semDedupRemovalsTwoLevel ≡ brute semDedupRemovals on separated clusters") {
     // four orthogonal-axis clusters of near-duplicates in 8 dims; the
     // first member of each cluster (ids 0..3) is a centroid. With

@@ -227,6 +227,94 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("lang"), s"io07: lang not in PartitionFilters: $pf")
   }
 
+  /** Suite-wide single-reducer-window audit (VERDICT r8 #8): a Window
+    * with an EMPTY partition spec funnels its whole input through ONE
+    * reducer — fine when the input is provably collapsed to a bounded
+    * row count first (|days|, |buckets|, |batches| carry windows), a
+    * scale killer when it is O(corpus) (the a31 shape). The audit
+    * flags every empty-partition logical Window outside the allowlist,
+    * and fails on STALE allowlist entries too, so a fixed query can't
+    * keep its exemption.
+    */
+  test("no unpartitioned window outside collapsed-frame allowlist (suite-wide audit)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // name -> why the empty-partition window is safe at 100 TB
+    val collapsed: Map[String, String] = Map(
+      "w05_cumulative_uniques" ->
+        "carry window over the |days| daily-aggregate frame (bounded by calendar, not corpus)",
+      "w08_max_concurrency" ->
+        "two-pass prefix sum: carry window over |days| per-day partials only",
+      "st04_late_profile" ->
+        "carry window over the |batches| micro-batch summary frame",
+      "t16_bpe_merge_round" ->
+        "rank window AFTER TakeOrdered(20) — touches exactly 20 surviving rows",
+      "t24_bpe_apply_merge" ->
+        "argmax-merge pick over the alphabet^2-bounded pair table (map-side-collapsed)",
+      "a31_conversion_lag" ->
+        "gate-exactness form (documented a05 convention); production twin a31b benches window-free",
+      "a31b_conversion_lag_approx" ->
+        "band-edge proof only — benchAs form is the sketch agg, no window in the production plan")
+    val offenders = (PlanDump.AuditQueries :+ "a31b_conversion_lag_approx")
+      .flatMap { n =>
+        val df = SparkEntry.queries(n)(spark, sf)
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(n) else None
+      }.toSet
+    val unexplained = offenders -- collapsed.keySet
+    val stale = collapsed.keySet -- offenders
+    assert(unexplained.isEmpty,
+      s"unpartitioned windows need a collapsed-frame justification: $unexplained")
+    assert(stale.isEmpty,
+      s"stale allowlist entries (window no longer in plan): $stale")
+    // the a31b exemption's premise must hold: its PRODUCTION (benchAs)
+    // plan carries no unpartitioned window at all
+    val prod = SparkEntry.benchQueries("a31b_conversion_lag_approx")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+    assert(prod.isEmpty,
+      "a31b production form must be window-free (sketch agg only)")
+  }
+
+  /** VERDICT r8 #1: the stored indexes apply io07's layout to THEMSELVES.
+    * t21b's postings store is term-bucket partitioned and the retrieval
+    * scan must be statically pruned to the query terms' buckets — the
+    * difference between O(matched buckets) and O(store) I/O per query at
+    * 100 TB. The pin requires the bucket IN-list in `PartitionFilters`
+    * (directory-name resolution at planning time), not a post-scan
+    * filter, and the corpus absent from the retrieval plan entirely.
+    */
+  test("t21b retrieval prunes the postings store to the query terms' buckets") {
+    val plan = planOf("t21b_bm25_stored")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("bucket#") && pf.contains(" IN "),
+      s"t21b: no static bucket IN-list in PartitionFilters:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"t21b: retrieval plan scans the corpus, not just the store:\n$plan")
+  }
+
+  /** Same pin for e19: the IVF-PQ codes store is cluster-partitioned and
+    * the search scan must be statically pruned to the probed clusters —
+    * search I/O ∝ nprobe × cluster size, with the corpus nowhere in the
+    * plan.
+    */
+  test("e19 search prunes the codes store to the probed clusters") {
+    val plan = planOf("e19_ivfpq_stored")
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cluster#") && pf.contains(" IN "),
+      s"e19: no static cluster IN-list in PartitionFilters:\n$plan")
+    // the corpus appears ONLY as the 5-row runtime query frame (pushed
+    // vec_id bound) — never as an unbounded search-side scan
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("embeddings.parquet")).toSeq
+    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("LessThan(vec_id")),
+      s"e19: an embeddings scan without the query-side bound:\n$plan")
+  }
+
   /** Dynamic partition pruning: when the partition predicate arrives via
     * a JOIN (star-schema: fact partitioned by key, dim carries the
     * selective filter), Spark plants a runtime subquery filter on the

@@ -713,12 +713,25 @@ class PropertySpec extends SparkSpec {
         assert(java.lang.Long.bitCount(x) == 1, s"extra $id for $q at hamming != 1")
       }
     }
-    // and the real operator returns at least e02's recall for every query
-    val e02 = Similarity.knnLsh(emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val e18 = Similarity.knnLshMultiProbe(emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64)
-    val e18Cand = e18.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(e18Cand.nonEmpty && e02.nonEmpty)
+    // operator-level dominance (ADVICE r8): e18's candidate pool is a
+    // per-query SUPERSET of e02's (proven on the bucket sets above), so
+    // its ranked cosine sequence must dominate e02's pointwise — for
+    // every query and every rank both return, e18's cosine >= e02's,
+    // and e18 never returns FEWER neighbors
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getAs[Number](3).doubleValue()))
+      .toMap
+    val e02 = ranked(Similarity.knnLsh(
+      emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64))
+    val e18 = ranked(Similarity.knnLshMultiProbe(
+      emb, "vec_id", "embedding", col("id") < 5, 10, planes, 64))
+    assert(e02.nonEmpty && e18.nonEmpty)
+    assert(e02.keySet.subsetOf(e18.keySet),
+      "e18 returned fewer (query, rank) slots than e02")
+    e02.foreach { case (qr, c02) =>
+      assert(e18(qr) >= c02,
+        s"e18 cosine ${e18(qr)} < e02 cosine $c02 at (query, rank)=$qr")
+    }
   }
 
   /** x15's MERGE semantics: with no tombstones it equals latestWins
@@ -797,16 +810,25 @@ class PropertySpec extends SparkSpec {
     val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
     val hour = 3600000000L
     val expect = ev.filter(_._4 == "purchase").flatMap { case (u, pid, pts, _) =>
-      val cands = clicksByUser.getOrElse(u, Array.empty)
-        .map { case (_, cid, cts, _) => (math.abs(pts - cts), cts, cid) }
-        .filter(_._1 <= hour)
-      if (cands.isEmpty) None
-      else {
-        // nearest; tie → earlier ts; further tie → the window's own
-        // (ts, event_id) order makes the lower id the prev side
-        val best = cands.minBy { case (d, cts, cid) => (d, cts, cid) }
-        Some((pid, best._3, best._1))
-      }
+      val clicks = clicksByUser.getOrElse(u, Array.empty)
+        .map { case (_, cid, cts, _) => (cts, cid) }
+      // mirror the window EXACTLY (ADVICE r8): prev = LAST click at or
+      // before the purchase in (ts, event_id) order — equal-ts clicks
+      // resolve to the HIGHEST id on the prev side — next = FIRST click
+      // after (lowest id); then prev wins a distance tie (dp <= dn).
+      // The old minBy((d, cts, cid)) picked the LOWEST id among
+      // same-ts equal-distance clicks — a latent mismatch.
+      val prevC = clicks.filter(c => c._1 < pts || (c._1 == pts && c._2 < pid))
+        .sortBy(identity).lastOption
+      val nextC = clicks.filter(c => c._1 > pts || (c._1 == pts && c._2 > pid))
+        .sortBy(identity).headOption
+      val dp = prevC.map(pts - _._1)
+      val dn = nextC.map(_._1 - pts)
+      if (dp.exists(_ <= hour) &&
+          (dn.isEmpty || dn.get > hour || dp.get <= dn.get))
+        Some((pid, prevC.get._2, dp.get))
+      else if (dn.exists(_ <= hour)) Some((pid, nextC.get._2, dn.get))
+      else None
     }.toSet
     val got = SparkEntry.queries("j11_nearest_event")(spark, dir)
       .select("event_id", "click_id", "dist_us").collect()
@@ -885,5 +907,59 @@ class PropertySpec extends SparkSpec {
       .agg(countDistinct(col("user_id")).as("wau"))
       .collect().map(_.toString).toSet
     assert(viaExplode == direct)
+  }
+
+  /** a36's histogram must hold over the FULL signed domain (ADVICE r8:
+    * the pre-fix string bucketing glued '-' into the digit prefix,
+    * misordering the cumulative walk): sign-split buckets, value-order
+    * cumulative sum, negative buckets reporting their toward-zero end —
+    * checked against a driver-side brute force of the same semantics,
+    * and the reported bound must dominate the exact percentile.
+    */
+  test("a36 histogram is correct on negative/zero cents (signed-domain brute force)") {
+    import spark.implicits._
+    val vals: Seq[Long] = Seq(-987654L, -100L, -99L, -50L, -12L, -1L, 0L, 1L,
+      9L, 10L, 55L, 99L, 100L, 101L, 999L, 1000L, 123456L, 999999L)
+    val df = Seq("a", "b").flatMap(t => vals.map(v => (t, v)))
+      .toDF("event_type", "cents")
+    val got = graft.queries.AnalyticsQueries.hdrCentsPercentiles(df)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def pow10(e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * 10)
+    def bucket(c: Long): (Int, Int, Long) = {
+      val s = math.abs(c).toString
+      (java.lang.Long.signum(c), s.length, s.take(2).toLong)
+    }
+    def ub(b: (Int, Int, Long)): Long = b match {
+      case (sgn, m, sub) =>
+        if (sgn >= 0) { if (m <= 2) sub else (sub + 1) * pow10(m - 2) - 1 }
+        else { if (m <= 2) -sub else -(sub * pow10(m - 2)) }
+    }
+    val buckets = vals.groupBy(bucket).toSeq
+      .map { case (b, vs) => (b, vs.size.toLong) }
+      .sortBy { case ((sgn, m, sub), _) => (sgn, sgn * m, sgn * sub) }
+    // the bucket walk must be ascending in VALUE: every bucket's upper
+    // bound strictly below the next bucket's
+    buckets.map(b => ub(b._1)).sliding(2).foreach {
+      case Seq(a, b) => assert(a < b, s"bucket bounds out of value order: $a >= $b")
+      case _ =>
+    }
+    val n = vals.size.toLong
+    def pick(q: Int): Long = {
+      val thr = (q * n + 99) / 100
+      val cums = buckets.scanLeft(0L) { case (acc, (_, c)) => acc + c }.tail
+      ub(buckets(cums.indexWhere(_ >= thr))._1)
+    }
+    val sorted = vals.sorted
+    def exact(q: Int): Long = sorted(((q * n + 99) / 100 - 1).toInt)
+    for (t <- Seq("a", "b")) {
+      val (gn, p50, p95, p99) = got(t)
+      assert(gn == n)
+      assert((p50, p95, p99) == (pick(50), pick(95), pick(99)),
+        s"histogram picks diverge from brute force for $t")
+    }
+    // the bucket bound never understates the exact percentile
+    for (q <- Seq(50, 95, 99)) assert(pick(q) >= exact(q))
   }
 }

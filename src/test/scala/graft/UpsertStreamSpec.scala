@@ -88,31 +88,47 @@ class UpsertStreamSpec extends SparkSpec {
       java.nio.file.Files.list(root).iterator().asScala
         .map(_.getFileName.toString).toSet
     }
-    // three committed versions
-    (1 to 3).foreach { i =>
+    // five committed versions v00000..v00004
+    (1 to 5).foreach { i =>
       val b = Seq(Event(i.toLong, ts(i * 10L), i.toLong, "click", i.toDouble)).toDF()
       StreamUpsert.applyBatch(spark, store, b, keys, ver)
     }
-    // plus a crashed writer's orphan (no _SUCCESS)
+    // a crashed writer's orphan BEHIND the committed frontier: strip
+    // v00002's commit marker (readers resolve v00004 regardless)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store, "v00002", "_SUCCESS"))
+    // an uncommitted dir at frontier+1 is indistinguishable from the one
+    // LIVE writer mid-write — vacuum must spare it (the race ADVICE r8
+    // flagged: deleting it mid-write fails the in-flight batch)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "v00005"))
+    // ... as must anything else ahead of the frontier
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "v00007"))
+    // non-version junk is SKIPPED, not a NumberFormatException that
+    // aborts the pass: bare "v" (empty digit suffix), >9-digit overflow
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "v"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "v99999999999"))
     val before = snap(store)
 
-    // keep 2: v00002 + v00001 survive, v00000 + the orphan go
+    // keep 2: v00003+v00004 survive; expired committed v00000/v00001 and
+    // the behind-frontier orphan v00002 go; v00005/v00007 spared
     val deleted2 = StreamUpsert.vacuum(store, keepVersions = 2)
-    assert(deleted2 == Seq("v00000", "v00007"))
-    assert(versions == Set("v00001", "v00002"))
+    assert(deleted2 == Seq("v00000", "v00001", "v00002"))
+    assert(versions == Set("v00003", "v00004", "v00005", "v00007", "v", "v99999999999"))
     assert(snap(store) == before, "vacuum changed what readers see")
 
-    // keep 1: only the latest survives; idempotent second run
-    assert(StreamUpsert.vacuum(store, keepVersions = 1) == Seq("v00001"))
-    assert(versions == Set("v00002"))
+    // keep 1: only the latest committed survives; idempotent second run
+    assert(StreamUpsert.vacuum(store, keepVersions = 1) == Seq("v00003"))
     assert(StreamUpsert.vacuum(store, keepVersions = 1).isEmpty)
     assert(snap(store) == before)
 
-    // and the store keeps working after retention: a new batch lands v00003
+    // the spared v00005 slot is exactly where the next writer lands:
+    // applyBatch overwrites the uncommitted dir and commits it
     StreamUpsert.applyBatch(spark, store,
       Seq(Event(9, ts(90), 9, "buy", 9.0)).toDF(), keys, ver)
-    assert(StreamUpsert.latestVersion(store).contains(3))
+    assert(StreamUpsert.latestVersion(store).contains(5))
     assert(snap(store) == before + ((9L, ts(90), 9L, "buy", 9.0)))
+    // frontier is now 5: expired v00004 goes; v00007 is still ahead of
+    // it (could be a writer racing THIS pass) — spared again
+    assert(StreamUpsert.vacuum(store, keepVersions = 1) == Seq("v00004"))
+    assert(versions == Set("v00005", "v00007", "v", "v99999999999"))
   }
 }
