@@ -62,6 +62,158 @@ object Enrich {
       text.split(" ", -1).map(t => dict.getOrElse(t, t)).mkString(" ")
   }
 
+  /** JVM-wide request pacer: at most one request per `minIntervalMs` per
+    * endpoint across every task thread on the executor — the reference's
+    * single-threaded `time.sleep(0.1)` between calls (Translator.py:132)
+    * generalized to a parallel executor. Keyed by endpoint so two jobs
+    * against different services do not throttle each other.
+    */
+  object HttpPacer {
+    private val last =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def await(endpoint: String, minIntervalMs: Long): Unit = if (minIntervalMs > 0) {
+      val slot = last.computeIfAbsent(endpoint,
+        _ => new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+      var done = false
+      while (!done) {
+        val prev = slot.get()
+        val now = System.nanoTime()
+        val next = math.max(now, prev + minIntervalMs * 1000000L)
+        if (slot.compareAndSet(prev, next)) {
+          val sleepNs = next - now
+          if (sleepNs > 0) Thread.sleep(sleepNs / 1000000L, (sleepNs % 1000000L).toInt)
+          done = true
+        }
+      }
+    }
+    /** Test hook. */
+    def reset(): Unit = last.clear()
+  }
+
+  /** Real-transport translation client (ref: the GoogleTranslator HTTP
+    * client, Translator.py:96-145, and the scraper's retrying session,
+    * CTScraper.py:92): POST batches to `endpoint?target=<lang>`, body =
+    * one URL-encoded text per line, response = one URL-encoded
+    * translation per line, position-stable.
+    *
+    * Reference behaviors mirrored:
+    *  - the <5000-char payload cap (Translator.py:100) — empty or
+    *    over-cap texts short-circuit to the reference's `"<error>"`
+    *    sentinel (the NotValidPayload branch, Translator.py:134-137)
+    *    WITHOUT touching the service, and batches are greedily chunked
+    *    so no request body exceeds the cap;
+    *  - rate limiting — [[HttpPacer]] spaces requests `minIntervalMs`
+    *    apart JVM-wide (the sleep(0.1) loop), beneath
+    *    [[TranslationLimiter]]'s concurrency bound;
+    *  - transient failure handling (the ConnectionError branch,
+    *    Translator.py:138-140): IOExceptions and HTTP 5xx retry with
+    *    exponential backoff up to `maxRetries`, then THROW — the task
+    *    fails, Spark retries it, and [[runTranslationJob]]'s state-file
+    *    resume keeps completed rows exactly-once. HTTP 4xx is a
+    *    contract error and throws immediately.
+    *
+    * Usable behind a config flag via [[translatorFromConf]]; spec'd
+    * end-to-end against a local stub server (TranslationJobSpec),
+    * including a 503-then-recover path driven through
+    * [[runTranslationJob]].
+    */
+  final case class HttpTranslator(endpoint: String,
+                                  maxCharsPerRequest: Int = 5000,
+                                  minIntervalMs: Long = 100,
+                                  maxRetries: Int = 3,
+                                  connectTimeoutMs: Int = 10000,
+                                  readTimeoutMs: Int = 30000) extends Translator {
+    def translate(text: String, targetLang: String): String =
+      translateBatch(Seq(text), targetLang).head
+
+    override def translateBatch(texts: Seq[String], targetLang: String): Seq[String] = {
+      val out = new Array[String](texts.size)
+      // NotValidPayload analog: empty/oversized texts never reach the wire
+      val sendable = texts.zipWithIndex.filter { case (t, i) =>
+        val ok = t != null && t.nonEmpty && t.length < maxCharsPerRequest
+        if (!ok) out(i) = "<error>"
+        ok
+      }
+      // greedy chunking under the per-request char cap (at least one
+      // text per request — singletons are already under the cap)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Int)]]
+      var cur = Vector.empty[(String, Int)]
+      var curChars = 0
+      for ((t, i) <- sendable) {
+        if (cur.nonEmpty && curChars + t.length >= maxCharsPerRequest) {
+          chunks += cur; cur = Vector.empty; curChars = 0
+        }
+        cur = cur :+ (t, i); curChars += t.length
+      }
+      if (cur.nonEmpty) chunks += cur
+      for (chunk <- chunks) {
+        val translations = post(chunk.map(_._1), targetLang)
+        require(translations.size == chunk.size,
+          s"$endpoint returned ${translations.size} lines for ${chunk.size} texts")
+        chunk.map(_._2).zip(translations).foreach { case (i, tr) => out(i) = tr }
+      }
+      out.toSeq
+    }
+
+    private def post(texts: Seq[String], targetLang: String): Seq[String] = {
+      val body = texts
+        .map(java.net.URLEncoder.encode(_, "UTF-8"))
+        .mkString("", "\n", "\n").getBytes("UTF-8")
+      var attempt = 0
+      var result: Seq[String] = null
+      while (result == null) {
+        HttpPacer.await(endpoint, minIntervalMs)
+        try {
+          val url = new java.net.URI(
+            endpoint + "?target=" + java.net.URLEncoder.encode(targetLang, "UTF-8")).toURL
+          val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          try {
+            conn.setRequestMethod("POST")
+            conn.setConnectTimeout(connectTimeoutMs)
+            conn.setReadTimeout(readTimeoutMs)
+            conn.setDoOutput(true)
+            conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+            conn.getOutputStream.write(body)
+            val code = conn.getResponseCode
+            if (code >= 500) throw new java.io.IOException(s"HTTP $code from $endpoint")
+            require(code == 200, s"HTTP $code from $endpoint — non-retryable contract error")
+            val raw = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+            result = raw.split("\n", -1).toSeq.dropRight(1)
+              .map(java.net.URLDecoder.decode(_, "UTF-8"))
+          } finally conn.disconnect()
+        } catch {
+          case e: java.io.IOException if attempt < maxRetries =>
+            // ConnectionError branch: back off and retry this request
+            attempt += 1
+            Thread.sleep(math.max(minIntervalMs, 1L) << attempt)
+          case e: java.io.IOException =>
+            throw new java.io.IOException(
+              s"$endpoint unreachable after ${maxRetries + 1} attempts — " +
+                "task will retry; completed rows are safe in the state dir", e)
+        }
+      }
+      result
+    }
+  }
+
+  /** Config-flag selection of the translation transport: set
+    * `spark.graft.translator.endpoint` to route [[runTranslationJob]]
+    * through [[HttpTranslator]] (optional `.maxChars`, `.minIntervalMs`
+    * tune the cap and pacing); unset = the deterministic
+    * [[DictTranslator]] identity (offline/test default).
+    */
+  def translatorFromConf(spark: org.apache.spark.sql.SparkSession): Translator =
+    spark.conf.getOption("spark.graft.translator.endpoint") match {
+      case Some(url) => HttpTranslator(url,
+        maxCharsPerRequest =
+          spark.conf.getOption("spark.graft.translator.maxChars")
+            .map(_.toInt).getOrElse(5000),
+        minIntervalMs =
+          spark.conf.getOption("spark.graft.translator.minIntervalMs")
+            .map(_.toLong).getOrElse(100L))
+      case None => DictTranslator(Map.empty)
+    }
+
   /** U2 — conditional translation (Translator.py:96-128): translate only
     * rows not already in the target language with confidence > minScore;
     * skipped rows carry the original text. Null-normalizes first (P18).
