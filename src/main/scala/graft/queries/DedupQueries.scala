@@ -548,6 +548,42 @@ object DedupQueries {
       .orderBy("user_id")
   }
 
+  /** X17 — TIME TRAVEL over the versioned store
+    * ([[graft.streaming.StreamUpsert.readVersion]]): three batches
+    * commit three snapshots; reading AS OF the MIDDLE version must
+    * reproduce exactly the argmax state over the first two batches'
+    * events — the audit/reproduction primitive every lake format ships
+    * (read the store a downstream job actually consumed), here on plain
+    * parquet + the `_SUCCESS`-gated version protocol. The oracle
+    * recomputes that historical state from the raw events, so both the
+    * version arithmetic AND snapshot fidelity are hash-gated. The read
+    * itself is a plain pruned parquet scan of ONE version directory —
+    * no history replay, O(snapshot) at any scale.
+    */
+  val x17TimeTravel: GraftQuery = GraftQuery(
+    "x17_time_travel",
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import graft.streaming.StreamUpsert
+    val store = graft.queries.Dsl.tempStore("x17_store")
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "value")
+    val cut1 = lit("2024-01-11").cast("timestamp")
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    Seq(ev.filter(col("ts") < cut1),
+        ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+        ev.filter(col("ts") >= cut2))
+      .foreach(b => StreamUpsert.applyBatch(spark, store, b,
+        keys = Seq("user_id"), version = Seq("ts", "event_id")))
+    StreamUpsert.readVersion(spark, store, 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   /** X7 — bloom-pruned semi join ([[graft.operators.BloomPrune]]): keep
     * lineitems of urgent orders. The big side is pre-pruned by a
     * codegen'd bloom probe of the small side's keys (the explicit form
@@ -652,7 +688,7 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
-    x15MergeChangeset, x16StoreVacuum,
+    x15MergeChangeset, x16StoreVacuum, x17TimeTravel,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)

@@ -468,8 +468,41 @@ object IoQueries {
       .orderBy("day")
   }
 
+  /** IO11 — ZONE-MAP FILE SKIPPING ([[graft.operators.ZoneMap]]): the
+    * data-skipping layer io07 cannot give a high-cardinality key — the
+    * lake is written range-clustered on `ts` (each file a disjoint time
+    * band), a sidecar manifest records per-file min/max, and a 3-day
+    * range read consults the MANIFEST to open only intersecting files,
+    * exactly the min/max-stats pruning lake table formats ship. The
+    * oracle recomputes the band aggregate from the raw table, so zone
+    * bounds, the half-open intersect test, and the residual filter are
+    * all hash-gated; OpsSpec additionally pins that the file list is a
+    * strict subset and that a miss-band read opens ZERO files.
+    */
+  val io11ZoneMapSkip: GraftQuery = GraftQuery(
+    "io11_zonemap_skip",
+    """SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import graft.operators.ZoneMap
+    val lake = Dsl.tempStore("io11_lake")
+    ZoneMap.writeClustered(Tables.events(spark, dir)
+        .select("event_id", "ts", "event_type", "value"),
+      lake, "ts", numFiles = 16)
+    ZoneMap.readRange(spark, lake, "ts",
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-13").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("bigint"))
+          .cast("bigint").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
-    io10DynamicOverwrite)
+    io10DynamicOverwrite, io11ZoneMapSkip)
 }

@@ -657,8 +657,59 @@ object SimilarityQueries {
     * tie-break end to end — pinning the composition (a near vector in
     * an unprobed cluster must NOT appear).
     */
-  private val ivfPqOracleSql: String =
-    s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+  /** E20 — IVF-PQ RECALL@K EVALUATION: e14's quality harness pointed at
+    * the PRODUCTION ANN path — e16's IVF-PQ ADC answer measured against
+    * brute-force cosine ground truth, recall@10 per query. This is the
+    * curve `nprobe`/`m`/codebook size are tuned against before an index
+    * is trusted at corpus scale (compression error + probe misses both
+    * land here, which neither e14 (LSH only) nor e16's self-oracle can
+    * see). Whole evaluation oracle-gated: truth, PQ answer, join,
+    * recall arithmetic.
+    *
+    * Scale shape: brute truth on the |sample| query set only; the PQ
+    * leg is the e16 search; the comparison is a broadcast-size join of
+    * two top-k lists.
+    */
+  val e20IvfPqRecall: GraftQuery = GraftQuery(
+    "e20_ivfpq_recall",
+    s"""WITH bv AS ($sqlV),
+       |bq AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM bv WHERE id < $NumQueries),
+       |scored_b AS (
+       |  SELECT q_id, bv.id AS n_id, ${sqlCos("q_emb", "q_norm", "bv.emb", "bv.norm_f")} AS cosine
+       |  FROM bq CROSS JOIN bv WHERE bv.id != bq.q_id),
+       |ranked_b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |             FROM scored_b),
+       |truth AS (SELECT q_id, n_id FROM ranked_b WHERE rank <= $K),
+       |$ivfPqCtes,
+       |cand AS (SELECT q_id, n_id, 1 AS hit FROM ranked WHERE rank <= $K)
+       |SELECT t.q_id, CAST($K AS BIGINT) AS k, CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       |       CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / $K.0 AS recall
+       |FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.knnBrute(emb, "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+    val cand = Similarity.knnIvfPqAdc(emb, "vec_id", "embedding",
+        col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+        col("id") < NumCentroids, col("id") < NumQueries, K, NProbe)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(cand, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("q_id"), lit(K.toLong).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** The IVF-PQ reference computation as a reusable CTE body (no WITH,
+    * no final SELECT): e16/e19 read its `ranked`; e20 joins it against
+    * brute-force truth.
+    */
+  // lazy: referenced by e20 above its definition point — initialization
+  // order would otherwise interpolate null into the oracle SQL
+  private lazy val ivfPqCtes: String =
+    s"""v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
        |g AS (SELECT id AS g_id, q AS gq FROM v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
        |aff AS (
        |  SELECT id, g_id,
@@ -686,7 +737,10 @@ object SimilarityQueries {
        |  WHERE c.id != p.q_id
        |  GROUP BY 1, 2),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
-       |           FROM scored)
+       |           FROM scored)""".stripMargin
+
+  private val ivfPqOracleSql: String =
+    s"""WITH $ivfPqCtes
        |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
@@ -782,5 +836,5 @@ object SimilarityQueries {
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored,
-    e14AnnRecall)
+    e14AnnRecall, e20IvfPqRecall)
 }

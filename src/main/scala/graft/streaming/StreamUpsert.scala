@@ -52,6 +52,20 @@ object StreamUpsert {
   def readSnapshot(spark: SparkSession, store: String): Option[DataFrame] =
     latestVersion(store).map(v => spark.read.parquet(f"$store/v$v%05d"))
 
+  /** TIME TRAVEL — the snapshot AS OF a committed version: every
+    * version [[applyBatch]] ever committed remains readable until
+    * [[vacuum]] retires it, so audits and reproductions pin the exact
+    * store state a downstream job consumed (io08's manifest-pinning
+    * story applied to the CDC store). Refuses uncommitted versions —
+    * an in-flight or crashed write is not history.
+    */
+  def readVersion(spark: SparkSession, store: String, version: Int): DataFrame = {
+    require(Files.exists(Paths.get(store, f"v$version%05d", "_SUCCESS")),
+      s"version $version is not committed in $store — " +
+        s"committed latest: ${latestVersion(store).getOrElse("none")}")
+    spark.read.parquet(f"$store/v$version%05d")
+  }
+
   /** Merge one micro-batch into the store (the foreachBatch body). */
   def applyBatch(spark: SparkSession, store: String, batch: DataFrame,
                  keys: Seq[String], version: Seq[String]): Unit = {

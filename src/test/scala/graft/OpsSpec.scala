@@ -488,4 +488,40 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == Seq())
     assert(out(2) == Seq())
   }
+
+  test("ZoneMap range read opens a strict subset of files; misses open zero") {
+    import graft.operators.ZoneMap
+    val lake = java.nio.file.Files
+      .createTempDirectory("zonemap_spec").toString + "/lake"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "event_type", "value")
+    ZoneMap.writeClustered(ev, lake, "ts", numFiles = 16)
+    val total = spark.read.parquet(ZoneMap.zonesPath(lake)).count()
+    assert(total >= 8, s"clustered write produced only $total files")
+    val lo = lit("2024-01-10").cast("timestamp")
+    val hi = lit("2024-01-13").cast("timestamp")
+    // the skip is REAL: a 3-day band of a ~month corpus touches a strict
+    // subset of the range-clustered files
+    val selected = ZoneMap.filesForRange(spark, lake, lo, hi)
+    assert(selected.nonEmpty && selected.size < total,
+      s"no skipping: ${selected.size} of $total files selected")
+    // containment + residual filter = exact row-level truth
+    val viaZones = ZoneMap.readRange(spark, lake, "ts", lo, hi)
+      .select("event_id").as[Long].collect().toSet
+    val full = ev.filter(col("ts") >= lo && col("ts") < hi)
+      .select("event_id").as[Long].collect().toSet
+    assert(viaZones == full)
+    // a band outside the data opens ZERO files and returns an empty
+    // frame of the lake's schema
+    val missLo = lit("2030-01-01").cast("timestamp")
+    val missHi = lit("2030-02-01").cast("timestamp")
+    assert(ZoneMap.filesForRange(spark, lake, missLo, missHi).isEmpty)
+    val miss = ZoneMap.readRange(spark, lake, "ts", missLo, missHi)
+    assert(miss.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "event_type", "value") && miss.count() == 0)
+    // half-open semantics: a row exactly at hi is excluded, at lo kept
+    val dayLo = lit("2024-01-10").cast("timestamp")
+    val boundary = ZoneMap.readRange(spark, lake, "ts", dayLo, dayLo)
+    assert(boundary.count() == 0, "[lo, lo) must be empty")
+  }
 }
