@@ -255,6 +255,29 @@ object ScaleBench {
             graft.queries.TextQueries.bm25Retrieve(spark, bm25Store).count()
           }
         },
+        // e19's ONLINE leg at the e16 provisioning shape (coarse ∝ √n):
+        // the store is built lazily on the first timed run (amortized
+        // offline job, same convention as t21b above); the timed leg is
+        // the pure stored search — with the r9 cluster-partitioned codes
+        // layout the claim under measurement is search I/O ∝ probed
+        // clusters (nprobe × cluster size), with store size amortized
+        // out of the growth curve
+        s"e19_retrieval[stored,coarse=$centroids]" -> {
+          var pqStore: String = null
+          () => {
+            if (pqStore == null) {
+              pqStore = java.nio.file.Files
+                .createTempDirectory("e19-scale").toString + "/store"
+              graft.operators.Similarity.buildIvfPqStore(
+                Tables.embeddings(spark, dir), "vec_id", "embedding",
+                col("id") >= 8 && col("id") < lit(8 + centroids),
+                col("id") < 8, pqStore)
+            }
+            graft.operators.Similarity.ivfPqStoredTopK(spark, pqStore,
+              Tables.embeddings(spark, dir).filter(col("vec_id") < 5),
+              "vec_id", "embedding", 10, 2).count()
+          }
+        },
         // e16 with coarse ∝ √n (the IVF provisioning rule, e06's knob):
         // fixed coarse k at 100× would make each probe scan n/k of the
         // corpus — a mis-provisioned index, not the operator; codebook

@@ -254,7 +254,7 @@ class PlanSpec extends SparkSpec {
         "gate-exactness form (documented a05 convention); production twin a31b benches window-free",
       "a31b_conversion_lag_approx" ->
         "band-edge proof only — benchAs form is the sketch agg, no window in the production plan")
-    val offenders = (PlanDump.AuditQueries :+ "a31b_conversion_lag_approx")
+    val offenders = PlanDump.AuditQueries
       .flatMap { n =>
         val df = SparkEntry.queries(n)(spark, sf)
         val bad = df.queryExecution.optimizedPlan.collect {
