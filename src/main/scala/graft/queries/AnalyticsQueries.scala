@@ -2029,6 +2029,52 @@ object AnalyticsQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** A38 — RETENTION COHORTS (the D1/D7/D30 matrix): users cohorted by
+    * their FIRST-ever active day; for each offset, the share of the
+    * cohort active exactly `offset` days later, as exact ppm integers
+    * (t15's integer-division convention — no float in the readout).
+    * The product-analytics companion to w09's trailing DAU: w09 asks
+    * "how many are active", this asks "of those who arrived on day D,
+    * who came back".
+    *
+    * Scale shape: one keyed MIN agg for first days (map-side
+    * combinable), one (user, day) dedup, one user-keyed join, then the
+    * corpus collapses to |cohorts|×|offsets| counting rows. No window
+    * anywhere; every shuffle is user-keyed or on the tiny cohort frame.
+    */
+  val a38RetentionCohorts: GraftQuery = GraftQuery(
+    "a38_retention_cohorts",
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fd AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1),
+      |sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM fd GROUP BY 1),
+      |ret AS (
+      |  SELECT fd.cohort, date_diff('day', fd.cohort, act.day) AS day_offset,
+      |         COUNT(*) AS n_retained
+      |  FROM act JOIN fd ON act.user_id = fd.user_id
+      |  WHERE date_diff('day', fd.cohort, act.day) IN (1, 7, 30)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(s.cohort AS VARCHAR) AS cohort, r.day_offset AS day_offset,
+      |       s.n_cohort, r.n_retained,
+      |       CAST((1000000 * r.n_retained) // s.n_cohort AS BIGINT) AS retained_ppm
+      |FROM ret r JOIN sizes s ON r.cohort = s.cohort
+      |ORDER BY cohort, day_offset""".stripMargin) { (spark, dir) =>
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val fd = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val sizes = fd.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    val ret = act.join(fd, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .filter(col("day_offset").isin(1, 7, 30))
+      .groupBy("cohort", "day_offset").agg(count(lit(1)).as("n_retained"))
+    ret.join(sizes, "cohort")
+      .select(col("cohort").cast("string").as("cohort"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_cohort"), col("n_retained"),
+        expr("CAST((1000000 * n_retained) div n_cohort AS BIGINT)")
+          .as("retained_ppm"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** W09 — TRAILING 7-DAY DISTINCT USERS per day (the rolling-DAU/WAU
     * dashboard curve): for each observed day, how many distinct users
     * were active in the trailing week. The naive form is a sliding
@@ -2319,7 +2365,8 @@ object AnalyticsQueries {
     a29Transitions, a30AbLift, a31ConversionLag, a31bConversionLagApprox,
     a32Attribution, a33SeasonalIndex,
     a34TrendSlope, a35SourceHhi,
-    a36HdrPercentiles, a37AssocLift, j02TimeAlign, j11NearestEvent,
+    a36HdrPercentiles, a37AssocLift, a38RetentionCohorts,
+    j02TimeAlign, j11NearestEvent,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
     w09TrailingDau, w10EwmaRevenue, w11TrendingItems)

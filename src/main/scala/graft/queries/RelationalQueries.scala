@@ -652,9 +652,39 @@ object RelationalQueries {
       .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
   }
 
+  /** Q06 — FORECAST REVENUE (the TPC-H Q6 topology): the pure
+    * data-skipping showcase — ONE narrow lineitem scan where every
+    * predicate (shipdate year band, discount band, quantity cap) is a
+    * bare column-vs-literal comparison that reaches `PushedFilters`
+    * (the suite-wide PlanSpec audit enforces it), the projection is 2
+    * columns, and the whole query is one map-side-combinable agg to a
+    * single row. At 100 TB this plan reads only the row groups whose
+    * stats intersect the bands — the io11 zone-map story done by
+    * parquet footers alone. Revenue is the per-row double product
+    * (IEEE-deterministic) summed exactly (Det convention).
+    */
+  val q06ForecastRevenue: GraftQuery = GraftQuery(
+    "q06_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(28,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
-    q05ShippingPriority,
+    q05ShippingPriority, q06ForecastRevenue,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
     j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,

@@ -23,5 +23,10 @@ object SparkSpec {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
+    // plan audits read PushedFilters/PartitionFilters out of plan
+    // STRINGS; the default 100-char metadata truncation silently hides
+    // pushed predicates from the assertions (q06's 4-filter scan was
+    // the first to cross it)
+    .config("spark.sql.maxMetadataStringLength", "2000")
     .getOrCreate()
 }
