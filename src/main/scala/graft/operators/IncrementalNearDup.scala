@@ -79,4 +79,49 @@ object IncrementalNearDup {
     banded.unpersist() // blocked is checkpointed; nothing references the cache
     admitted
   }
+
+  /** [[dedupeBatch]] against a BUCKETED index table — the layout lever
+    * the flat-store path names as its 100 TB form (the round-5 note on
+    * `dedupeBatch`): the index is a `bucketBy(band_key)` parquet table,
+    * so the per-batch collision join reads the corpus-sized side
+    * PRE-PARTITIONED — no exchange ever touches the index (PlanSpec
+    * pins it); only the O(batch) banded rows shuffle, to the bucket
+    * count. Same admission semantics as [[dedupeBatch]] (index-all,
+    * backfill-stable — the x18 gate reuses x08's oracle verbatim), and
+    * each batch's bands append into the same bucket layout, keeping
+    * files-per-bucket ∝ batches, never tasks×buckets.
+    */
+  def dedupeBatchBucketed(batch: DataFrame, idCol: String, textCol: String,
+                          table: String, shingleK: Int = 2, numPerms: Int = 16,
+                          bands: Int = 8, buckets: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val banded = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsIndex =
+      if (spark.catalog.tableExists(table))
+        banded.as("b").join(spark.table(table).as("i"),
+            col("b.band_id") === col("i.band_id") &&
+              col("b.band_key") === col("i.band_key"))
+          .select(col("b.id"))
+      else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+    val intra = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("y.id"))
+    // same eager pin as dedupeBatch: admissions must see the PRE-append
+    // index (the table listing would otherwise race the append below)
+    val blocked = vsIndex.union(intra).distinct().localCheckpoint()
+    val admitted = batch.join(blocked.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    // bucketed on BOTH join keys: the scan's HashPartitioning then
+    // matches the collision join's clustering exactly, which is what
+    // lets the planner keep the bucketed read (a band_key-only layout
+    // gets "disabled by query planner" under this SMJ)
+    banded.write.bucketBy(buckets, "band_id", "band_key")
+      .sortBy("band_id", "band_key")
+      .mode("append").format("parquet").saveAsTable(table)
+    banded.unpersist()
+    admitted
+  }
 }

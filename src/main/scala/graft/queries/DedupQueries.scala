@@ -640,6 +640,37 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** X18 — incremental near-dup against the BUCKETED index
+    * ([[graft.operators.IncrementalNearDup.dedupeBatchBucketed]]): x08's
+    * admission semantics on the 100 TB index layout — the persistent
+    * band index is a `bucketBy(band_key)` table, so each batch's
+    * collision join reads the corpus-sized side pre-partitioned (no
+    * exchange on the index, PlanSpec-pinned; only the O(batch) side
+    * shuffles). Oracle is x08's backfill rule VERBATIM, so the layout
+    * change is proven admission-equivalent.
+    */
+  val x18IncrementalNearDupBucketed: GraftQuery = GraftQuery(
+    "x18_incremental_neardup_bucketed",
+    s"""WITH $sqlCandCtes,
+       |blocked AS (
+       |  SELECT DISTINCT y.id FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND ((x.id % 2) < (y.id % 2)
+       |        OR ((x.id % 2) = (y.id % 2) AND x.id < y.id)))
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM blocked)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val table = "x18_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table") // gate reruns start clean
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .map(b => graft.operators.IncrementalNearDup.dedupeBatchBucketed(
+        b, "doc_id", "text", table, ShingleK, NumPerms, Bands))
+      .reduce(_ unionByName _)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** G2 — duplicate-group clustering: connected components over the LSH
     * candidate pairs ([[Dedup.connectedComponents]] min-label
     * propagation), emitting one row per duplicate group with its
@@ -689,6 +720,7 @@ object DedupQueries {
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
     x15MergeChangeset, x16StoreVacuum, x17TimeTravel,
+    x18IncrementalNearDupBucketed,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)

@@ -49,4 +49,66 @@ class BucketingSpec extends SparkSpec {
       .count()
     assert(df.as[(String, Long, Double)].collect().map(_._2).sum == plain)
   }
+
+  test("x18 batch-vs-index join reads the bucketed band index without shuffling it") {
+    import graft.operators.{Dedup, IncrementalNearDup}
+    val table = "x18_planpin_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    // batch 1 seeds the bucketed index
+    IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", table).count()
+    // batch 2's collision join — the plan dedupeBatchBucketed builds.
+    // At gate scale the planner just BROADCASTS the tiny index (bucket
+    // layout correctly ignored); the layout's regime is a batch too big
+    // to broadcast against a corpus-sized index — force it by disabling
+    // broadcast, the 100 TB shape this pin is about.
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val banded = Dedup.bandedSignatures(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2, 16, 8)
+      val joined = banded.as("b").join(spark.table(table).as("i"),
+          col("b.band_id") === col("i.band_id") &&
+            col("b.band_key") === col("i.band_key"))
+        .select(col("b.id"))
+      joined.collect() // AQE-final plan
+      // AQE's toString prints Final AND Initial sections — audit the
+      // final one only, or every exchange double-counts
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"index side must scan through the bucketed layout:\n$plan")
+      // the corpus-sized index NEVER reshuffles: the only band_key
+      // exchange allowed is the O(batch) banded side's
+      val exchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") && l.contains("band_key"))
+        .size
+      assert(exchanges <= 1,
+        s"expected at most the batch-side exchange, found $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      prevA match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // and the admission result equals the flat-store twin's
+    val flatStore = java.nio.file.Files
+      .createTempDirectory("x18_flat_twin").toString + "/store"
+    val table2 = "x18_planpin_idx2"
+    spark.sql(s"DROP TABLE IF EXISTS $table2")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val batches = Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val viaFlat = batches.map(b => ids(IncrementalNearDup.dedupeBatch(
+      b, "doc_id", "text", flatStore))).reduce(_ ++ _)
+    val viaBucketed = batches.map(b => ids(IncrementalNearDup.dedupeBatchBucketed(
+      b, "doc_id", "text", table2))).reduce(_ ++ _)
+    assert(viaBucketed == viaFlat, "bucketed admissions diverge from flat-store")
+  }
 }
