@@ -172,6 +172,34 @@ object Multimodal {
         (w, h, rs, gs, bs)
       }
 
+    /** Nearest-neighbor RESIZE through the real codec path (the mandate's
+      * explicit resize op; ref analog: the torchvision
+      * `Resize((256,256))`/`CenterCrop(224)` preprocessing at
+      * ImageLabeler.py:104-105): decode, sample output pixel (x, y) of
+      * the ow×oh result from source (⌊x·w/ow⌋, ⌊y·h/oh⌋), re-encode
+      * through a REAL `javax.imageio` BMP writer. Integer-exact, so an
+      * SQL oracle replays per-channel sums of the RESIZED image straight
+      * from the source pixel formula (the i08 gate). None on
+      * undecodable input — corrupt bytes skip, never task-fail.
+      */
+    def resizeNN(content: Array[Byte], ow: Int, oh: Int): Option[Array[Byte]] =
+      decode(content).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "bmp", bos)
+        bos.toByteArray
+      }
+
     /** Difference-hash (dHash) of the decoded image as two 32-bit halves:
       * gray (r+g+b) is sampled at a nearest-neighbor 9×8 grid
       * (x_i = ⌊i·(w−1)/8⌋, y_j = ⌊j·(h−1)/7⌋ — the cheap NN "resize"),

@@ -434,6 +434,61 @@ object MultimodalQueries {
       .orderBy("phash_hi", "phash_lo")
   }
 
+  /** Σ over the RESIZED image of a channel formula evaluated at the NN
+    * source coordinates (⌊x·w/ow⌋, ⌊y·h/oh⌋).
+    */
+  private def sqlResizedSum(a: Int, b: Int, c: Int): String =
+    s"CAST(list_sum(flatten([[($a*((x*w)//ow) + $b*((y*h)//oh) + $c*doc_id) % 256 " +
+      "for x in range(ow)] for y in range(oh)])) AS BIGINT)"
+
+  /** I8 — nearest-neighbor RESIZE verified END-TO-END through real
+    * codecs (the mandate's explicit resize op; ref analog: the
+    * torchvision Resize/CenterCrop preprocessing, ImageLabeler.py:
+    * 104-105): the Spark side renders the PNG, decodes it, NN-resizes
+    * to a per-doc (ow, oh), re-encodes through the REAL BMP writer,
+    * decodes the RESULT again and emits its per-channel sums plus both
+    * geometries. The oracle recomputes the identical integers from the
+    * source pixel formula sampled at the NN coordinates — any deviation
+    * in the sampling arithmetic, either codec pass, or the output
+    * geometry breaks the hash. Same scale shape as i01: one narrow
+    * mapPartitions projection, embarrassingly parallel.
+    */
+  val i08ResizeNN: GraftQuery = GraftQuery(
+    "i08_resize_nn",
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h,
+       |         8 + doc_id % 7 AS ow, 6 + doc_id % 5 AS oh
+       |  FROM documents WHERE doc_id % 10 = 3)
+       |SELECT doc_id, w, h, ow, oh,
+       |  ${sqlResizedSum(7, 11, 13)} AS r_sum,
+       |  ${sqlResizedSum(3, 5, 17)} AS g_sum,
+       |  ${sqlResizedSum(13, 7, 19)} AS b_sum
+       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("ow", LongType), StructField("oh", LongType),
+      StructField("r_sum", LongType), StructField("g_sum", LongType),
+      StructField("b_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 3)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val resized = m.resizeNN(Multimodal.syntheticImage(id),
+            (8 + id % 7).toInt, (6 + id % 5).toInt).get
+          val (ow, oh, rs, gs, bs) = m.channelSums(resized).get
+          Row(id, 16 + id % 13, 12 + id % 11, ow.toLong, oh.toLong, rs, gs, bs)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
-    i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup)
+    i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup,
+    i08ResizeNN)
 }
