@@ -278,6 +278,28 @@ object ScaleBench {
               "vec_id", "embedding", 10, 2).count()
           }
         },
+        // io11's ONLINE leg: the lake is written range-clustered once
+        // (amortized, first timed run — the t21b convention; files ∝
+        // tier so each file stays a ~constant time band), the timed leg
+        // is the manifest-pruned 3-day range read — the claim is read
+        // I/O ∝ the selected band's files, not lake size
+        "io11_zonemap_read" -> {
+          var zmLake: String = null
+          () => {
+            if (zmLake == null) {
+              zmLake = java.nio.file.Files
+                .createTempDirectory("io11-scale").toString + "/lake"
+              graft.operators.ZoneMap.writeClustered(
+                Tables.events(spark, dir)
+                  .select("event_id", "ts", "event_type", "value"),
+                zmLake, "ts", numFiles = 16 * factor)
+            }
+            graft.Eval.forcedCount(graft.operators.ZoneMap.readRange(
+              spark, zmLake, "ts",
+              lit("2024-01-10").cast("timestamp"),
+              lit("2024-01-13").cast("timestamp")))
+          }
+        },
         // e16 with coarse ∝ √n (the IVF provisioning rule, e06's knob):
         // fixed coarse k at 100× would make each probe scan n/k of the
         // corpus — a mis-provisioned index, not the operator; codebook

@@ -118,4 +118,23 @@ object Publish {
     if (bs.isEmpty) None
     else Some(spark.read.parquet(bs.map(b => s"$root/data/$b"): _*))
   }
+
+  /** INCREMENTAL consumption — file-level CDC off the manifest chain:
+    * the batch dirs that `toVersion` (current if unspecified) lists and
+    * `sinceVersion` does not (`sinceVersion = 0` = from the beginning).
+    * A downstream consumer that remembers the last version it processed
+    * reads ONLY the new batches — O(increment) I/O, never a snapshot
+    * rescan — and because committed batches are IMMUTABLE (publishBatch
+    * never rewrites a committed name), processed-state + increment
+    * reconstructs the new snapshot exactly (PublishSpec pins it). None
+    * when nothing new. This is the consumption story the reference's
+    * re-glob-everything landing (DataStorage.py) cannot offer.
+    */
+  def readIncrement(spark: SparkSession, root: String, sinceVersion: Int,
+                    toVersion: Int = -1): Option[DataFrame] = {
+    val before = batches(spark, root, sinceVersion).toSet
+    val fresh = batches(spark, root, toVersion).filterNot(before)
+    if (fresh.isEmpty) None
+    else Some(spark.read.parquet(fresh.map(b => s"$root/data/$b"): _*))
+  }
 }

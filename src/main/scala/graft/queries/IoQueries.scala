@@ -501,8 +501,45 @@ object IoQueries {
       .orderBy("event_type")
   }
 
+  /** IO12 — INCREMENTAL manifest consumption
+    * ([[graft.operators.Publish.readIncrement]]): file-level CDC off
+    * io08's manifest chain — a consumer that processed version v reads
+    * ONLY the batches published after v (here: the first of three
+    * batches is "already processed"; the increment is exactly the other
+    * two). The oracle recomputes the increment's aggregate from the raw
+    * table, so the version diff, batch immutability, and
+    * orphan-invisibility (a crashed writer's dir lands mid-chain and
+    * must NOT appear) are all hash-gated. O(increment) I/O — the read
+    * plans over the new batch dirs only, never a snapshot rescan.
+    */
+  val io12IncrementalRead: GraftQuery = GraftQuery(
+    "io12_incremental_read",
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_nc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents WHERE doc_id % 3 <> 0
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.Publish
+    val root = Dsl.tempStore("io12_lake")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+    val v1 = Publish.publishBatch(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), root, "b0")
+    Publish.publishBatch(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), root, "b1")
+    // a crashed writer between the increments: invisible to consumers
+    docs.limit(300).write.mode("overwrite").parquet(s"$root/data/orphan")
+    Publish.publishBatch(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), root, "b2")
+    Publish.readIncrement(spark, root, sinceVersion = v1).get
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_nc"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
-    io10DynamicOverwrite, io11ZoneMapSkip)
+    io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead)
 }

@@ -63,4 +63,33 @@ class PublishSpec extends SparkSpec {
     assert(Publish.batches(spark, root) == Seq("b1"))
     assert(Publish.readSnapshot(spark, root).get.count() == 50)
   }
+
+  test("readIncrement: processed-state + increment reconstructs the snapshot exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("pub_incr").toString + "/lake"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val v1 = Publish.publishBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), root, "b0")
+    // nothing new since the current version → None, not an empty scan
+    assert(Publish.readIncrement(spark, root, sinceVersion = v1).isEmpty)
+    Publish.publishBatch(spark, docs.filter(col("doc_id") % 3 === 1), root, "b1")
+    val v3 = Publish.publishBatch(spark,
+      docs.filter(col("doc_id") % 3 === 2), root, "b2")
+    // increment since v1 = exactly b1+b2; plus the processed prefix it
+    // equals the current snapshot — the consumer-resume invariant
+    val inc = ids(Publish.readIncrement(spark, root, sinceVersion = v1).get)
+    assert(inc == ids(docs.filter(col("doc_id") % 3 =!= 0)))
+    assert(ids(Publish.readSnapshot(spark, root, v1).get) ++ inc ==
+      ids(Publish.readSnapshot(spark, root).get))
+    // bounded window: (v1, v3-1] sees only b1
+    val mid = ids(Publish.readIncrement(spark, root, v1, v3 - 1).get)
+    assert(mid == ids(docs.filter(col("doc_id") % 3 === 1)))
+    // since=0 means from the beginning: the full snapshot
+    assert(ids(Publish.readIncrement(spark, root, 0).get) ==
+      ids(Publish.readSnapshot(spark, root).get))
+  }
 }
