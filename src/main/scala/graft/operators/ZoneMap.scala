@@ -58,14 +58,31 @@ object ZoneMap {
     * row-level truth needs the predicate re-applied — same containment
     * contract as bloom pruning, x07). An empty intersection returns an
     * empty frame of the lake's schema without touching any data file.
+    *
+    * Driver-state bound (the cosinePairsTopK discipline): the collected
+    * file list is O(selected files); when a wide predicate selects more
+    * than `maxListedFiles`, enumerating paths buys nothing over the
+    * ordinary directory scan — the read falls back to the ROOT path
+    * with the same residual filter (identical rows, zero driver list),
+    * so a near-full-range query on a million-file lake never
+    * materializes a million path strings on the driver.
     */
   def readRange(spark: SparkSession, lake: String, key: String,
-                lo: Column, hi: Column): DataFrame = {
-    val files = filesForRange(spark, lake, lo, hi)
+                lo: Column, hi: Column,
+                maxListedFiles: Int = 100000): DataFrame = {
+    val selected = spark.read.parquet(zonesPath(lake))
+      .filter(col("max_k") >= lo && col("min_k") < hi)
+    val n = selected.limit(maxListedFiles + 1).count()
     val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        spark.read.parquet(lake).schema)
+      if (n == 0)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          spark.read.parquet(lake).schema)
+      else if (n > maxListedFiles) spark.read.parquet(lake)
+      else {
+        val files = selected.select("file").collect()
+          .map(_.getString(0)).sorted.toSeq
+        spark.read.parquet(files: _*)
+      }
     base.filter(col(key) >= lo && col(key) < hi)
   }
 }

@@ -706,40 +706,109 @@ object SimilarityQueries {
     * no final SELECT): e16/e19 read its `ranked`; e20 joins it against
     * brute-force truth.
     */
-  // lazy: referenced by e20 above its definition point — initialization
-  // order would otherwise interpolate null into the oracle SQL
-  private lazy val ivfPqCtes: String =
-    s"""v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
-       |g AS (SELECT id AS g_id, q AS gq FROM v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
-       |aff AS (
+  /** E21 — RECALL-vs-NPROBE tuning curve (m04's threshold sweep, for
+    * the ANN family): e20's recall evaluation at nprobe ∈ {1, 2, 4} in
+    * ONE gated table — the dial an IVF-PQ deployment turns (probe more
+    * clusters → more candidates → higher recall, linearly more codes
+    * I/O) frozen as data. The oracle instantiates the full IVF-PQ
+    * reference chain once per probe width (prefixed CTEs) against one
+    * shared brute-force truth, so every point on the curve is
+    * hash-gated.
+    *
+    * Scale shape: the truth leg is |sample|×n once; each sweep point is
+    * an e16 search (probed-clusters-bounded); the output is
+    * |nprobes|×|sample| rows. In production the truth sample is
+    * persisted and the sweep amortizes across tuning runs.
+    */
+  val e21NprobeRecallCurve: GraftQuery = GraftQuery(
+    "e21_nprobe_recall_curve", {
+      def point(x: String, np: Int): String =
+        s"""r$x AS (
+           |  SELECT CAST($np AS BIGINT) AS nprobe, t.q_id,
+           |         CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit
+           |  FROM truth t LEFT JOIN
+           |    (SELECT q_id, n_id, 1 AS hit FROM ${x}ranked WHERE rank <= $K) c
+           |    ON t.q_id = c.q_id AND t.n_id = c.n_id
+           |  GROUP BY 2)""".stripMargin
+      s"""WITH bv AS ($sqlV),
+         |bq AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM bv WHERE id < $NumQueries),
+         |scored_b AS (
+         |  SELECT q_id, bv.id AS n_id, ${sqlCos("q_emb", "q_norm", "bv.emb", "bv.norm_f")} AS cosine
+         |  FROM bq CROSS JOIN bv WHERE bv.id != bq.q_id),
+         |ranked_b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |             FROM scored_b),
+         |truth AS (SELECT q_id, n_id FROM ranked_b WHERE rank <= $K),
+         |${ivfPqCtesP("p1", 1)},
+         |${ivfPqCtesP("p2", 2)},
+         |${ivfPqCtesP("p4", 4)},
+         |${point("p1", 1)},
+         |${point("p2", 2)},
+         |${point("p4", 4)}
+         |SELECT nprobe, q_id, CAST($K AS BIGINT) AS k, n_hit,
+         |       CAST(n_hit AS DOUBLE) / $K.0 AS recall
+         |FROM (SELECT * FROM rp1 UNION ALL SELECT * FROM rp2
+         |      UNION ALL SELECT * FROM rp4)
+         |ORDER BY nprobe, q_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.knnBrute(emb, "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+    Seq(1, 2, 4).map { np =>
+      val cand = Similarity.knnIvfPqAdc(emb, "vec_id", "embedding",
+          col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+          col("id") < NumCentroids, col("id") < NumQueries, K, np)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      truth.join(cand, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("q_id"),
+          lit(K.toLong).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(K.toDouble)).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "q_id")
+  }
+
+  // lazy/def: referenced by e20/e21 above the definition point —
+  // initialization order would otherwise interpolate null into the SQL
+  private lazy val ivfPqCtes: String = ivfPqCtesP("", NProbe)
+
+  /** The IVF-PQ CTE chain with every CTE name prefixed `$x` and the
+    * probe width as a parameter — lets one WITH clause instantiate the
+    * whole reference computation several times (e21's nprobe sweep)
+    * without name collisions.
+    */
+  private def ivfPqCtesP(x: String, nprobe: Int): String =
+    s"""${x}v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+       |${x}g AS (SELECT id AS g_id, q AS gq FROM ${x}v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
+       |${x}aff AS (
        |  SELECT id, g_id,
        |         CAST(list_sum([(q[i]-gq[i])*(q[i]-gq[i]) for i in range(1, len(q)+1)]) AS BIGINT) AS gdist
-       |  FROM v CROSS JOIN g),
-       |ra AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY gdist, g_id) AS rn FROM aff),
-       |assigned AS (SELECT id, g_id AS cluster FROM ra WHERE rn = 1),
-       |probes AS (SELECT id AS q_id, g_id AS cluster FROM ra WHERE id < $NumQueries AND rn <= $NProbe),
-       |cb AS (SELECT id AS c_id, q AS cq FROM v WHERE id < $NumCentroids),
-       |sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM v, range(0, 4) t(s)),
-       |csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM cb, range(0, 4) t(s)),
-       |d AS (SELECT id, s, c_id,
+       |  FROM ${x}v CROSS JOIN ${x}g),
+       |${x}ra AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY gdist, g_id) AS rn FROM ${x}aff),
+       |${x}assigned AS (SELECT id, g_id AS cluster FROM ${x}ra WHERE rn = 1),
+       |${x}probes AS (SELECT id AS q_id, g_id AS cluster FROM ${x}ra WHERE id < $NumQueries AND rn <= $nprobe),
+       |${x}cb AS (SELECT id AS c_id, q AS cq FROM ${x}v WHERE id < $NumCentroids),
+       |${x}sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM ${x}v, range(0, 4) t(s)),
+       |${x}csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM ${x}cb, range(0, 4) t(s)),
+       |${x}d AS (SELECT id, s, c_id,
        |        CAST(list_sum([(qs[i]-cqs[i])*(qs[i]-cqs[i]) for i in range(1, 17)]) AS BIGINT) AS dist
-       |      FROM sub JOIN csub USING (s)),
-       |codes AS (SELECT id, s, c_id AS code FROM
-       |            (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM d)
+       |      FROM ${x}sub JOIN ${x}csub USING (s)),
+       |${x}codes AS (SELECT id, s, c_id AS code FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM ${x}d)
        |          WHERE rn = 1),
-       |tab AS (SELECT id AS q_id, s, c_id, dist FROM d WHERE id < $NumQueries),
-       |scored AS (
+       |${x}tab AS (SELECT id AS q_id, s, c_id, dist FROM ${x}d WHERE id < $NumQueries),
+       |${x}scored AS (
        |  SELECT p.q_id, c.id AS n_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
-       |  FROM codes c
-       |  JOIN assigned a ON a.id = c.id
-       |  JOIN probes p ON p.cluster = a.cluster
-       |  JOIN tab t ON t.q_id = p.q_id AND t.s = c.s AND t.c_id = c.code
+       |  FROM ${x}codes c
+       |  JOIN ${x}assigned a ON a.id = c.id
+       |  JOIN ${x}probes p ON p.cluster = a.cluster
+       |  JOIN ${x}tab t ON t.q_id = p.q_id AND t.s = c.s AND t.c_id = c.code
        |  WHERE c.id != p.q_id
        |  GROUP BY 1, 2),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
-       |           FROM scored)""".stripMargin
+       |${x}ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
+       |           FROM ${x}scored)""".stripMargin
 
-  private val ivfPqOracleSql: String =
+  private lazy val ivfPqOracleSql: String =
     s"""WITH $ivfPqCtes
        |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
@@ -836,5 +905,5 @@ object SimilarityQueries {
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored,
-    e14AnnRecall, e20IvfPqRecall)
+    e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

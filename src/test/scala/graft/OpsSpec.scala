@@ -523,5 +523,11 @@ class OpsSpec extends SparkSpec {
     val dayLo = lit("2024-01-10").cast("timestamp")
     val boundary = ZoneMap.readRange(spark, lake, "ts", dayLo, dayLo)
     assert(boundary.count() == 0, "[lo, lo) must be empty")
+    // driver-state bound: over the listed-files budget the read falls
+    // back to the root scan — identical rows, no path list collected
+    val bounded = ZoneMap.readRange(spark, lake, "ts", lo, hi,
+      maxListedFiles = 2)
+    assert(bounded.select("event_id").as[Long].collect().toSet == full,
+      "fallback read must return the identical rows")
   }
 }
