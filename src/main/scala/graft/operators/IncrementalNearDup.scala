@@ -124,4 +124,34 @@ object IncrementalNearDup {
     banded.unpersist()
     admitted
   }
+
+  /** COMPACT the bucketed index: each [[dedupeBatchBucketed]] append
+    * adds writing-task × bucket files, so after many batches the
+    * per-bucket file count — and every admission join's open-file cost —
+    * grows ∝ batches (io06's small-files problem, on a bucketed table).
+    * Rewrite the table through a staging table with the SAME bucket
+    * spec (layout-preserving — the zero-exchange join property is
+    * untouched), then swap via DROP + RENAME. `writeTasks` bounds
+    * files-per-bucket after compaction (1 at gate scale; ~buckets tasks
+    * on a real cluster so the rewrite parallelizes). Single-writer ops
+    * job, like the reference's offline maintenance — do not run it
+    * concurrently with an ingesting batch; a crash between DROP and
+    * RENAME leaves the complete staging table recoverable by hand.
+    * Returns the row count (unchanged by construction — the spec also
+    * proves admissions unchanged).
+    */
+  def compactIndex(spark: SparkSession, table: String, buckets: Int = 16,
+                   writeTasks: Int = 1): Long = {
+    val staged = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    val rows = spark.table(table).count()
+    spark.table(table)
+      .coalesce(writeTasks)
+      .write.bucketBy(buckets, "band_id", "band_key")
+      .sortBy("band_id", "band_key")
+      .mode("overwrite").format("parquet").saveAsTable(staged)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    rows
+  }
 }

@@ -360,7 +360,8 @@ object Similarity {
     */
   def ivfPqStoredTopK(spark: org.apache.spark.sql.SparkSession, store: String,
                       queries: DataFrame, idCol: String, embCol: String,
-                      k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16): DataFrame = {
+                      k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16,
+                      maxProbeRows: Int = 1000000): DataFrame = {
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
@@ -381,7 +382,15 @@ object Similarity {
     // ∝ probed clusters, not corpus size — and re-materializing the
     // collected rows as a local frame keeps the centroid-routing subplan
     // from executing twice (once for the IN, once for the join)
-    val probeRows = probes.collect()
+    // budget the collect the cosinePairsTopK way: nprobe × |queries| is
+    // broadcast-class by DESIGN (queries are a sampled/request-sized
+    // frame), but nothing else stops a caller handing the corpus as the
+    // query side — fail fast with the remedy instead of an OOM
+    val probeRows = probes.limit(maxProbeRows + 1).collect()
+    require(probeRows.length <= maxProbeRows,
+      s"ivfPqStoredTopK: > $maxProbeRows probe rows (nprobe=$nprobe × " +
+        "|queries|) — the query side must be a bounded request frame; " +
+        "split the queries into batches or raise maxProbeRows")
     val probedClusters = probeRows.map(_.get(1)).distinct.toSeq
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)

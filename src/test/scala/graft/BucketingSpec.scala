@@ -110,5 +110,28 @@ class BucketingSpec extends SparkSpec {
     val viaBucketed = batches.map(b => ids(IncrementalNearDup.dedupeBatchBucketed(
       b, "doc_id", "text", table2))).reduce(_ ++ _)
     assert(viaBucketed == viaFlat, "bucketed admissions diverge from flat-store")
+
+    // compaction: the two appends above left > buckets files; compacting
+    // through the staging swap collapses them to <= buckets (writeTasks=1)
+    // while preserving rows, the bucketed layout, AND admission behavior
+    def tableFiles(t: String): Int = {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val dir = java.nio.file.Paths.get(new java.net.URI(loc))
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .count().toInt finally s.close()
+    }
+    val before = spark.table(table2).count()
+    assert(tableFiles(table2) > 16, "expected multi-batch file fragmentation")
+    val rows = IncrementalNearDup.compactIndex(spark, table2)
+    assert(rows == before && spark.table(table2).count() == before)
+    assert(tableFiles(table2) <= 16,
+      s"compaction left ${tableFiles(table2)} files for 16 buckets")
+    // a batch admitted AFTER compaction behaves exactly like the flat
+    // twin seeing the same history (re-send batch 2: everything blocked)
+    val resend = ids(IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", table2))
+    assert(resend.isEmpty, "post-compaction index lost band history")
   }
 }

@@ -190,6 +190,28 @@ class OpsSpec extends SparkSpec {
     assert(ok.count() == 2)
   }
 
+  test("ivfPqStoredTopK fails fast above the probe-row budget") {
+    val store = java.nio.file.Files
+      .createTempDirectory("e19_budget").toString + "/store"
+    val vecs = (0L until 32L)
+      .map(i => (i, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("vid", "emb")
+    Similarity.buildIvfPqStore(vecs, "vid", "emb",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    // 6 queries × nprobe 2 = 12 probe rows — over a budget of 8 the
+    // guard must reject with the remedy, under it the search runs
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqStoredTopK(spark, store,
+        vecs.filter(col("vid") < 6), "vid", "emb", k = 3, nprobe = 2,
+        maxProbeRows = 8)
+    }
+    assert(e.getMessage.contains("bounded request frame"))
+    val ok = Similarity.ivfPqStoredTopK(spark, store,
+      vecs.filter(col("vid") < 6), "vid", "emb", k = 3, nprobe = 2,
+      maxProbeRows = 12)
+    assert(ok.count() > 0)
+  }
+
   test("semDedupRemovalsTwoLevel ≡ brute semDedupRemovals on separated clusters") {
     // four orthogonal-axis clusters of near-duplicates in 8 dims; the
     // first member of each cluster (ids 0..3) is a centroid. With
