@@ -93,17 +93,29 @@ object IncrementalNearDup {
     */
   def dedupeBatchBucketed(batch: DataFrame, idCol: String, textCol: String,
                           table: String, shingleK: Int = 2, numPerms: Int = 16,
-                          bands: Int = 8, buckets: Int = 16): DataFrame = {
+                          bands: Int = 8, buckets: Int = 16,
+                          batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val banded = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
+    val raw = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
+    // batchId (streaming mode, [[graft.streaming.StreamNearDup]]): band
+    // rows are tagged with their micro-batch id and admission reads only
+    // STRICTLY-EARLIER batches — so recomputing a redelivered batch
+    // (foreachBatch retry) never collides with its own prior append, and
+    // the admitted set is a deterministic function of (batch, batchId).
+    val banded = batchId.map(b => raw.withColumn("batch_id", lit(b)))
+      .getOrElse(raw)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vsIndex =
-      if (spark.catalog.tableExists(table))
-        banded.as("b").join(spark.table(table).as("i"),
+      if (spark.catalog.tableExists(table)) {
+        val idx = batchId match {
+          case Some(b) => spark.table(table).filter(col("batch_id") < b)
+          case None    => spark.table(table)
+        }
+        banded.as("b").join(idx.as("i"),
             col("b.band_id") === col("i.band_id") &&
               col("b.band_key") === col("i.band_key"))
           .select(col("b.id"))
-      else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+      } else spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
     val intra = banded.as("x").join(banded.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&

@@ -671,6 +671,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** SM08 — STREAMING near-dup admission: x08's semantics driven by
+    * Structured Streaming — a document stream admitted micro-batch by
+    * micro-batch through the bucketed band index via foreachBatch
+    * ([[graft.streaming.StreamNearDup.admitBatch]]), admitted rows
+    * landing in a batch-partitioned sink with exactly-once overwrite
+    * (retry safety spec'd in StreamNearDupSpec through crash-shaped
+    * redeliveries). Oracle is x08's backfill rule VERBATIM: the
+    * streaming composition is proven admission-equivalent to the batch
+    * pipeline on the same batch sequence.
+    */
+  val sm08StreamNearDup: GraftQuery = GraftQuery(
+    "sm08_stream_neardup",
+    s"""WITH $sqlCandCtes,
+       |blocked AS (
+       |  SELECT DISTINCT y.id FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND ((x.id % 2) < (y.id % 2)
+       |        OR ((x.id % 2) = (y.id % 2) AND x.id < y.id)))
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM blocked)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "sm08_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table") // gate reruns start clean
+    val out = Dsl.tempStore("sm08_admitted")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    // two micro-batches, same halves as x08 (even ids arrive first)
+    val halves = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      .map(_.as[(Long, String, String)].collect().toSeq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamNearDup.admitBatch(
+          b, id, "doc_id", "text", table, out, ShingleK, NumPerms, Bands)
+      }
+      .start()
+    try halves.foreach { h => mem.addData(h); q.processAllAvailable() }
+    finally q.stop()
+    spark.read.parquet(out).select("doc_id", "source").orderBy("doc_id")
+  }
+
   /** G2 — duplicate-group clustering: connected components over the LSH
     * candidate pairs ([[Dedup.connectedComponents]] min-label
     * propagation), emitting one row per duplicate group with its
@@ -720,7 +764,7 @@ object DedupQueries {
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
     x15MergeChangeset, x16StoreVacuum, x17TimeTravel,
-    x18IncrementalNearDupBucketed,
+    x18IncrementalNearDupBucketed, sm08StreamNearDup,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
     s01bSimHash64, g01NgramJaccard, g02DedupGroups)

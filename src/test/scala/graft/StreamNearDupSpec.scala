@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.IncrementalNearDup
+import graft.streaming.StreamNearDup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** sm08 composition: a document stream admitted through the bucketed
+  * band index via foreachBatch equals the flat-store batch twin on the
+  * same batch sequence (x08's backfill rule), and foreachBatch
+  * redelivery — after the index append already happened — leaves the
+  * admitted output exactly-once and later batches unaffected.
+  */
+class StreamNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed admission == flat twin; redelivery is exactly-once") {
+    implicit val ctx = spark.sqlContext
+    val table = "sm08_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val outDir = java.nio.file.Files
+      .createTempDirectory("sm08_out").toString + "/admitted"
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val batches = (0 until 3).map(i =>
+      docs.filter(col("doc_id") % 3 === i).as[(Long, String)].collect().toSeq)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamNearDup.admitBatch(b, id, "doc_id", "text", table, outDir)
+      }
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    def admittedIds: Map[Long, Set[Long]] = spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map {
+        case (b, rows) => b -> rows.map(_._2).toSet
+      }
+
+    // flat-store twin over the SAME batch sequence — x08's backfill rule
+    val flatStore = java.nio.file.Files
+      .createTempDirectory("sm08_flat").toString + "/idx"
+    val expected = batches.zipWithIndex.map { case (b, i) =>
+      i.toLong -> IncrementalNearDup.dedupeBatch(
+        b.toDF("doc_id", "text"), "doc_id", "text", flatStore)
+        .select("doc_id").as[Long].collect().toSet
+    }.toMap
+    val streamed = admittedIds
+    assert(streamed == expected, "streamed admissions diverge from flat twin")
+    assert(expected.exists(_._2.nonEmpty) &&
+      expected.values.map(_.size).sum < batches.map(_.size).sum,
+      "fixture must both admit and block")
+
+    // redelivery: batch 2's bands are already in the index (batch_id=2
+    // rows). Re-running the foreachBatch body with the same id must
+    // recompute the SAME admitted set — only strictly-earlier batches
+    // are consulted — and overwrite only its own sink partition.
+    StreamNearDup.admitBatch(batches(2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", table, outDir)
+    assert(admittedIds == expected, "redelivery changed the output")
+
+    // crash-shaped redelivery: sink partition lost after the index
+    // append (crash between append and write) — the retry restores it
+    val p2 = java.nio.file.Paths.get(outDir, "batch_id=2")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p2).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    StreamNearDup.admitBatch(batches(2).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", table, outDir)
+    assert(admittedIds == expected, "retry did not restore the lost partition")
+
+    // a LATER batch is unaffected by the duplicate band rows the
+    // redeliveries appended: admissions still match the flat twin that
+    // saw each batch exactly once
+    val b3 = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .as[(Long, String)].collect().toSeq
+    StreamNearDup.admitBatch(b3.toDF("doc_id", "text"), 3L,
+      "doc_id", "text", table, outDir)
+    val flat3 = IncrementalNearDup.dedupeBatch(
+      b3.toDF("doc_id", "text"), "doc_id", "text", flatStore)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admittedIds.getOrElse(3L, Set.empty) == flat3,
+      "post-redelivery batch diverges from flat twin")
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
