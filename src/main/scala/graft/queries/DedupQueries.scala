@@ -760,6 +760,69 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** X20 — CANONICAL SELECTION within near-dup clusters: g02 finds the
+    * duplicate groups; this resolves each group to the ONE copy a
+    * curation pipeline keeps, by source priority (prefer the most
+    * trusted source, tie-break lowest doc_id) — the "prefer wiki over
+    * common-crawl" rule every multi-source training corpus applies.
+    * Priority here is the source's numeric suffix (standing in for the
+    * configured source→priority dim a production run would broadcast).
+    *
+    * Scale shape: after the CC labels, selection is ONE map-side
+    * combinable agg — the (priority, doc_id) order is packed into a
+    * single BIGINT key (pri·2³² + id, the a35 pack convention) so
+    * MIN(key) is the argmin and no window or join-back ever ranks
+    * cluster members; the labels→docs join is broadcast-class (labels
+    * exist only for clustered docs).
+    */
+  val x20CanonicalSelection: GraftQuery = GraftQuery(
+    "x20_canonical_selection",
+    s"""WITH RECURSIVE $sqlCandCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |members AS (
+       |  SELECT c.component, d.doc_id, d.source,
+       |         CAST(REPLACE(d.source, 'src', '') AS BIGINT) AS pri
+       |  FROM comp c JOIN documents d ON c.id = d.doc_id),
+       |sel AS (SELECT component,
+       |               MIN(pri * 4294967296 + doc_id) AS k,
+       |               COUNT(*) AS n_members,
+       |               COUNT(DISTINCT source) AS n_sources
+       |        FROM members GROUP BY component)
+       |SELECT component, k % 4294967296 AS kept_doc_id,
+       |       'src' || CAST(k // 4294967296 AS VARCHAR) AS kept_source,
+       |       n_members, n_sources
+       |FROM sel ORDER BY component""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.lshComponentEdges(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // same shuffle sizing as g02: candidate generation ∝ corpus
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val ccParts = math.min(prevParts.toLong, math.max(4L, docs.count() / 5000L))
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val pri = regexp_replace(col("source"), "^src", "").cast("long")
+    comps.join(docs.select(col("doc_id"), col("source")),
+        comps("id") === col("doc_id"))
+      .select(col("comp").as("component"),
+        (pri * lit(4294967296L) + col("doc_id")).as("k"), col("source"))
+      .groupBy("component")
+      .agg(min("k").as("k"), count(lit(1)).as("n_members"),
+        countDistinct("source").as("n_sources"))
+      .select(col("component"),
+        expr("k % 4294967296").as("kept_doc_id"),
+        concat(lit("src"), expr("k div 4294967296").cast("string"))
+          .as("kept_source"),
+        col("n_members"), col("n_sources"))
+      .orderBy("component")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
@@ -767,5 +830,5 @@ object DedupQueries {
     x18IncrementalNearDupBucketed, sm08StreamNearDup,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
-    s01bSimHash64, g01NgramJaccard, g02DedupGroups)
+    s01bSimHash64, g01NgramJaccard, g02DedupGroups, x20CanonicalSelection)
 }

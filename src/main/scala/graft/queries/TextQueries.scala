@@ -1264,10 +1264,65 @@ object TextQueries {
       .orderBy("lang", "lang_pred")
   }
 
+  /** T28 — VOCABULARY COVERAGE CURVE (the Zipf check): what share of
+    * ALL token occurrences the top-k vocabulary covers, at k ∈
+    * {10, 100, 1000} — the tokenizer-design dial (vocab size vs OOV
+    * rate) and the corpus-health twin of t23's heavy hitters: a curve
+    * that rises too fast means boilerplate, too slow means noise.
+    *
+    * Scale shape: token frequency is ONE map-side agg over the exploded
+    * corpus; the top-1000 cut plans as TakeOrderedAndProject
+    * (per-partition heaps — d16's pin, never a global sort over
+    * |vocab|); the rank/cumulative walk then runs on the ≤1000-row
+    * collapsed frame (the t16/t24 bounded-window class). ppm stays in
+    * BIGINT: covered·10⁶ ≤ 9·10¹⁸ up to ~9×10¹² total tokens — beyond
+    * that, promote to the a33 DECIMAL(38,0) cross-multiply.
+    */
+  val t28VocabCoverage: GraftQuery = GraftQuery(
+    "t28_vocab_coverage",
+    s"""WITH toks AS (
+       |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+       |top AS (SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 1000),
+       |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+       |           FROM top),
+       |cum AS (SELECT rnk,
+       |               CAST(SUM(n) OVER (ORDER BY rnk) AS BIGINT) AS covered
+       |        FROM ranked),
+       |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+       |SELECT ks.k, MAX(cum.covered) AS covered, t.total,
+       |       (MAX(cum.covered) * 1000000) // t.total AS coverage_ppm
+       |FROM ks JOIN cum ON cum.rnk <= ks.k CROSS JOIN tot t
+       |GROUP BY ks.k, t.total ORDER BY ks.k""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum("n").as("total"))
+    val order = Seq(desc("n"), asc("tok"))
+    // bounded frame: everything below runs on <= 1000 rows
+    val top = freq.orderBy(order: _*).limit(1000)
+    val w = Window.orderBy(order: _*)
+    val cum = top
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("covered", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    import spark.implicits._
+    Seq(10, 100, 1000).toDF("k")
+      .join(cum, col("rnk") <= col("k"))
+      .groupBy("k").agg(max("covered").as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("total"),
+        expr("(covered * 1000000) div total").as("coverage_ppm"))
+      .orderBy("k")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
-    t24BpeApplyMerge, t25BigramLm, t27LangIdEval)
+    t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage)
 }
