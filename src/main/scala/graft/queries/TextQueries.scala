@@ -1224,6 +1224,67 @@ object TextQueries {
       .orderBy(desc("n_12"), asc("w1"), asc("w2")).limit(50)
   }
 
+  /** T29 — PER-DOCUMENT LM SCORE (the CCNet-style fluency filter on
+    * t25's model): each document scored by its MEAN smoothed bigram
+    * likelihood under the corpus bigram LM — the "does this read like
+    * the corpus" dial a perplexity filter turns, kept integer-exact
+    * (mean of t25's add-one p_ppm per bigram, floor division) instead
+    * of float log-space so the gate hashes. Low scores are the
+    * gibberish/boilerplate tail a pretraining mix drops; t12 is the
+    * unigram-rarity axis, this is the bigram-fluency axis.
+    *
+    * Scale shape: ONE bigram explode carrying doc_id, a broadcast join
+    * against the unigram counts (vocab-sized — broadcast-class by the
+    * same argument as t25), and a map-side-combinable per-doc agg;
+    * nothing wider than the corpus's own bigram stream ever shuffles.
+    */
+  val t29LmDocScore: GraftQuery = GraftQuery(
+    "t29_lm_doc_score",
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |uni AS (SELECT unnest(tk) AS w FROM tok),
+       |c1 AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+       |v AS (SELECT COUNT(*) AS vocab FROM c1),
+       |bi AS (
+       |  SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM tok WHERE len(tk) >= 2)),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS n_12 FROM bi GROUP BY 1, 2),
+       |p AS (
+       |  SELECT bi.doc_id,
+       |         CAST((1000000 * (n_12 + 1)) // (c1.n + v.vocab) AS BIGINT) AS p_ppm
+       |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON c1.w = bi.w1, v)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = tok.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val v = c1.agg(count(lit(1)).as("vocab"))
+    // the bigram stream feeds BOTH the corpus counts and the per-doc
+    // scoring join — persist or the explode subtree plans twice
+    val bi = tok.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_12"))
+    // c12 is distinct-bigram-sized (∝ corpus) — a shuffle join on the
+    // SAME (w1, w2) key its agg just partitioned by; only c1 (vocab)
+    // and v (1 row) broadcast
+    bi.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1.select(col("w").as("w1"), col("n").as("n_1"))), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("CAST((1000000 * (n_12 + 1)) div (n_1 + vocab) AS BIGINT)").as("p_ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST((sum(p_ppm) div count(1)) AS BIGINT)").as("score_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** T27 — LANGUAGE-ID EVALUATION (confusion matrix + per-language
     * accuracy): t02 predicts a language per document; the corpus also
     * CARRIES the true label — so score the classifier (the eval metric
@@ -1324,5 +1385,6 @@ object TextQueries {
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
-    t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage)
+    t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
+    t29LmDocScore)
 }

@@ -65,6 +65,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("vocab coverage cuts top-k with per-partition heaps, not a global sort (t28)") {
+    val plan = planOf("t28_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-1000 vocab cut must plan as TakeOrderedAndProject:\n$plan")
+    // the cumulative window must sit ABOVE the 1000-row cut (an
+    // ancestor prints first in the top-down dump), never on the full
+    // vocabulary
+    assert(plan.contains("Window"), s"expected the bounded cumsum window:\n$plan")
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"window must run on the bounded frame above the cut:\n$plan")
+  }
+
   test("LSH candidate generation is an equi-join on band keys, no cartesian (m01)") {
     val plan = planOf("m01_minhash_lsh")
     assert(!plan.contains("CartesianProduct"))
