@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
       "a31_conversion_lag" ->
         "gate-exactness form (documented a05 convention); production twin a31b benches window-free",
       "a31b_conversion_lag_approx" ->
-        "band-edge proof only — benchAs form is the sketch agg, no window in the production plan")
+        "band-edge proof only — benchAs form is the sketch agg, no window in the production plan",
+      "t28_vocab_coverage" ->
+        "rank/cumsum windows AFTER the TakeOrdered(1000) heap cut — bounded frame (own PlanSpec pin)")
     val offenders = PlanDump.AuditQueries
       .flatMap { n =>
         val df = SparkEntry.queries(n)(spark, sf)
