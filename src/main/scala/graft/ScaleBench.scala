@@ -68,7 +68,15 @@ object ScaleBench {
     "t27_langid_eval",
     // d16: hash projection + TakeOrdered per-partition heaps — should be
     // the flattest row-op profile next to d15
-    "d16_exact_sample")
+    "d16_exact_sample",
+    // r9: t28 is the token explode + freq agg + TakeOrdered(1000) heap
+    // cut — the claim is NO global sort over |vocab| (the cumsum window
+    // runs on the bounded frame); should track t01's scan profile.
+    // t29 is the heaviest text op by design: the doc-tagged bigram
+    // stream (∝ corpus tokens) shuffle-joins the bigram counts on the
+    // SAME key their agg just partitioned by — the curve to watch is
+    // that join staying ∝ token count, never ∝ distinct-bigrams²
+    "t28_vocab_coverage", "t29_lm_doc_score")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier

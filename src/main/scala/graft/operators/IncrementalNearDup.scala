@@ -147,21 +147,37 @@ object IncrementalNearDup {
     * files-per-bucket after compaction (1 at gate scale; ~buckets tasks
     * on a real cluster so the rewrite parallelizes). Single-writer ops
     * job, like the reference's offline maintenance — do not run it
-    * concurrently with an ingesting batch; a crash between DROP and
-    * RENAME leaves the complete staging table recoverable by hand.
-    * Returns the row count (unchanged by construction — the spec also
-    * proves admissions unchanged).
+    * concurrently with an ingesting batch. Crash-safe at every point:
+    * before the DROP the original table is untouched (the staging
+    * table is simply rebuilt next run); between DROP and RENAME the
+    * staged table IS the complete compacted index, and the next
+    * [[compactIndex]] call detects the half-done swap and finishes the
+    * RENAME instead of rebuilding (spec'd in BucketingSpec).
+    *
+    * `dedupe` drops exact-duplicate rows during the rewrite — safe
+    * because the index is semantically a SET of band rows (collision is
+    * existential); duplicates only ever arise from [[graft.streaming
+    * .StreamNearDup]] redeliveries that crashed between the index
+    * append and the sink write. Returns the post-compaction row count.
     */
   def compactIndex(spark: SparkSession, table: String, buckets: Int = 16,
-                   writeTasks: Int = 1): Long = {
+                   writeTasks: Int = 1, dedupe: Boolean = false): Long = {
     val staged = table + "_compacting"
+    if (!spark.catalog.tableExists(table)) {
+      // a prior run crashed between DROP and RENAME: the staged table is
+      // the complete compacted index — finish the swap
+      require(spark.catalog.tableExists(staged),
+        s"compactIndex: neither $table nor $staged exists")
+      spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+      return spark.table(table).count()
+    }
     spark.sql(s"DROP TABLE IF EXISTS $staged")
-    val rows = spark.table(table).count()
-    spark.table(table)
-      .coalesce(writeTasks)
+    val src = if (dedupe) spark.table(table).distinct() else spark.table(table)
+    src.coalesce(writeTasks)
       .write.bucketBy(buckets, "band_id", "band_key")
       .sortBy("band_id", "band_key")
       .mode("overwrite").format("parquet").saveAsTable(staged)
+    val rows = spark.table(staged).count()
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")
     rows

@@ -133,5 +133,21 @@ class BucketingSpec extends SparkSpec {
     val resend = ids(IncrementalNearDup.dedupeBatchBucketed(
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", table2))
     assert(resend.isEmpty, "post-compaction index lost band history")
+
+    // crash recovery: simulate dying between DROP and RENAME — the
+    // staged table exists, the live one is gone; the next compactIndex
+    // call must finish the swap, not rebuild or fail
+    val rowsNow = spark.table(table2).count()
+    spark.sql(s"DROP TABLE IF EXISTS ${table2}_compacting")
+    spark.table(table2)
+      .write.bucketBy(16, "band_id", "band_key").sortBy("band_id", "band_key")
+      .mode("overwrite").format("parquet").saveAsTable(s"${table2}_compacting")
+    spark.sql(s"DROP TABLE $table2") // the crash point
+    val recovered = IncrementalNearDup.compactIndex(spark, table2)
+    assert(recovered == rowsNow && spark.table(table2).count() == rowsNow)
+    assert(!spark.catalog.tableExists(s"${table2}_compacting"))
+    // and the history is still intact through the recovery
+    assert(ids(IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", table2)).isEmpty)
   }
 }

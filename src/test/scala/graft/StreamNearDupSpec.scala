@@ -88,6 +88,20 @@ class StreamNearDupSpec extends SparkSpec {
     assert(admittedIds.getOrElse(3L, Set.empty) == flat3,
       "post-redelivery batch diverges from flat twin")
 
+    // the two redeliveries above appended batch 2's band rows twice
+    // more — exact duplicates with the same batch_id. dedupe-compaction
+    // collapses the table back to the unique band set (what a
+    // single-delivery run would hold) without changing admissions.
+    val uniqueRows = spark.table(table).distinct().count()
+    assert(spark.table(table).count() > uniqueRows,
+      "fixture must hold redelivery duplicates")
+    val rows = IncrementalNearDup.compactIndex(spark, table, dedupe = true)
+    assert(rows == uniqueRows && spark.table(table).count() == uniqueRows)
+    StreamNearDup.admitBatch(b3.toDF("doc_id", "text"), 4L,
+      "doc_id", "text", table, outDir)
+    assert(admittedIds.getOrElse(4L, Set.empty).isEmpty,
+      "post-dedupe-compaction admission lost band history")
+
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
