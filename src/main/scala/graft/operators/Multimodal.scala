@@ -446,21 +446,34 @@ object Multimodal {
     *   n = 1000 + id%500 samples, mono 16-bit signed little-endian
     *   s(t) = ((37·t + 11·id) mod 65536) − 32768
     */
-  def syntheticWav(id: Long): Array[Byte] = {
+  def syntheticWav(id: Long): Array[Byte] = syntheticWavAs(id, aiff = false)
+
+  /** [[syntheticWav]] in a chosen REAL container: WAVE (little-endian
+    * PCM) or AIFF (big-endian PCM) through the genuine `javax.sound`
+    * writers — the same decoded samples in entirely different bytes,
+    * the audio twin of `syntheticImageAs`'s PNG/BMP pair (i07).
+    */
+  def syntheticWavAs(id: Long, aiff: Boolean): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val n = (1000 + id % 500).toInt
     val data = new Array[Byte](2 * n)
     var t = 0
     while (t < n) {
       val s = (Math.floorMod(37L * t + 11L * id, 65536L) - 32768L).toInt
-      data(2 * t) = (s & 0xff).toByte
-      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      if (aiff) { // AIFF carries big-endian PCM
+        data(2 * t) = ((s >> 8) & 0xff).toByte
+        data(2 * t + 1) = (s & 0xff).toByte
+      } else {
+        data(2 * t) = (s & 0xff).toByte
+        data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      }
       t += 1
     }
-    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val fmt = new AudioFormat(8000f, 16, 1, true, aiff)
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -471,19 +484,26 @@ object Multimodal {
     * the pipeline's failure policy for opaque binary columns.
     */
   final case class WavAudioModel() extends Serializable {
-    /** Decoded 16-bit samples, or None if the container is unreadable. */
+    /** Decoded 16-bit samples, or None if the container is unreadable.
+      * Container-agnostic for mono 16-bit PCM: WAVE (little-endian) and
+      * AIFF (big-endian) both land on the same sample array — byte-level
+      * dedup cannot see a WAVE/AIFF content pair, this can (i09).
+      */
     def decodeSamples(content: Array[Byte]): Option[Array[Int]] =
       try {
         import javax.sound.sampled.AudioSystem
         val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian) None
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
         else {
+          val big = fmt.isBigEndian
           val bytes = ais.readAllBytes()
           val out = new Array[Int](bytes.length / 2)
           var i = 0
           while (i < out.length) {
-            out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i).toInt & 0xff))
+            out(i) =
+              if (big) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1).toInt & 0xff))
+              else ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i).toInt & 0xff))
             i += 1
           }
           Some(out)

@@ -434,6 +434,72 @@ object MultimodalQueries {
       .orderBy("phash_hi", "phash_lo")
   }
 
+  /** I09 — AUDIO content-fingerprint dedup across REAL containers: every
+    * other clip in the slice is its predecessor's PCM CONTENT re-encoded
+    * through a different genuine `javax.sound` container (WAVE
+    * little-endian vs AIFF big-endian — `syntheticWavAs`), so the bytes
+    * differ completely while the decoded samples match; byte-level dedup
+    * (x01 on a content hash of the file) cannot see these pairs. Each
+    * clip decodes through the container-agnostic PCM path
+    * ([[Multimodal.WavAudioModel.decodeSamples]]) and fingerprints as
+    * its exact quarter-frame band energies; groups of ≥ 2 equal
+    * fingerprints are the duplicate sets — i07's story for audio. The
+    * oracle replays the band energies from the sample formula, so both
+    * codec paths (WAV write/read AND AIFF write/read) are hash-gated.
+    *
+    * Scale shape: fingerprinting is a per-row map over binary content
+    * (mapPartitions, model hoisted); grouping is one shuffle on the
+    * fingerprint — x01's exact-dedup shape with a decoded-content key.
+    * Near-dup (close energies) extends via banding like s01.
+    */
+  val i09AudioFpDedup: GraftQuery = GraftQuery(
+    "i09_audio_fp_dedup", {
+      def s(tE: String): String = s"((37*$tE + 11*cid) % 65536 - 32768)"
+      def cell(x0: String, x1: String): String =
+        s"CAST(list_sum([abs(${s("t")}) for t in range($x0, $x1)]) AS BIGINT)"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         doc_id - CASE WHEN doc_id % 20 = 17 THEN 10 ELSE 0 END AS cid
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |dd AS (SELECT doc_id, cid, 1000 + cid % 500 AS n,
+         |              (1000 + cid % 500) // 4 AS q FROM d),
+         |fp AS (
+         |  SELECT doc_id,
+         |         ${cell("0", "q")} AS f0, ${cell("q", "2*q")} AS f1,
+         |         ${cell("2*q", "3*q")} AS f2, ${cell("3*q", "n")} AS f3
+         |  FROM dd)
+         |SELECT f0, f1, f2, f3, COUNT(*) AS n_dups,
+         |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM fp GROUP BY f0, f1, f2, f3 HAVING COUNT(*) >= 2
+         |ORDER BY f0, f1, f2, f3""".stripMargin
+    }) { (spark, dir) =>
+    val model = Multimodal.WavAudioModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("f0", LongType), StructField("f1", LongType),
+      StructField("f2", LongType), StructField("f3", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val cid = if (id % 20 == 17) id - 10 else id
+          val aiff = id % 20 == 17
+          val bytes = Multimodal.syntheticWavAs(cid, aiff) // real encode
+          val (_, _, _, cells) = m.frameStats(bytes).get // real decode
+          Row(id, cells(0), cells(1), cells(2), cells(3))
+        }
+      }(enc)
+      .groupBy("f0", "f1", "f2", "f3")
+      .agg(count(lit(1)).as("n_dups"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("n_dups") >= 2)
+      .orderBy("f0", "f1", "f2", "f3")
+  }
+
   /** Σ over the RESIZED image of a channel formula evaluated at the NN
     * source coordinates (⌊x·w/ow⌋, ⌊y·h/oh⌋).
     */
@@ -490,5 +556,5 @@ object MultimodalQueries {
 
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
     i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup,
-    i08ResizeNN)
+    i08ResizeNN, i09AudioFpDedup)
 }

@@ -174,6 +174,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m.frameStats(Array.emptyByteArray).isEmpty)
   }
 
+  test("WAVE and AIFF containers of the same PCM decode identically (i09's premise)") {
+    val m = Multimodal.WavAudioModel()
+    val wav = Multimodal.syntheticWavAs(42L, aiff = false)
+    val aiff = Multimodal.syntheticWavAs(42L, aiff = true)
+    // entirely different bytes (container + endianness), so byte-level
+    // dedup is blind to the pair ...
+    assert(!java.util.Arrays.equals(wav, aiff))
+    // ... but the container-agnostic decode lands on the same samples
+    assert(java.util.Arrays.equals(m.decodeSamples(wav).get, m.decodeSamples(aiff).get))
+    val (n1, a1, z1, c1) = m.frameStats(wav).get
+    val (n2, a2, z2, c2) = m.frameStats(aiff).get
+    assert(n1 == n2 && a1 == a2 && z1 == z2 && c1.toSeq == c2.toSeq)
+  }
+
   test("VisionModel seam: a second (ONNX-shaped) backend drops in; batches reach it") {
     VisionBatchProbe.reset()
     val imgs = Multimodal.readImages(spark, imageDir).repartition(1)
