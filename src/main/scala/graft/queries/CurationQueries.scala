@@ -249,5 +249,89 @@ object CurationQueries {
       .orderBy("doc_id", "copy_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply)
+  /** PL01 — the ORCHESTRATOR end-to-end: a JSON config file parsed by
+    * the real config loader (the reference's orchestrator contract,
+    * `orchestrator.py:28-57` / `config/test.json`) drives two chained
+    * stages — TextAnalysisStage profiles every document, CurationStage
+    * removes near-dup group members + benchmark-contaminated docs — and
+    * the gate reads the stages' OUTPUT FILES back and summarizes the
+    * surviving corpus per predicted language. The oracle recomputes the
+    * whole chain (LSH components, decontamination, language pick, token
+    * stats) in SQL, so config parsing, stage dispatch, inter-stage file
+    * hand-off, and both stages' semantics are hash-gated as one unit —
+    * a user of the reference's orchestrator can point their config here.
+    *
+    * Scale shape: exactly its stages' shapes (TextAnalysis one codegen'd
+    * projection; Curation = c02 minus packing); the orchestrator itself
+    * adds one driver-side dispatch loop and O(stages) file-existence
+    * probes.
+    */
+  val pl01PipelineE2e: GraftQuery = GraftQuery(
+    "pl01_pipeline_e2e", {
+      val toksE = sqlTokens("text")
+      val scoreE = langMarkers.map { case (l, ms) => l -> sqlLangScore("toks", ms) }
+      s"""WITH RECURSIVE ${DedupQueries.sqlCandCtes},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |dup_removed AS (SELECT id AS doc_id FROM comp WHERE id != component),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${sqlShingles(toksE, 4)})) AS s
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)
+         |  WHERE doc_id % 97 != 0),
+         |removed AS (
+         |  SELECT doc_id FROM dup_removed
+         |  UNION SELECT doc_id FROM contaminated
+         |  UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+         |prof AS (
+         |  SELECT doc_id, text, $toksE AS toks FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+         |SELECT ${sqlLangPick(scoreE, "text")} AS lang_pred,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(len(toks)) AS BIGINT) AS sum_tokens,
+         |       CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_distinct
+         |FROM prof GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    import graft.queries.DedupQueries.{Bands, NumPerms, ShingleK}
+    val root = Dsl.tempStore("pl01_root")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/docs")
+    val cfgJson =
+      s"""{"dataset_name": "docs", "stages": [
+         |  {"name": "profile", "implementation": "TextAnalysisStage",
+         |   "input": "docs", "output": "profiled", "params": {}},
+         |  {"name": "curate", "implementation": "CurationStage",
+         |   "input": "docs", "output": "curated",
+         |   "params": {"shingle_k": $ShingleK, "num_perms": $NumPerms,
+         |              "bands": $Bands, "decontam_k": 4,
+         |              "benchmark_mod": 97}}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "config.json"), cfgJson)
+    val summary = graft.pipeline.Pipeline.run(
+      spark, root, graft.pipeline.Pipeline.loadConfig(s"$root/config.json"))
+    val statuses = summary.select("stage", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    require(statuses.forall(_._2 == "ok"),
+      s"pipeline stages not ok: ${statuses.mkString(", ")}")
+    spark.read.parquet(s"$root/curated").select("doc_id")
+      .join(spark.read.parquet(s"$root/profiled")
+        .select("doc_id", "n_tokens", "n_distinct", "lang_pred"), "doc_id")
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("n_distinct").as("sum_distinct"))
+      .orderBy("lang_pred")
+  }
+
+  val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply,
+    pl01PipelineE2e)
 }
