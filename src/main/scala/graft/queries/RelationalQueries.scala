@@ -682,9 +682,43 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Q07 — ORDER-PRIORITY CHECK (TPC-H Q4 topology, ref Q4): of the
+    * orders placed in a quarter, how many — per priority class — had at
+    * least one line shipped AFTER the order date (the late-shipment
+    * existence test). The EXISTS turns into a LEFT-SEMI join with a
+    * mixed equi + non-equi condition (l_orderkey match AND
+    * l_shipdate > o_orderdate) — the orders side never duplicates no
+    * matter how many lines match.
+    *
+    * Scale shape: the quarter predicate pushes into the orders scan
+    * (suite-wide audit); the semi-join shuffles both sides on orderkey
+    * once (AQE may broadcast the filtered orders side); the priority
+    * rollup is a map-side agg to |priorities| rows.
+    */
+  val q07PriorityCount: GraftQuery = GraftQuery(
+    "q07_priority_count",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    orders.join(Tables.lineitem(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
-    q05ShippingPriority, q06ForecastRevenue,
+    q05ShippingPriority, q06ForecastRevenue, q07PriorityCount,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
     j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,
