@@ -716,9 +716,52 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Q08 — PROMOTION EFFECT (TPC-H Q14 topology, ref Q14): the share of
+    * one quarter's revenue from PROMO-type parts — the lineitem×part
+    * dim join the suite didn't yet exercise. Both revenue sums run in
+    * exact DECIMAL (map-side combinable); only the final percentage
+    * assembles the same IEEE double expression on both engines (the
+    * cosine convention — no decimal division, which engines round
+    * differently).
+    *
+    * Scale shape: the quarter predicate pushes into the lineitem scan;
+    * part is a broadcast dim (PlanSpec's j01 rule); ONE conditional agg
+    * to a single row — no second pass for the denominator.
+    */
+  val q08PromoRevenue: GraftQuery = GraftQuery(
+    "q08_promo_revenue",
+    """WITH j AS (
+      |  SELECT p_type, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'),
+      |s AS (SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(28,6)) END) AS promo,
+      |             SUM(rev) AS total FROM j)
+      |SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+      |       CAST(total AS DOUBLE) AS total_revenue,
+      |       (CAST(promo AS DOUBLE) * 100) / CAST(total AS DOUBLE) AS promo_pct
+      |FROM s""".stripMargin) { (spark, dir) =>
+    val j = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)").as("rev"))
+    j.agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(28,6)"))).as("promo"),
+        sum(col("rev")).as("total"))
+      .select(col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"),
+        ((col("promo").cast("double") * 100) / col("total").cast("double"))
+          .as("promo_pct"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
-    q05ShippingPriority, q06ForecastRevenue, q07PriorityCount,
+    q05ShippingPriority, q06ForecastRevenue, q07PriorityCount, q08PromoRevenue,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
     j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,
