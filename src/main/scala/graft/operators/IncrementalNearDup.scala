@@ -108,7 +108,13 @@ object IncrementalNearDup {
     val vsIndex =
       if (spark.catalog.tableExists(table)) {
         val idx = batchId match {
-          case Some(b) => spark.table(table).filter(col("batch_id") < b)
+          case Some(b) =>
+            val t = spark.table(table)
+            require(t.columns.contains("batch_id"),
+              s"dedupeBatchBucketed: table $table has no batch_id column — " +
+                "it was built in batch (non-streaming) mode; streaming " +
+                "admission needs its own table")
+            t.filter(col("batch_id") < b)
           case None    => spark.table(table)
         }
         banded.as("b").join(idx.as("i"),

@@ -698,7 +698,12 @@ object DedupQueries {
     spark.sql(s"DROP TABLE IF EXISTS $table") // gate reruns start clean
     val out = Dsl.tempStore("sm08_admitted")
     val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
-    // two micro-batches, same halves as x08 (even ids arrive first)
+    // two micro-batches, same halves as x08 (even ids arrive first).
+    // GATE FIXTURE ONLY: MemoryStream needs the rows driver-side, and is
+    // chosen over a file stream for deterministic batch BOUNDARIES (one
+    // addData = one batch id, which the oracle's seen-before rule needs).
+    // Production ingest is a file/queue readStream — admitBatch itself
+    // never collects anything.
     val halves = Seq(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
       .map(_.as[(Long, String, String)].collect().toSeq)
