@@ -1256,7 +1256,15 @@ object TextQueries {
        |SELECT doc_id, COUNT(*) AS n_bigrams,
        |       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val tok = Tables.documents(spark, dir)
+    lmDocScore(Tables.documents(spark, dir))
+  }
+
+  /** t29's operator body over any (doc_id, text) frame — factored so the
+    * property spec can brute-force tiny adversarial corpora (0/1/2-token
+    * docs, repeated bigrams) against the SAME plan the gate runs.
+    */
+  def lmDocScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = tok.select(explode(col("tk")).as("w"))
@@ -1356,22 +1364,32 @@ object TextQueries {
        |       (MAX(cum.covered) * 1000000) // t.total AS coverage_ppm
        |FROM ks JOIN cum ON cum.rnk <= ks.k CROSS JOIN tot t
        |GROUP BY ks.k, t.total ORDER BY ks.k""".stripMargin) { (spark, dir) =>
+    vocabCoverage(Tables.documents(spark, dir), Seq(10, 100, 1000), 1000)
+  }
+
+  /** t28's operator body over any (…, text) frame — factored so the
+    * property spec can drive adversarial corpora (vocab smaller than k,
+    * count ties) through the SAME plan the gate runs.
+    */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, ks: Seq[Int],
+                    topN: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = Tables.documents(spark, dir)
+    val spark = docs.sparkSession
+    val freq = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = freq.agg(sum("n").as("total"))
     val order = Seq(desc("n"), asc("tok"))
-    // bounded frame: everything below runs on <= 1000 rows
-    val top = freq.orderBy(order: _*).limit(1000)
+    // bounded frame: everything below runs on <= topN rows
+    val top = freq.orderBy(order: _*).limit(topN)
     val w = Window.orderBy(order: _*)
     val cum = top
       .withColumn("rnk", row_number().over(w))
       .withColumn("covered", sum("n").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     import spark.implicits._
-    Seq(10, 100, 1000).toDF("k")
+    ks.toDF("k")
       .join(cum, col("rnk") <= col("k"))
       .groupBy("k").agg(max("covered").as("covered"))
       .crossJoin(broadcast(tot))

@@ -962,4 +962,66 @@ class PropertySpec extends SparkSpec {
     // the bucket bound never understates the exact percentile
     for (q <- Seq(50, 95, 99)) assert(pick(q) >= exact(q))
   }
+
+  test("t28 vocab coverage ≡ brute force, incl. vocab smaller than k and count ties") {
+    // engineered ties (b and a swap between count and lexical order) and
+    // a vocab (6) far below the largest k
+    val docs = Seq((1L, "a a a b b c"), (2L, "b c d d e a"), (3L, "f f a b"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.vocabCoverage(docs, Seq(2, 4, 100), 100)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val toks = Seq("a a a b b c", "b c d d e a", "f f a b")
+      .flatMap(_.split(" ").toSeq)
+    val byTok = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val total = toks.size.toLong
+    val expected = Seq(2, 4, 100).map { k =>
+      val covered = byTok.take(k).map(_._2).sum
+      (k, covered, total, covered * 1000000L / total)
+    }
+    assert(got == expected, s"got $got expected $expected")
+    // k beyond the vocab covers everything
+    assert(got.last._2 == total && got.last._4 == 1000000L)
+  }
+
+  test("t29 LM doc score ≡ brute-force smoothed bigram mean (0/1-bigram docs excluded)") {
+    val texts = Map(1L -> "a b a b", 2L -> "a", 4L -> "b a", 5L -> "c c c")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.lmDocScore(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // brute: unigrams over ALL docs (the 1-token doc counts toward the
+    // LM even though it gets no score row)
+    val uni = texts.values.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bi = texts.view.mapValues(_.split(" ").toSeq.sliding(2).toSeq
+      .filter(_.size == 2)).toMap
+    val c12 = bi.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = bi.collect { case (id, bs) if bs.nonEmpty =>
+      val ps = bs.map(b => 1000000L * (c12(b) + 1) / (uni(b.head) + v))
+      id -> (bs.size.toLong, ps.sum / bs.size)
+    }.toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(!got.contains(2L), "a 1-token doc must not get a score row")
+  }
+
+  test("x20 packed-key argmin decodes the true (priority, id) minimum at the 2^32 boundary") {
+    val P = 4294967296L
+    val rows = Seq(
+      // component 1: priority tie broken by id; id at the 2^32-1 boundary
+      (1L, 3L, P - 1), (1L, 3L, 7L), (1L, 9L, 1L),
+      // component 2: lower priority wins over a much smaller id
+      (2L, 0L, P - 1), (2L, 1L, 0L),
+      // component 3: single member
+      (3L, 99L, 42L)).toDF("component", "pri", "doc_id")
+    val got = rows.select(col("component"), (col("pri") * P + col("doc_id")).as("k"))
+      .groupBy("component").agg(min("k").as("k"))
+      .select(col("component"), expr("k div " + P).as("pri"),
+        expr("k % " + P).as("doc_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val brute = Seq((1L, 3L, P - 1), (1L, 3L, 7L), (1L, 9L, 1L),
+        (2L, 0L, P - 1), (2L, 1L, 0L), (3L, 99L, 42L))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).min).toMap
+    assert(got == brute, s"got $got expected $brute")
+  }
 }
