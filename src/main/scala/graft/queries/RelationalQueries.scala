@@ -759,9 +759,45 @@ object RelationalQueries {
           .as("promo_pct"))
   }
 
+  /** Q09 — CUSTOMER ORDER-COUNT DISTRIBUTION (TPC-H Q13 topology, ref
+    * Q13): how many customers placed exactly k qualifying orders, for
+    * every k INCLUDING ZERO — the zero bucket is why this is a LEFT
+    * OUTER join with the filter inside the join condition (a WHERE
+    * would silently delete the never-ordered customers, the classic
+    * outer-join-filter trap). Two aggregations: per-customer count
+    * (counting the nullable order key so no-match rows count 0), then
+    * the k-histogram.
+    *
+    * Scale shape: one shuffle on custkey for the join + first agg (same
+    * key — one exchange serves both); the histogram aggregates
+    * |customers| rows map-side to |distinct k| rows. No windows.
+    */
+  val q09CustDistribution: GraftQuery = GraftQuery(
+    "q09_cust_distribution",
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02RevenueByNation, q03LocalSupplier, q04AboveAvg,
     q05ShippingPriority, q06ForecastRevenue, q07PriorityCount, q08PromoRevenue,
+    q09CustDistribution,
     p01DeriveImage, p03DateParts, p04ArithDerive, p09EqFilter, p10YearRange,
     d01DedupFirst, d06FreqList, j01DimJoin, j03AntiJoin, j04SemiJoin,
     j06AsOfJoin, j07RangeJoin, j08IntervalOverlap, j09FuzzyMatch, j10Scd2Pit,
