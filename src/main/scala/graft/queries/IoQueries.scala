@@ -538,7 +538,43 @@ object IoQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip,
+  /** IO13 — XML round-trip (Spark 4's NATIVE xml source; social feeds
+    * still ship XML/RSS): the io01/io02 loss-free gate through the XML
+    * codec. Strings nest raw JSON inside XML text nodes, exercising
+    * entity escaping (&, <, quotes) both directions; timestamps pin an
+    * explicit format so the sink owns the representation.
+    *
+    * Scale shape: identical to the CSV/JSON twins — an embarrassingly
+    * parallel write, a schema-pinned parallel scan (XML rowTag framing
+    * splits files like JSON-lines), one map-side agg.
+    */
+  val io13XmlRoundtrip: GraftQuery = GraftQuery(
+    "io13_xml_roundtrip", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val out = Dsl.tempStore("io13_xml")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.option("rowTag", "event").option("timestampFormat", tsFmt)
+      .mode("overwrite").format("xml").save(out)
+    spark.read.option("rowTag", "event").option("timestampFormat", tsFmt)
+      .schema(eventsCsvSchema).format("xml").load(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
     io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead)
