@@ -162,7 +162,12 @@ object Pipeline {
       import org.apache.spark.sql.functions._
       import graft.functions.TextFunctions.{shingles, tokens}
       val docs = spark.read.parquet(in)
-      val pairs = graft.operators.Dedup.nearDupPairs(
+      // only the CONNECTIVITY of the candidate pairs is consumed here,
+      // so generate per-bucket STAR edges, not within-bucket cliques:
+      // identical components at Σ|bucket| edges instead of Σ|bucket|²
+      // (the same choice c02 and g02 make; nearDupPairs stays the right
+      // call in DedupStage, which emits the verified pairs themselves)
+      val pairs = graft.operators.Dedup.lshComponentEdges(
         docs, "doc_id", "text",
         shingleK = pInt(params, "shingle_k", 2),
         numPerms = pInt(params, "num_perms", 16),
