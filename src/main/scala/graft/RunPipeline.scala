@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the config-driven pipeline — the reference's
+  * `python orchestrator.py --config config/X.json` contract
+  * (ref orchestrator.py:17-27 argparse + :28-57 stage loop) as a Spark
+  * application:
+  *
+  *   tools/run.sh graft.RunPipeline <rootDir> <configPath> [--rerun]
+  *
+  * Stage inputs/outputs resolve under `rootDir`; `--rerun` disables the
+  * skip-if-output-exists memoization (the reference's default is skip,
+  * same here). Prints the per-stage status/timing summary (the
+  * reference's time-share table, orchestrator.py:59-65) and exits
+  * non-zero if any enabled stage failed to run.
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: RunPipeline <rootDir> <configPath> [--rerun]")
+    val rootDir = args(0)
+    val cfg = pipeline.Pipeline.loadConfig(args(1))
+    val skip = !args.drop(2).contains("--rerun")
+    // same session shape as Verify/Bench: local master sized by env when
+    // not spark-submitted, graft extensions registered, UTC, out-of-repo
+    // warehouse. A cluster deployment overrides master via spark-submit
+    // (builder settings yield to an existing/submitted master).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val builder = SparkSession.builder()
+      .appName(s"graft-pipeline-${cfg.datasetName}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    val spark = (if (sys.props.contains("spark.master") ||
+        sys.env.contains("SPARK_MASTER")) builder
+      else builder.master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val summary = pipeline.Pipeline.run(spark, rootDir, cfg, skipIfExists = skip)
+      val rows = summary.collect()
+      rows.foreach { r =>
+        println(f"[pipeline] ${r.getAs[String]("stage")}%-24s " +
+          f"${r.getAs[String]("status")}%-14s ${r.getAs[Double]("seconds")}%8.2fs " +
+          f"${r.getAs[Double]("time_pct")}%5.1f%%")
+      }
+      val bad = rows.map(_.getAs[String]("status"))
+        .count(s => s != "ok" && s != "skipped" && s != "disabled")
+      if (bad > 0) {
+        System.err.println(s"[pipeline] $bad stage(s) did not run")
+        sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}
