@@ -50,11 +50,6 @@ object TextFunctions {
       s"[ascii(substr($e, i, 1)) for i in range(1, len($e) + 1)]), " +
       s"(a, b) -> (a * $HashMul + b) % $HashP) END"
 
-  /** Word-level hash for shingle/minhash pipelines: rolling hash of the
-    * token string (tokens are short, so the per-char fold is cheap).
-    */
-  def tokenHash(c: Column): Column = rollingHash(c)
-
   /** Word k-shingles joined with spaces: the unit set for n-gram Jaccard
     * and MinHash dedup.
     */

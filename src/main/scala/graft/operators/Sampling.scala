@@ -36,10 +36,21 @@ object Sampling {
   }
 
   /** `rollingHash(key as string) mod 1e6` — the shared bucket function. */
+  /** Uniform bucket in [0, Buckets) from a PORTABLE high-entropy hash:
+    * the first 48 bits of md5(key), hex-parsed identically by Spark's
+    * `conv` and DuckDB's `0x` cast. The previous rolling-hash form was
+    * structurally biased on short consecutive keys: short strings never
+    * wrap the 1e9+7 modulus, so consecutive ids landed in consecutive
+    * buckets and threshold sampling selected contiguous RANGES — d10's
+    * realized keep-rate was ~95% for a ~29% request. md5 restores the
+    * Bernoulli semantics every rate-based sampler here assumes (OpsSpec
+    * pins the rate band and the nested-by-rate property).
+    */
   def hashBucket(key: Column): Column =
-    pmod(TextFunctions.rollingHash(key.cast("string")), lit(Buckets))
+    pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("bigint"), lit(Buckets))
 
   /** DuckDB twin of [[hashBucket]] for oracle SQL. */
   def sqlHashBucket(keyE: String): String =
-    s"(${TextFunctions.sqlRollingHash(s"CAST($keyE AS VARCHAR)")} % $Buckets)"
+    s"(CAST(concat('0x', substr(md5(CAST($keyE AS VARCHAR)), 1, 12)) AS BIGINT) % $Buckets)"
 }

@@ -552,4 +552,41 @@ class OpsSpec extends SparkSpec {
     assert(bounded.select("event_id").as[Long].collect().toSet == full,
       "fallback read must return the identical rows")
   }
+
+  test("deterministicSample: stable, nested by rate, single-rate stratified twin agrees") {
+    import graft.operators.Sampling
+    val df = spark.range(2000).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    val a = ids(Sampling.deterministicSample(df, col("id"), 0.3))
+    // deterministic across invocations, roughly the requested rate
+    assert(a == ids(Sampling.deterministicSample(df, col("id"), 0.3)))
+    assert(a.size > 400 && a.size < 800, s"rate off: ${a.size}/2000")
+    // hash-threshold semantics: a lower rate is a SUBSET of a higher one
+    // (the property that makes rate changes monotone, unlike re-seeding)
+    assert(a.subsetOf(ids(Sampling.deterministicSample(df, col("id"), 0.5))))
+    // stratifiedSample with only the default rate IS deterministicSample
+    val strat = ids(Sampling.stratifiedSample(
+      df.withColumn("s", lit("x")), col("s"), col("id"), Map.empty, 0.3))
+    assert(strat == a)
+  }
+
+  test("dotFixedUnrolled equals the native and HOF dot forms at small dims") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.25f, 2.0f, 0.125f), Seq(1.0f, 0.5f, -0.75f, 2.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val got = vecs.select(
+      Similarity.dotFixed(col("a"), col("b")).as("native"),
+      Similarity.dotFixedHof(col("a"), col("b")).as("hof"),
+      Similarity.dotFixedUnrolled(col("a"), col("b"), 4).as("unrolled"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (n, h, u) => assert(n == h && h == u, s"($n, $h, $u)") }
+  }
+
+  test("GraftQuery.unchecked registers an oracle-less query (the weaker rows-only path)") {
+    val q = GraftQuery.unchecked("tmp_probe")((s, _) => s.range(3).toDF())
+    assert(q.name == "tmp_probe" && q.oracle.isEmpty && q.bench.isEmpty)
+    assert(q.run(spark, "unused").count() == 3)
+  }
 }

@@ -87,6 +87,15 @@ class PostExtractSpec extends SparkSpec {
   private def postsDf: DataFrame =
     spark.read.schema(Schemas.postJson).json(Seq(fullPost, minimalPost).toDS)
 
+  test("readPostJsons: a landing DIRECTORY scans onto the same frame as inline JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("postjsons").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"), fullPost)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.json"), minimalPost)
+    val viaDir = PostExtract.flattenPosts(PostExtract.readPostJsons(spark, dir), "s")
+    val viaDs = PostExtract.flattenPosts(postsDf, "s")
+    assert(viaDir.collect().toSet == viaDs.collect().toSet)
+  }
+
   test("flattenPosts produces the 27-col post_metadata row with nested extractions") {
     val out = PostExtract.flattenPosts(postsDf, "scrapeX")
     val r = out.filter($"id" === 21L).head()
