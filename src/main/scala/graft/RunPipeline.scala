@@ -40,20 +40,23 @@ object RunPipeline {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val summary = pipeline.Pipeline.run(spark, rootDir, cfg, skipIfExists = skip)
-      val rows = summary.collect()
-      rows.foreach { r =>
-        println(f"[pipeline] ${r.getAs[String]("stage")}%-24s " +
-          f"${r.getAs[String]("status")}%-14s ${r.getAs[Double]("seconds")}%8.2fs " +
-          f"${r.getAs[Double]("time_pct")}%5.1f%%")
-      }
-      val bad = rows.map(_.getAs[String]("status"))
-        .count(s => s != "ok" && s != "skipped" && s != "disabled")
-      if (bad > 0) {
-        System.err.println(s"[pipeline] $bad stage(s) did not run")
-        sys.exit(1)
-      }
-    } finally spark.stop()
+    // compute the exit code INSIDE the try and exit AFTER the finally:
+    // sys.exit does not unwind the stack, so calling it inside the try
+    // would skip spark.stop() on the failure path
+    val exitCode =
+      try {
+        val summary = pipeline.Pipeline.run(spark, rootDir, cfg, skipIfExists = skip)
+        val rows = summary.collect()
+        rows.foreach { r =>
+          println(f"[pipeline] ${r.getAs[String]("stage")}%-24s " +
+            f"${r.getAs[String]("status")}%-14s ${r.getAs[Double]("seconds")}%8.2fs " +
+            f"${r.getAs[Double]("time_pct")}%5.1f%%")
+        }
+        val bad = rows.map(_.getAs[String]("status"))
+          .count(s => s != "ok" && s != "skipped" && s != "disabled")
+        if (bad > 0) System.err.println(s"[pipeline] $bad stage(s) did not run")
+        if (bad > 0) 1 else 0
+      } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

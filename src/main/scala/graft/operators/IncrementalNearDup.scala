@@ -91,11 +91,33 @@ object IncrementalNearDup {
     * each batch's bands append into the same bucket layout, keeping
     * files-per-bucket ∝ batches, never tasks×buckets.
     */
+  /** Finish a [[compactIndex]] swap that crashed between its DROP and
+    * RENAME: the staged table is the complete compacted index. Called
+    * by BOTH compactIndex and every admission — without the admission
+    * hook, an ingest landing in the crash window would silently
+    * recreate an EMPTY index (losing the whole dedup history to the
+    * orphaned staging table, which the next compaction then drops).
+    * Returns true when a recovery rename was performed.
+    */
+  def recoverCompaction(spark: SparkSession, table: String): Boolean = {
+    val staged = table + "_compacting"
+    val recover = !spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(staged)
+    if (recover) spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+    recover
+  }
+
+  private def maxBatchIdProp(spark: SparkSession, table: String): Option[Long] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .find(_.getString(0) == "graft.maxBatchId")
+      .flatMap(r => r.getString(1).toLongOption)
+
   def dedupeBatchBucketed(batch: DataFrame, idCol: String, textCol: String,
                           table: String, shingleK: Int = 2, numPerms: Int = 16,
                           bands: Int = 8, buckets: Int = 16,
                           batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
+    recoverCompaction(spark, table) // never ingest into the crash window
     val raw = Dedup.bandedSignatures(batch, idCol, textCol, shingleK, numPerms, bands)
     // batchId (streaming mode, [[graft.streaming.StreamNearDup]]): band
     // rows are tagged with their micro-batch id and admission reads only
@@ -114,8 +136,26 @@ object IncrementalNearDup {
               s"dedupeBatchBucketed: table $table has no batch_id column — " +
                 "it was built in batch (non-streaming) mode; streaming " +
                 "admission needs its own table")
+            // Structured Streaming batch ids restart at 0 under a FRESH
+            // checkpoint: admitting batch 0 against an index holding
+            // batches 0..N would see an EMPTY strictly-earlier view and
+            // re-admit every known near-duplicate. Equal ids are a
+            // legitimate foreachBatch redelivery; going BACKWARDS is the
+            // lost-checkpoint misconfiguration — refuse it. The high
+            // watermark lives in O(1) catalog metadata, not a table scan.
+            maxBatchIdProp(spark, table).foreach(m => require(b >= m,
+              s"dedupeBatchBucketed: batch id $b is behind the index's " +
+                s"high watermark $m — the stream restarted with a fresh " +
+                "checkpoint against an existing index; resume from the " +
+                "original checkpoint or start a new index table"))
             t.filter(col("batch_id") < b)
-          case None    => spark.table(table)
+          case None    =>
+            val t = spark.table(table)
+            require(!t.columns.contains("batch_id"),
+              s"dedupeBatchBucketed: table $table carries a batch_id " +
+                "column — it was built in streaming mode; batch admission " +
+                "needs its own table")
+            t
         }
         banded.as("b").join(idx.as("i"),
             col("b.band_id") === col("i.band_id") &&
@@ -139,6 +179,10 @@ object IncrementalNearDup {
     banded.write.bucketBy(buckets, "band_id", "band_key")
       .sortBy("band_id", "band_key")
       .mode("append").format("parquet").saveAsTable(table)
+    // advance the streaming high watermark AFTER the append (a crash in
+    // between leaves it one behind — the redelivery-tolerant direction)
+    batchId.foreach(b => spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.maxBatchId' = '$b')"))
     banded.unpersist()
     admitted
   }
@@ -156,9 +200,11 @@ object IncrementalNearDup {
     * concurrently with an ingesting batch. Crash-safe at every point:
     * before the DROP the original table is untouched (the staging
     * table is simply rebuilt next run); between DROP and RENAME the
-    * staged table IS the complete compacted index, and the next
-    * [[compactIndex]] call detects the half-done swap and finishes the
-    * RENAME instead of rebuilding (spec'd in BucketingSpec).
+    * staged table IS the complete compacted index, and the next caller —
+    * [[compactIndex]] OR an ingesting [[dedupeBatchBucketed]], via
+    * [[recoverCompaction]] — finishes the RENAME instead of rebuilding
+    * or seeding an empty index (spec'd in BucketingSpec and
+    * StreamNearDupSpec).
     *
     * `dedupe` drops exact-duplicate rows during the rewrite — safe
     * because the index is semantically a SET of band rows (collision is
@@ -169,20 +215,24 @@ object IncrementalNearDup {
   def compactIndex(spark: SparkSession, table: String, buckets: Int = 16,
                    writeTasks: Int = 1, dedupe: Boolean = false): Long = {
     val staged = table + "_compacting"
-    if (!spark.catalog.tableExists(table)) {
-      // a prior run crashed between DROP and RENAME: the staged table is
-      // the complete compacted index — finish the swap
-      require(spark.catalog.tableExists(staged),
-        s"compactIndex: neither $table nor $staged exists")
-      spark.sql(s"ALTER TABLE $staged RENAME TO $table")
-      return spark.table(table).count()
-    }
+    // a prior run crashed between DROP and RENAME: the staged table is
+    // the complete compacted index — finish the swap (ingestion performs
+    // the same recovery, so the crash window cannot silently seed an
+    // empty index either way)
+    if (recoverCompaction(spark, table)) return spark.table(table).count()
+    require(spark.catalog.tableExists(table),
+      s"compactIndex: neither $table nor $staged exists")
     spark.sql(s"DROP TABLE IF EXISTS $staged")
+    // the streaming high watermark must survive the rewrite — a rebuilt
+    // table without it would silently accept a restarted-from-zero stream
+    val watermark = maxBatchIdProp(spark, table)
     val src = if (dedupe) spark.table(table).distinct() else spark.table(table)
     src.coalesce(writeTasks)
       .write.bucketBy(buckets, "band_id", "band_key")
       .sortBy("band_id", "band_key")
       .mode("overwrite").format("parquet").saveAsTable(staged)
+    watermark.foreach(m => spark.sql(
+      s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.maxBatchId' = '$m')"))
     val rows = spark.table(staged).count()
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staged RENAME TO $table")

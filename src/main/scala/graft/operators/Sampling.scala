@@ -35,7 +35,6 @@ object Sampling {
     df.filter(hashBucket(key) < threshold)
   }
 
-  /** `rollingHash(key as string) mod 1e6` — the shared bucket function. */
   /** Uniform bucket in [0, Buckets) from a PORTABLE high-entropy hash:
     * the first 48 bits of md5(key), hex-parsed identically by Spark's
     * `conv` and DuckDB's `0x` cast. The previous rolling-hash form was

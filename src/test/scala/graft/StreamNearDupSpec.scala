@@ -104,4 +104,60 @@ class StreamNearDupSpec extends SparkSpec {
 
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("restart-from-zero refused; ingestion finishes a crashed compaction swap") {
+    val table = "sm08_guard_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    val out = java.nio.file.Files
+      .createTempDirectory("sm08_guard").toString + "/admitted"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    StreamNearDup.admitBatch(b0, 0L, "doc_id", "text", table, out)
+    StreamNearDup.admitBatch(b1, 1L, "doc_id", "text", table, out)
+
+    // a BACKWARD batch id is the lost-checkpoint misconfiguration: the
+    // strictly-earlier view would be empty and every known near-dup
+    // would be re-admitted — refuse with the remedy
+    val e = intercept[IllegalArgumentException] {
+      StreamNearDup.admitBatch(b0, 0L, "doc_id", "text", table, out)
+    }
+    assert(e.getMessage.contains("high watermark"))
+    // an EQUAL id is a legitimate foreachBatch redelivery — allowed
+    StreamNearDup.admitBatch(b1, 1L, "doc_id", "text", table, out)
+
+    // the batch-mode guard is now two-directional: a batch (no batchId)
+    // call against this streaming table fails fast, not at the append
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.IncrementalNearDup.dedupeBatchBucketed(
+        b0, "doc_id", "text", table)
+    }
+    assert(e2.getMessage.contains("streaming mode"))
+
+    // crash window: compactIndex died between DROP and RENAME — the
+    // staged table holds the whole history, the live table is gone. An
+    // INGESTING batch must finish the swap, not seed an empty index: a
+    // re-send of batch 0's docs (as batch 2) must be fully blocked.
+    spark.table(table)
+      .write.bucketBy(16, "band_id", "band_key").sortBy("band_id", "band_key")
+      .mode("overwrite").format("parquet").saveAsTable(s"${table}_compacting")
+    spark.sql(
+      s"ALTER TABLE ${table}_compacting SET TBLPROPERTIES ('graft.maxBatchId' = '1')")
+    spark.sql(s"DROP TABLE $table") // the crash point
+    StreamNearDup.admitBatch(b0, 2L, "doc_id", "text", table, out)
+    assert(!spark.catalog.tableExists(s"${table}_compacting"))
+    val admitted2 = spark.read.parquet(out)
+      .filter(col("batch_id").cast("long") === 2L).count()
+    assert(admitted2 == 0,
+      s"crash-window ingest admitted $admitted2 docs the recovered history blocks")
+    // and the recovered table still carries the watermark: backwards
+    // ids stay refused after the recovery path
+    assert(intercept[IllegalArgumentException] {
+      StreamNearDup.admitBatch(b1, 1L, "doc_id", "text", table, out)
+    }.getMessage.contains("high watermark"))
+
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
