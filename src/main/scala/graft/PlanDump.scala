@@ -12,6 +12,14 @@ object PlanDump {
     * distinctive physical shape (scan pushdown, band joins, window
     * chains, streaming-batch twins). PlanSpec's suite-wide pushdown
     * audit iterates the same list.
+    *
+    * Deliberately excluded: sm01–sm08 (streaming — their plans
+    * materialize per micro-batch inside a query execution, not from a
+    * batch DataFrame this dump can `.explain`; their batch twins ARE
+    * audited) and pl01/pl02 (orchestrator gates — side-effecting stage
+    * runs whose read-back summary plan is a trivial join over files the
+    * dump would first have to produce; each stage's plan shape is
+    * audited through the operator queries it delegates to).
     */
   val AuditQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_local_supplier",
@@ -53,6 +61,7 @@ object PlanDump {
     "q05_shipping_priority", "e19_ivfpq_stored",
     "x16_store_vacuum", "t27_langid_eval",
     "a31b_conversion_lag_approx", "x17_time_travel", "e20_ivfpq_recall",
+    "e21_nprobe_recall_curve",
     "io11_zonemap_skip", "q06_forecast_revenue", "a38_retention_cohorts",
     "x18_incremental_neardup_bucketed", "i08_resize_nn",
     "io12_incremental_read", "x20_canonical_selection",

@@ -100,8 +100,14 @@ object Enrich {
     *  - the <5000-char payload cap (Translator.py:100) — empty or
     *    over-cap texts short-circuit to the reference's `"<error>"`
     *    sentinel (the NotValidPayload branch, Translator.py:134-137)
-    *    WITHOUT touching the service, and batches are greedily chunked
-    *    so no request body exceeds the cap;
+    *    WITHOUT touching the service. Batches are greedily chunked by
+    *    URL-ENCODED BYTE length (separator included) — the cap bounds
+    *    the actual wire body, not the raw char count, because percent
+    *    encoding inflates non-ASCII/reserved text up to 9×. The one
+    *    unavoidable exception: a text that passes the reference's
+    *    raw-char validity check but whose encoded form alone exceeds
+    *    the cap is sent as its own chunk (splitting a text would
+    *    corrupt the translation unit);
     *  - rate limiting — [[HttpPacer]] spaces requests `minIntervalMs`
     *    apart JVM-wide (the sleep(0.1) loop), beneath
     *    [[TranslationLimiter]]'s concurrency bound;
@@ -134,16 +140,19 @@ object Enrich {
         if (!ok) out(i) = "<error>"
         ok
       }
-      // greedy chunking under the per-request char cap (at least one
-      // text per request — singletons are already under the cap)
+      // greedy chunking under the per-request cap, measured in
+      // URL-ENCODED bytes + the 1-byte line separator — the size the
+      // endpoint actually sees (raw char count undercounts by up to 9×
+      // on non-ASCII/reserved text); at least one text per request
       val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Int)]]
       var cur = Vector.empty[(String, Int)]
-      var curChars = 0
+      var curBytes = 0
       for ((t, i) <- sendable) {
-        if (cur.nonEmpty && curChars + t.length >= maxCharsPerRequest) {
-          chunks += cur; cur = Vector.empty; curChars = 0
+        val enc = java.net.URLEncoder.encode(t, "UTF-8").length + 1 // "\n"
+        if (cur.nonEmpty && curBytes + enc >= maxCharsPerRequest) {
+          chunks += cur; cur = Vector.empty; curBytes = 0
         }
-        cur = cur :+ (t, i); curChars += t.length
+        cur = cur :+ (t, i); curBytes += enc
       }
       if (cur.nonEmpty) chunks += cur
       for (chunk <- chunks) {
@@ -198,21 +207,27 @@ object Enrich {
 
   /** Config-flag selection of the translation transport: set
     * `spark.graft.translator.endpoint` to route [[runTranslationJob]]
-    * through [[HttpTranslator]] (optional `.maxChars`, `.minIntervalMs`
-    * tune the cap and pacing); unset = the deterministic
-    * [[DictTranslator]] identity (offline/test default).
+    * through [[HttpTranslator]]; unset = the deterministic
+    * [[DictTranslator]] identity (offline/test default). Every
+    * deployment-tunable knob of the client is plumbed:
+    * `.maxChars` (wire-body cap), `.minIntervalMs` (pacing),
+    * `.maxRetries` (5xx/IOException budget), `.connectTimeoutMs`,
+    * `.readTimeoutMs` — so retry/backoff/timeout behavior is a config
+    * change, not a code change.
     */
-  def translatorFromConf(spark: org.apache.spark.sql.SparkSession): Translator =
+  def translatorFromConf(spark: org.apache.spark.sql.SparkSession): Translator = {
+    def opt(key: String): Option[String] =
+      spark.conf.getOption(s"spark.graft.translator.$key")
     spark.conf.getOption("spark.graft.translator.endpoint") match {
       case Some(url) => HttpTranslator(url,
-        maxCharsPerRequest =
-          spark.conf.getOption("spark.graft.translator.maxChars")
-            .map(_.toInt).getOrElse(5000),
-        minIntervalMs =
-          spark.conf.getOption("spark.graft.translator.minIntervalMs")
-            .map(_.toLong).getOrElse(100L))
+        maxCharsPerRequest = opt("maxChars").map(_.toInt).getOrElse(5000),
+        minIntervalMs = opt("minIntervalMs").map(_.toLong).getOrElse(100L),
+        maxRetries = opt("maxRetries").map(_.toInt).getOrElse(3),
+        connectTimeoutMs = opt("connectTimeoutMs").map(_.toInt).getOrElse(10000),
+        readTimeoutMs = opt("readTimeoutMs").map(_.toInt).getOrElse(30000))
       case None => DictTranslator(Map.empty)
     }
+  }
 
   /** U2 — conditional translation (Translator.py:96-128): translate only
     * rows not already in the target language with confidence > minScore;

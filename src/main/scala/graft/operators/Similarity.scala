@@ -475,10 +475,13 @@ object Similarity {
     // round — bound it the way cosinePairsTopK bounds its kernel
     // (VERDICT r8 #6): an oversized k would otherwise OOM the driver
     // quietly on round 1's collect
-    val dims = vectors.select(col(embCol)).as[Array[Float]].head(1) match {
-      case Array(e) if e != null => e.length
-      case _                     => 0 // empty input: nothing to collect
-    }
+    // probe the FIRST NON-NULL embedding's width as a 1-row narrow scan
+    // (IsNotNull pushes to the scan, only `size` leaves it): a null
+    // first row must not read as dims=0 and silently bypass the budget
+    // guard, and the probe must not run the full upstream plan wide
+    val dims = vectors.filter(col(embCol).isNotNull)
+      .select(size(col(embCol))).as[Int].head(1)
+      .headOption.getOrElse(0) // fully-null/empty input: nothing to train
     require(dims == 0 || k.toLong * dims * 4 <= maxModelBytes,
       s"trainIvfCentroids: k=$k × dims=$dims centroids = " +
         s"${k.toLong * dims * 4} model bytes exceed the $maxModelBytes " +

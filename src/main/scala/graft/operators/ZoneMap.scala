@@ -25,6 +25,25 @@ object ZoneMap {
 
   def zonesPath(lake: String): String = lake.stripSuffix("/") + "_zones"
 
+  private def zonesStaging(lake: String): String = zonesPath(lake) + "_staging"
+
+  /** Resolve the manifest path, finishing a [[writeClustered]] swap that
+    * crashed between its delete and rename (the compactIndex recovery
+    * pattern): a missing `_zones` next to a COMPLETE (`_SUCCESS`-marked)
+    * staging manifest means the staged manifest is the current one —
+    * rename it into place. Called by every reader, so the crash window
+    * cannot strand the lake unreadable.
+    */
+  private def resolveZones(spark: SparkSession, lake: String): String = {
+    val zp = new org.apache.hadoop.fs.Path(zonesPath(lake))
+    val sp = new org.apache.hadoop.fs.Path(zonesStaging(lake))
+    val fs = zp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(zp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(sp, "_SUCCESS")))
+      fs.rename(sp, zp)
+    zonesPath(lake)
+  }
+
   /** Write `df` range-clustered on `key` into ~`numFiles` files (each
     * covering a disjoint key band, rows sorted within) plus the zone
     * manifest. The stats pass reads back only (key, file_path) — column
@@ -35,12 +54,26 @@ object ZoneMap {
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(lake)
+    // The manifest lands via staging + rename, not a direct overwrite:
+    // a crash mid-overwrite would leave a HALF-written manifest that
+    // readers trust. The residual windows are covered from the reader
+    // side — [[resolveZones]] finishes a crash between delete and
+    // rename, and [[readRange]] detects a manifest stranded STALE by a
+    // crash between the lake overwrite above and the swap below (its
+    // file_path entries point at deleted files) and falls back to the
+    // plain scan. Single-writer, like every store maintainer here.
+    val staging = zonesStaging(lake)
     df.sparkSession.read.parquet(lake)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(col(key)).as("min_k"), max(col(key)).as("max_k"),
         count(lit(1)).as("n_rows"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(zonesPath(lake))
+      .write.mode("overwrite").parquet(staging)
+    val zp = new org.apache.hadoop.fs.Path(zonesPath(lake))
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = zp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    fs.delete(zp, true)
+    fs.rename(sp, zp)
   }
 
   /** The files whose zone intersects [lo, hi) — the half-open range
@@ -49,7 +82,7 @@ object ZoneMap {
     */
   def filesForRange(spark: SparkSession, lake: String,
                     lo: Column, hi: Column): Seq[String] =
-    spark.read.parquet(zonesPath(lake))
+    spark.read.parquet(resolveZones(spark, lake))
       .filter(col("max_k") >= lo && col("min_k") < hi)
       .select("file").collect().map(_.getString(0)).sorted.toSeq
 
@@ -70,7 +103,7 @@ object ZoneMap {
   def readRange(spark: SparkSession, lake: String, key: String,
                 lo: Column, hi: Column,
                 maxListedFiles: Int = 100000): DataFrame = {
-    val selected = spark.read.parquet(zonesPath(lake))
+    val selected = spark.read.parquet(resolveZones(spark, lake))
       .filter(col("max_k") >= lo && col("min_k") < hi)
     val n = selected.limit(maxListedFiles + 1).count()
     val base =
@@ -81,7 +114,17 @@ object ZoneMap {
       else {
         val files = selected.select("file").collect()
           .map(_.getString(0)).sorted.toSeq
-        spark.read.parquet(files: _*)
+        // STALE-manifest guard: a writer crash between the lake
+        // overwrite and the manifest swap leaves the OLD manifest
+        // pointing at deleted files. The overwrite replaces the whole
+        // directory, so staleness is all-or-nothing — ONE existence
+        // probe decides it; stale → plain root scan with the same
+        // residual filter (correct rows of the current lake, no pruning
+        // until the next successful writeClustered rebuilds the zones).
+        val p = new org.apache.hadoop.fs.Path(files.head)
+        val fresh = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        if (fresh) spark.read.parquet(files: _*)
+        else spark.read.parquet(lake)
       }
     base.filter(col(key) >= lo && col(key) < hi)
   }
