@@ -881,41 +881,48 @@ object TextQueries {
                          buckets: Int): org.apache.spark.sql.Column =
     pmod(hash(term), lit(buckets)).cast("int")
 
-  /** Postings-store bucket count. At the gate SF a handful of files per
-    * bucket; at 100 TB this is the knob that sizes per-bucket file counts
-    * (buckets ∝ vocabulary mass, like any term-sharded inverted index).
+  /** Default postings-store bucket count. At the gate SF a handful of
+    * files per bucket; at 100 TB this is the knob that sizes per-bucket
+    * file counts (buckets ∝ vocabulary mass, like any term-sharded
+    * inverted index). The count a store was BUILT with is persisted in
+    * its `stats` file and read back by [[bm25Retrieve]] — never assumed
+    * from this constant, which may have changed between building a
+    * persistent index and reading it (old store, new binary); pruning
+    * with the wrong modulus would silently return a wrong top-10.
     */
   val Bm25Buckets = 16
 
   /** The offline half of t21b: postings (with `dl` denormalized), term
-    * dfs, and the 1-row corpus stats, written under `store`. Amortized
-    * across every query the index will ever serve. Postings are
-    * TERM-BUCKET PARTITIONED (`bucket = pmod(hash(term), B)`,
-    * `partitionBy`) so retrieval scopes its scan to the query terms'
-    * buckets via static partition pruning — the io07 layout applied to
-    * the index store itself; a flat layout would pay O(store) I/O per
-    * query at 100 TB (VERDICT r8 #1a).
+    * dfs, and the 1-row corpus stats — INCLUDING the store's own bucket
+    * count, making the layout self-describing the way e19's store is —
+    * written under `store`. Amortized across every query the index will
+    * ever serve. Postings are TERM-BUCKET PARTITIONED
+    * (`bucket = pmod(hash(term), B)`, `partitionBy`) so retrieval scopes
+    * its scan to the query terms' buckets via static partition pruning —
+    * the io07 layout applied to the index store itself; a flat layout
+    * would pay O(store) I/O per query at 100 TB (VERDICT r8 #1a).
     */
   def bm25BuildIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     store: String): Unit = {
+                     store: String, buckets: Int = Bm25Buckets): Unit = {
     val tfc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tfc.groupBy("doc_id").agg(sum("tf").as("dl"))
     tfc.join(dl, "doc_id")
-      .withColumn("bucket", termBucket(col("term"), Bm25Buckets))
+      .withColumn("bucket", termBucket(col("term"), buckets))
       // cluster rows by their target directory first: without it every
       // write task opens a file in every bucket dir (tasks×buckets small
       // files + committer overhead — measured ~2× on the build leg);
       // with it, file count ∝ buckets. At 100 TB the same repartition is
       // what bounds files-per-bucket.
-      .repartition(Bm25Buckets, col("bucket"))
+      .repartition(buckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$store/postings")
     tfc.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$store/terms")
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
+      .withColumn("buckets", lit(buckets))
       .write.mode("overwrite").parquet(s"$store/stats")
     tfc.unpersist()
   }
@@ -931,6 +938,18 @@ object TextQueries {
     */
   def bm25Retrieve(spark: org.apache.spark.sql.SparkSession,
                    store: String): org.apache.spark.sql.DataFrame = {
+    // the store DESCRIBES ITS OWN layout: the bucket modulus comes from
+    // the stats file the build wrote, never from the binary's current
+    // Bm25Buckets default — an old store read by a reconfigured binary
+    // would otherwise prune the WRONG buckets and silently drop hits
+    val statsDisk = spark.read.parquet(s"$store/stats")
+    require(statsDisk.columns.contains("buckets"),
+      s"bm25Retrieve: $store/stats has no `buckets` column — the store " +
+        "predates the self-describing layout; rebuild it with " +
+        "bm25BuildIndex (pruning with an assumed bucket count risks a " +
+        "silently wrong top-k)")
+    val storeBuckets = statsDisk.select("buckets").head().getInt(0)
+    val stats = statsDisk.drop("buckets")
     val qDisk = spark.read.parquet(s"$store/terms")
       .orderBy(desc("df"), asc("term")).limit(4)
     // the query side is limit(4) — collect it once, re-materialize as a
@@ -940,11 +959,10 @@ object TextQueries {
     val qRows = qDisk.collect()
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qDisk.schema)
-    val qBuckets = q.select(termBucket(col("term"), Bm25Buckets))
+    val qBuckets = q.select(termBucket(col("term"), storeBuckets))
       .collect().map(_.getInt(0)).distinct.sorted
     val post = spark.read.parquet(s"$store/postings")
       .filter(col("bucket").isin(qBuckets.map(Int.box): _*))
-    val stats = spark.read.parquet(s"$store/stats")
     val tfd = col("tf").cast("double")
     val sd = col("s_tokens").cast("double")
     val nd = col("n_docs").cast("double")

@@ -310,6 +310,46 @@ class PlanSpec extends SparkSpec {
       s"t21b: retrieval plan scans the corpus, not just the store:\n$plan")
   }
 
+  /** VERDICT r9 #1 (what's wrong): the postings store must be
+    * SELF-DESCRIBING — retrieval reads the bucket modulus from the
+    * store's stats, never from the binary's compile-time default. The
+    * version-skew shape: build at a NON-default bucket count (the "old
+    * store"), retrieve with a binary whose default differs (today's
+    * binary) — pruning with the wrong modulus would visit the wrong
+    * directories and silently drop hits. Identical top-10 vs a
+    * default-built store proves the metadata, not the constant, drives
+    * pruning. A pre-metadata store (no `buckets` column) must REFUSE,
+    * not guess.
+    */
+  test("t21b store is self-describing: non-default bucket count retrieves correctly") {
+    import graft.queries.TextQueries
+    assert(TextQueries.Bm25Buckets != 5) // the skew must be real
+    val oldStore = graft.queries.Dsl.tempStore("t21b_skew")
+    TextQueries.bm25BuildIndex(spark, sf, oldStore, buckets = 5)
+    val defStore = graft.queries.Dsl.tempStore("t21b_def")
+    TextQueries.bm25BuildIndex(spark, sf, defStore)
+    val fromOld = TextQueries.bm25Retrieve(spark, oldStore).collect().toSeq
+    val fromDef = TextQueries.bm25Retrieve(spark, defStore).collect().toSeq
+    assert(fromOld == fromDef,
+      s"retrieval from a 5-bucket store diverged from the default-built " +
+        s"store:\n$fromOld\nvs\n$fromDef")
+    // a store with no layout metadata must fail loudly, not prune wrong
+    val legacy = graft.queries.Dsl.tempStore("t21b_legacy")
+    TextQueries.bm25BuildIndex(spark, sf, legacy)
+    spark.read.parquet(s"$legacy/stats").drop("buckets")
+      .write.mode("overwrite").parquet(s"$legacy/stats_new")
+    // overwrite stats with the stripped copy (can't overwrite from self)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/stats"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$legacy/stats_new"),
+      new org.apache.hadoop.fs.Path(s"$legacy/stats"))
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.bm25Retrieve(spark, legacy)
+    }
+    assert(e.getMessage.contains("buckets"))
+  }
+
   /** Same pin for e19: the IVF-PQ codes store is cluster-partitioned and
     * the search scan must be statically pruned to the probed clusters —
     * search I/O ∝ nprobe × cluster size, with the corpus nowhere in the
