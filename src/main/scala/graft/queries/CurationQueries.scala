@@ -332,6 +332,142 @@ object CurationQueries {
       .orderBy("lang_pred")
   }
 
+  /** PL02 — the reference's ACTUAL `config/test.json` shape through the
+    * orchestrator, ALL eight stage names dispatching (VERDICT r9 #1):
+    * feed scrape (cursor-paginated pages through [[graft.sources
+    * .FeedPager]], fetcher = a deterministic page generator derived from
+    * the documents table — the seam a deployment points at HTTP),
+    * preprocessing, exploratory analysis, translation, image scrape
+    * (the [[graft.operators.ScrapeState]] retry loop, synthetic
+    * transport), scene labeling, feature vectors (real `.npy` side-car +
+    * parquet twin), anonymization. The gate then joins the PREPROCESSED
+    * CSV against the LABELS CSV — both read back from the stage
+    * hand-off files — so config parsing, JSON-null inputs, landing-dir
+    * layout, CSV round-trips, the dedup/filter semantics, the scrape
+    * file naming, and the real decode→classify head are hash-gated as
+    * one chain. The oracle replays everything from the doc_id
+    * arithmetic: the post fields the fetcher synthesizes, the video/
+    * year/dedup filters, and i05's full scene-logit head over the
+    * synthetic pixel formula.
+    *
+    * Scale shape: each stage is its operator's documented shape; the
+    * driver-side parts are the fetcher's page JSONs (the reference's
+    * OWN driver-side page loop — rate-limited, non-idempotent, kept
+    * out of Catalyst by design, SURVEY §4) and the O(stages) dispatch.
+    *
+    * Fixture-construction collect: the page generator collects the doc
+    * SLICE'S ids (|docs|/4 longs) to synthesize feed pages — the
+    * scraper's INPUT is an external API in production; deriving it from
+    * the corpus is what makes the chain oracle-checkable (sm08's
+    * MemoryStream convention).
+    */
+  val pl02OrchestratorFull: GraftQuery = GraftQuery(
+    "pl02_orchestrator_full", {
+      import graft.queries.MultimodalQueries.sqlLogitsCtes
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h,
+         |         1262304000 + (doc_id % 4000) * 777600 AS sec
+         |  FROM documents
+         |  WHERE doc_id % 4 = 3 AND doc_id % 3 != 0
+         |    AND 1262304000 + (doc_id % 4000) * 777600 >= 1325376000
+         |    AND 1262304000 + (doc_id % 4000) * 777600 < 1577836800),
+         |${sqlLogitsCtes(", sec")}
+         |SELECT doc_id AS id,
+         |       CAST(year(make_timestamp(sec * 1000000)) AS INT) AS year,
+         |       (doc_id * 37) % 1000 AS likes,
+         |       (doc_id * 37) % 1000 + (doc_id * 13) % 100 AS interactions,
+         |       '#tag' || CAST(doc_id % 5 AS VARCHAR) ||
+         |         ',#mix' || CAST(doc_id % 3 AS VARCHAR) AS tags,
+         |       'scene_' || CAST(list_position(logits, list_max(logits)) - 1
+         |         AS VARCHAR) AS category
+         |FROM lg ORDER BY id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.io.CsvIo
+    import graft.pipeline.{Pipeline, Stages}
+    import graft.sources.FeedPager
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Dsl.tempStore("pl02_root")
+    Files.createDirectories(Paths.get(root))
+    // ---- the "external API": deterministic feed pages from the slice
+    val ids = Tables.documents(spark, dir).filter(col("doc_id") % 4 === 3)
+      .select("doc_id").as[Long].collect().sorted.toVector
+    def postJson(id: Long): String = {
+      val video = id % 3 == 0
+      s"""{"id": $id, "shortcode": "sc$id",
+         | "type": "${if (video) "GraphVideo" else "GraphImage"}",
+         | "is_video": $video,
+         | "likes": ${id * 37 % 1000}, "comments": ${id * 13 % 100},
+         | "comments_disabled": false, "description": "post $id",
+         | "hashtags": ["#Tag${id % 5}", "#Mix${id % 3}"], "mentions": [],
+         | "display_url": "d$id", "thumbnail_src": "t$id",
+         | "owner": {"id": ${id % 50}},
+         | "taken_at_timestamp": ${1262304000L + (id % 4000) * 777600L}}"""
+        .stripMargin.replace("\n", "")
+    }
+    val pages = ids.grouped(50).toVector
+    Stages.FeedFetchers.register("pl02", _ => {
+      case None if pages.isEmpty =>
+        Right(FeedPager.Page("""{"collector": []}""", None))
+      case cursor =>
+        val idx = cursor.map(_.toInt).getOrElse(0)
+        // each page re-emits its first post — the overlapping-page
+        // duplicate the reference's scraper dedups at combine time
+        val body = (pages(idx) :+ pages(idx).head).map(postJson)
+          .mkString("""{"collector": [""", ", ", "]}")
+        Right(FeedPager.Page(body,
+          if (idx + 1 < pages.size) Some((idx + 1).toString) else None))
+    })
+    val cfgJson =
+      s"""{"dataset_name": "Lens_Louvre", "skip_stage_if_exists": true,
+         | "stages": [
+         |  {"name": "Feed Scrape", "implementation": "InstagramFeedScraperStage",
+         |   "input": null, "output": "posts.csv",
+         |   "params": {"terms": ["golfclub"], "type": "hashtag",
+         |              "max_tries": 10, "fetcher": "pl02"}},
+         |  {"name": "Preprocessing", "implementation": "PreprocessorStage",
+         |   "input": "posts.csv", "output": "posts_preprocessed.csv",
+         |   "params": {"remove_duplicates": true, "images_only": true,
+         |              "year_filter": [2012, 2020],
+         |              "hashtag_filter_include": [], "hashtag_filter_exclude": [],
+         |              "max_images_per_year": -1, "lowercase_hashtags": true}},
+         |  {"name": "Exploratory Analysis",
+         |   "implementation": "ExploratoryanalysisStage",
+         |   "input": "posts_preprocessed.csv", "output": "exploratory analysis",
+         |   "params": {}},
+         |  {"name": "Translation", "implementation": "TranslatorStage",
+         |   "input": "posts_preprocessed.csv", "output": "posts_translated.csv",
+         |   "params": {"target_column": "caption", "target_language": "en"}},
+         |  {"name": "Scrape Images",
+         |   "implementation": "InstagramImageScraperStage",
+         |   "input": "posts_preprocessed.csv", "output": "images/images",
+         |   "params": {}},
+         |  {"name": "Label Images", "implementation": "ImageLabelerStage",
+         |   "input": "images/images", "output": "image_labels.csv",
+         |   "params": {}},
+         |  {"name": "Calculate Image Feature Vectors",
+         |   "implementation": "ImageFeatureVectorStage",
+         |   "input": "images/images", "output": "image_features.npy",
+         |   "params": {"gpu_id": 0}},
+         |  {"name": "Anonymize Images", "implementation": "ImageAnonymizerStage",
+         |   "input": "images/images", "output": "images_anonymized",
+         |   "params": {"in_place": false, "confidence": 0.15}}]}""".stripMargin
+    Files.writeString(Paths.get(root, "config.json"), cfgJson)
+    val summary = Pipeline.run(
+      spark, root, Pipeline.loadConfig(s"$root/config.json"))
+    val statuses = summary.select("stage", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    require(statuses.forall(_._2 == "ok"),
+      s"pl02 stages not ok: ${statuses.mkString(", ")}")
+    val pre = CsvIo.readPreprocessed(spark, s"$root/posts_preprocessed.csv")
+    val labels = spark.read.option("header", "true")
+      .csv(s"$root/image_labels.csv").select("image", "category")
+    pre.join(labels, "image")
+      .select(col("id"), col("year"), col("likes"), col("interactions"),
+        array_join(col("hashtags"), ",").as("tags"), col("category"))
+      .orderBy("id")
+  }
+
   val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply,
-    pl01PipelineE2e)
+    pl01PipelineE2e, pl02OrchestratorFull)
 }

@@ -254,17 +254,41 @@ object MultimodalQueries {
     * probabilities stay API-only: `exp` is not cross-engine
     * reproducible; the logits and argmax are.)
     */
+  // --- shared 4×4-grid scene-logit replay fragments (the i05 oracle
+  // math; the pl02 orchestrator gate replays the SAME head over its own
+  // doc slice). `d` must provide (doc_id, w, h); cell c: bx = c%4,
+  // by = c//4, linspace-truncated bounds; gray = r+g+b from the
+  // synthetic pixel formula.
+  private[queries] val sqlCellSum16: String =
+    s"CAST(list_sum(flatten([[${sqlGray("doc_id")} " +
+      "for x in range((c%4)*w//4, ((c%4)+1)*w//4)] " +
+      "for y in range((c//4)*h//4, ((c//4)+1)*h//4)])) AS BIGINT)"
+  private[queries] val sqlCellCnt16: String =
+    "CAST(((((c%4)+1)*w//4) - ((c%4)*w//4)) * ((((c//4)+1)*h//4) - ((c//4)*h//4)) AS BIGINT)"
+  private[queries] val sqlWkc: String =
+    "(CAST((((k*7919 + c*104729) * 1103515245 + 12345) % 1024) - 512 AS DOUBLE) / 1024.0)"
+  /** The cells→logits CTE chain over an upstream `d(doc_id, w, h, …)`,
+    * carrying `extraCols` through to the `lg` relation. */
+  private[queries] def sqlLogitsCtes(extraCols: String): String =
+    s"""cells AS (
+       |  SELECT doc_id, w, h$extraCols,
+       |         [$sqlCellSum16 for c in range(16)] AS cs,
+       |         [$sqlCellCnt16 for c in range(16)] AS cn
+       |  FROM d),
+       |lg AS (
+       |  SELECT doc_id, w, h$extraCols,
+       |         [list_sum([$sqlWkc * (CAST(cs[c+1] AS DOUBLE) / (CAST(cn[c+1] AS DOUBLE) * 768.0))
+       |                    for c in range(16)]) * 8.0
+       |          for k in range(8)] AS logits
+       |  FROM cells)""".stripMargin
+
   val i05SceneLogits: GraftQuery = GraftQuery(
     "i05_scene_logits", {
       // cell c of the 4×4 grid: bx = c%4, by = c//4, linspace-truncated
       // bounds; gray = r+g+b from the synthetic pixel formula
-      val cellSum =
-        s"CAST(list_sum(flatten([[${sqlGray("doc_id")} " +
-          "for x in range((c%4)*w//4, ((c%4)+1)*w//4)] " +
-          "for y in range((c//4)*h//4, ((c//4)+1)*h//4)])) AS BIGINT)"
-      val cellCnt =
-        "CAST(((((c%4)+1)*w//4) - ((c%4)*w//4)) * ((((c//4)+1)*h//4) - ((c//4)*h//4)) AS BIGINT)"
-      val wkc = "(CAST((((k*7919 + c*104729) * 1103515245 + 12345) % 1024) - 512 AS DOUBLE) / 1024.0)"
+      val cellSum = sqlCellSum16
+      val cellCnt = sqlCellCnt16
+      val wkc = sqlWkc
       s"""WITH d AS (
          |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
          |  FROM documents WHERE doc_id % 10 = 1),
