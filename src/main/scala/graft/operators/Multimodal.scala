@@ -280,42 +280,66 @@ object Multimodal {
       }
 
     def anonymize(content: Array[Byte]): Array[Byte] =
-      decode(content) match {
-        case None => content // undecodable input passes through unchanged
-        case Some(img0) =>
-          // normalize to INT_RGB so setRGB/getRGB round-trip exactly
-          val img = new BufferedImage(img0.getWidth, img0.getHeight,
-            BufferedImage.TYPE_INT_RGB)
-          img.getGraphics.drawImage(img0, 0, 0, null)
-          val (w, h) = (img.getWidth, img.getHeight)
-          // "detected" face ROI: centered box at half the frame
-          val (sx, sy, ex, ey) = (w / 4, h / 4, w / 4 + w / 2, h / 4 + h / 2)
-          val (fw, fh) = (ex - sx, ey - sy)
-          if (fw > 0 && fh > 0) {
-            // anonymize_face.py:47-49 linspace block boundaries (truncated)
-            val xs = (0 to blocks).map(i => i * fw / blocks)
-            val ys = (0 to blocks).map(i => i * fh / blocks)
-            for (bi <- 1 to blocks; bj <- 1 to blocks) {
-              val (x0, x1, y0, y1) = (xs(bj - 1), xs(bj), ys(bi - 1), ys(bi))
-              var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
-              for (y <- y0 until y1; x <- x0 until x1) {
-                val rgb = img.getRGB(sx + x, sy + y)
-                rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
-                n += 1
-              }
-              if (n > 0) {
-                // cv2.mean + int(): truncated per-channel means fill the block
-                val fill = (((rs / n).toInt & 0xff) << 16) |
-                  (((gs / n).toInt & 0xff) << 8) | ((bs / n).toInt & 0xff)
-                for (y <- y0 until y1; x <- x0 until x1)
-                  img.setRGB(sx + x, sy + y, fill)
-              }
-            }
+      // "detected" face ROI: centered box at half the frame (the
+      // stand-in detection; [[graft.operators.CvFaceVisionModel]] is the
+      // real-detector backend over the SAME fill arithmetic)
+      Multimodal.pixelateBoxes(content,
+        (w, h) => Seq((w / 4, h / 4, w / 4 + w / 2, h / 4 + h / 2)), blocks)
+  }
+
+  /** The reference's exact face-pixelation arithmetic
+    * (anonymize_face.py:46-70) applied to caller-supplied ROIs: decode,
+    * for each (clamped) box lay `blocks`×`blocks` truncated-linspace
+    * boundaries and fill each block with its truncated per-channel mean
+    * (the cv2.mean + int() semantics), re-encode as lossless PNG.
+    * `boxesFor(w, h)` supplies the detections — a real SSD
+    * ([[CvFaceVisionModel]]) or the deterministic centered-box stand-in
+    * ([[ImageIoVisionModel.anonymize]]) — so every backend shares one
+    * bit-exact redaction path (the i02 gate's arithmetic). Undecodable
+    * input passes through unchanged.
+    */
+  def pixelateBoxes(content: Array[Byte],
+                    boxesFor: (Int, Int) => Seq[(Int, Int, Int, Int)],
+                    blocks: Int): Array[Byte] = {
+    val img0 =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img0 == null) return content // undecodable input passes through
+    // normalize to INT_RGB so setRGB/getRGB round-trip exactly
+    val img = new java.awt.image.BufferedImage(img0.getWidth, img0.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.getGraphics.drawImage(img0, 0, 0, null)
+    val (w, h) = (img.getWidth, img.getHeight)
+    for ((bx0, by0, bx1, by1) <- boxesFor(w, h)) {
+      // SSD boxes can poke out of frame — clamp like the numpy slicing does
+      val (sx, sy) = (math.max(0, bx0), math.max(0, by0))
+      val (ex, ey) = (math.min(w, bx1), math.min(h, by1))
+      val (fw, fh) = (ex - sx, ey - sy)
+      if (fw > 0 && fh > 0) {
+        // anonymize_face.py:47-49 linspace block boundaries (truncated)
+        val xs = (0 to blocks).map(i => i * fw / blocks)
+        val ys = (0 to blocks).map(i => i * fh / blocks)
+        for (bi <- 1 to blocks; bj <- 1 to blocks) {
+          val (x0, x1, y0, y1) = (xs(bj - 1), xs(bj), ys(bi - 1), ys(bi))
+          var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+          for (y <- y0 until y1; x <- x0 until x1) {
+            val rgb = img.getRGB(sx + x, sy + y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            n += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos) // lossless, deterministic
-          bos.toByteArray
+          if (n > 0) {
+            // cv2.mean + int(): truncated per-channel means fill the block
+            val fill = (((rs / n).toInt & 0xff) << 16) |
+              (((gs / n).toInt & 0xff) << 8) | ((bs / n).toInt & 0xff)
+            for (y <- y0 until y1; x <- x0 until x1)
+              img.setRGB(sx + x, sy + y, fill)
+          }
+        }
       }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos) // lossless, deterministic
+    bos.toByteArray
   }
 
   val predictionsType: DataType =
