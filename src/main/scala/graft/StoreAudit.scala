@@ -1,0 +1,42 @@
+package graft
+
+/** THE registry of persistent stores this repo writes and the pruning
+  * evidence every selective read of them must exhibit (VERDICT r9 #8 —
+  * the generalization of the r8 t21b/e19 pins): any FUTURE store gets a
+  * row here, and the PlanSpec sweep ("store reads prune", driven off
+  * this list) fails the moment a store's selective read stops pruning —
+  * the r8 #1/#2 class of gap (a store laid out flat, every query paying
+  * O(store) I/O) can no longer land silently.
+  *
+  * Two evidence kinds cover every pruning mechanism in the repo:
+  *  - [[StoreAudit.PartitionPruned]] — directory-partitioned stores
+  *    (t21b postings, e19 codes, io07 lakes): the physical plan's scan
+  *    must carry a static `PartitionFilters` IN-list on the layout key,
+  *    i.e. unselected directories are eliminated at PLANNING time;
+  *  - [[StoreAudit.FilePruned]] — manifest/version-resolved stores
+  *    (io11 zone maps, io12 manifest increments, x17 version dirs): the
+  *    executed scan's file list must be a STRICT subset of the data
+  *    files physically present under the store root (`levelsUp`
+  *    directories above any scanned file), i.e. the driver-resolved
+  *    file set — not a post-scan filter — bounds the I/O.
+  */
+object StoreAudit {
+  sealed trait Evidence
+  /** Scan must show `PartitionFilters: [… <key>#… IN (…)]`. */
+  final case class PartitionPruned(key: String) extends Evidence
+  /** Scan must read strictly fewer parquet files than exist under the
+    * store root, found `levelsUp` directories above any scanned file.
+    */
+  final case class FilePruned(levelsUp: Int) extends Evidence
+
+  /** gate name → the pruning its plan must show. Add every new store
+    * read here; the PlanSpec sweep enumerates THIS list.
+    */
+  val storeGates: Seq[(String, Evidence)] = Seq(
+    "t21b_bm25_stored" -> PartitionPruned("bucket"),   // term-bucket postings
+    "e19_ivfpq_stored" -> PartitionPruned("cluster"),  // IVF codes store
+    "io07_partitioned_lake" -> PartitionPruned("lang"),// directory lake
+    "io11_zonemap_skip" -> FilePruned(levelsUp = 1),   // zone-map manifest
+    "io12_incremental_read" -> FilePruned(levelsUp = 2), // manifest increment
+    "x17_time_travel" -> FilePruned(levelsUp = 2))     // one version dir
+}

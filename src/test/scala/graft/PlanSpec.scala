@@ -350,6 +350,59 @@ class PlanSpec extends SparkSpec {
     assert(e.getMessage.contains("buckets"))
   }
 
+  /** VERDICT r9 #8 — the GENERIC store-pruning sweep: every persistent
+    * store the repo writes is enumerated in ONE registry
+    * ([[StoreAudit.storeGates]]) with the pruning evidence its selective
+    * read must exhibit; a new store gets a registry row, and removing
+    * any store's pruning (re-flattening a layout, dropping the
+    * driver-resolved IN-list or file list) fails this sweep — the r8
+    * t21b/e19 class of gap cannot recur silently.
+    */
+  test("store reads prune: every registered store shows partition- or file-level pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for ((gate, evidence) <- StoreAudit.storeGates) evidence match {
+      case StoreAudit.PartitionPruned(key) =>
+        val plan = planOf(gate)
+        val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n")
+        assert(pf.contains(s"$key#") && pf.contains(" IN "),
+          s"$gate: no static $key IN-list in PartitionFilters:\n$plan")
+      case StoreAudit.FilePruned(levelsUp) =>
+        val df = SparkEntry.queries(gate)(spark, sf)
+        df.collect() // finalize AQE; the store is built as a side effect
+        def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+          p.collect {
+            case f: FileSourceScanExec => Seq(f)
+            case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+            // AQE hides materialized stage subtrees behind leaf wrappers
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              leaves(q.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              leaves(r.child)
+          }.flatten
+        val scans = leaves(df.queryExecution.executedPlan)
+        assert(scans.nonEmpty, s"$gate: no file scans in executed plan")
+        // the STORE scan: walk up from a scanned file to the store root
+        // and compare against everything physically there
+        val pruned = scans.exists { s =>
+          val files = s.relation.location.inputFiles.filter(_.contains("parquet"))
+          files.nonEmpty && {
+            var root = new java.io.File(new java.net.URI(files.head)).getParentFile
+            (0 until levelsUp - 1).foreach(_ => root = root.getParentFile)
+            val all = java.nio.file.Files.walk(root.toPath)
+            val total = try all.filter(p =>
+                p.toString.endsWith(".parquet") || p.getFileName.toString.startsWith("part-"))
+              .count() finally all.close()
+            files.length < total
+          }
+        }
+        assert(pruned,
+          s"$gate: no store scan reads a strict subset of its store's files " +
+            s"(scans: ${scans.map(_.relation.location.inputFiles.length).mkString(",")})")
+    }
+  }
+
   /** Same pin for e19: the IVF-PQ codes store is cluster-partitioned and
     * the search scan must be statically pruned to the probed clusters —
     * search I/O ∝ nprobe × cluster size, with the corpus nowhere in the
