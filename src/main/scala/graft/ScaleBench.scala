@@ -373,7 +373,10 @@ object ScaleBench {
 
     // incremental-ingestion experiment: fixed ~1k-doc batch (half novel,
     // half colliding with the store) admitted against each tier's store
-    val incremental = (if (only.isDefined) Seq.empty else tiers).map { t =>
+    // SPARK_GRAFT_SCALE_ONLY=incremental runs JUST this experiment (any
+    // other filter skips it, as before)
+    val incremental = (if (only.forall(_.contains("incremental"))) tiers
+      else Seq.empty).map { t =>
       val dir = s"$scaleRoot/$t"
       val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
       val batchBase = Tables.documents(spark, s"$scaleRoot/1x")
@@ -415,9 +418,46 @@ object ScaleBench {
           .dedupeBatch(b, "doc_id", "text", ndStore).count()
         ((System.nanoTime() - t1) / 1e9, n)
       }.minBy(_._1)
+
+      // BUCKETED index (x18): same admission semantics, but the
+      // corpus-sized side is a bucketBy(band_id, band_key) table the
+      // collision join reads pre-partitioned — the zero-exchange claim
+      // BucketingSpec pins at gate scale, measured here across store
+      // tiers (VERDICT r9 #4). Admitted counts must equal the flat
+      // twin's (same batches, same rule) — printed for cross-checking.
+      val bkTable = s"scale_x18_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $bkTable")
+      graft.operators.IncrementalNearDup
+        .dedupeBatchBucketed(docs, "doc_id", "text", bkTable).count()
+      val (bkSec, bkAdmitted) = batches.map { b =>
+        val t2 = System.nanoTime()
+        val n = graft.operators.IncrementalNearDup
+          .dedupeBatchBucketed(b, "doc_id", "text", bkTable).count()
+        ((System.nanoTime() - t2) / 1e9, n)
+      }.minBy(_._1)
+
+      // STREAMING admission (sm08's foreachBatch core): batch_id-tagged
+      // bucketed index, strictly-earlier visibility filter, watermark
+      // bump in table properties — the micro-batch shape minus the
+      // MemoryStream harness.
+      val stTable = s"scale_sm08_$t"
+      spark.sql(s"DROP TABLE IF EXISTS $stTable")
+      graft.operators.IncrementalNearDup
+        .dedupeBatchBucketed(docs, "doc_id", "text", stTable,
+          batchId = Some(0L)).count()
+      val (stSec, stAdmitted) = batches.zipWithIndex.map { case (b, i) =>
+        val t3 = System.nanoTime()
+        val n = graft.operators.IncrementalNearDup
+          .dedupeBatchBucketed(b, "doc_id", "text", stTable,
+            batchId = Some(i + 1L)).count()
+        ((System.nanoTime() - t3) / 1e9, n)
+      }.minBy(_._1)
+
       println(f"[scalebench] $t incremental: exact $exactSec%.2fs " +
-        f"($exAdmitted admitted), neardup $ndSec%.2fs ($ndAdmitted admitted)")
-      t -> (exactSec, exAdmitted, ndSec, ndAdmitted)
+        f"($exAdmitted admitted), neardup $ndSec%.2fs ($ndAdmitted), " +
+        f"bucketed $bkSec%.2fs ($bkAdmitted), stream $stSec%.2fs ($stAdmitted)")
+      t -> (exactSec, exAdmitted, ndSec, ndAdmitted, bkSec, bkAdmitted,
+        stSec, stAdmitted)
     }
 
     def j(d: Double): String = f"$d%.3f"
@@ -441,8 +481,11 @@ object ScaleBench {
       }.mkString(",")
       s""""$q":{$ratios}"""
     }.mkString(",")
-    val incJson = incremental.map { case (t, (es, ea, ns, na)) =>
-      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":$ea,"neardup_batch_sec":${j(ns)},"neardup_admitted":$na}"""
+    val incJson = incremental.map { case (t, (es, ea, ns, na, bs, ba, ss, sa)) =>
+      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":$ea,""" +
+        s""""neardup_batch_sec":${j(ns)},"neardup_admitted":$na,""" +
+        s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":$ba,""" +
+        s""""stream_batch_sec":${j(ss)},"stream_admitted":$sa}"""
     }.mkString(",")
     val out = s"""{"metric":"scale_tiers","unit":"sec","cpus":$cpus,""" +
       s""""tiers":{$tierJson},"growth":{$growthJson},""" +
