@@ -574,8 +574,83 @@ object IoQueries {
       .orderBy("event_type")
   }
 
+  /** CT01 — the CrowdTangle PREPROCESSOR STAGE hash-gated (ref:
+    * Preprocessor.py:24-57, wired as `CTPreprocessorStage`): a CT-shaped
+    * CSV — `statistics`/`account` as python-REPR dicts (single quotes,
+    * `False`/`None` literals), exactly what pandas' to_csv leaves behind
+    * — is synthesized from the documents table, pushed through the real
+    * stage via the orchestrator (config parse, dispatch, CSV write), and
+    * the stage's OUTPUT file is read back and ordered. The oracle
+    * replays the synthesis arithmetic, so the repr→JSON normalization,
+    * `from_json` extraction of nested actual/expected counts, the
+    * account-id pull, the `#(\\w+)` hashtag regex, and both CSV
+    * round-trips (quote-doubled dict commas included) are gated
+    * bit-for-bit — upgrading the stage from spec-only to oracle-checked.
+    *
+    * Scale shape: the stage is one codegen'd projection over a
+    * multiLine CSV scan (non-splittable by contract — CSV exists only
+    * at declared edges; intermediates are parquet).
+    */
+  val ct01CtPreprocess: GraftQuery = GraftQuery(
+    "ct01_ct_preprocess",
+    """SELECT doc_id,
+      |       (doc_id * 7) % 500 AS likes,
+      |       (doc_id * 3) % 40 AS comment_count,
+      |       (doc_id * 13) % 900 AS likes_expected,
+      |       (doc_id * 5) % 60 AS comment_count_expected,
+      |       (doc_id * 11) % 1000 AS owner_id,
+      |       '["t' || CAST(doc_id % 7 AS VARCHAR) || '"]' AS tags
+      |FROM documents WHERE doc_id % 6 = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val root = Dsl.tempStore("ct01_root")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // synthesize the CT CSV: repr-dict columns built as strings, so the
+    // CSV writer must quote them (embedded commas) and the stage must
+    // survive the quote round-trip + repr literals
+    Tables.documents(spark, dir).filter(col("doc_id") % 6 === 1)
+      .select(
+        col("doc_id"),
+        concat(lit("p"), col("doc_id")).as("platformId"),
+        concat(lit("post "), col("doc_id"), lit(" #t"), col("doc_id") % 7)
+          .as("description"),
+        concat(lit("{'actual': {'favoriteCount': "), (col("doc_id") * 7) % 500,
+          lit(", 'commentCount': "), (col("doc_id") * 3) % 40,
+          lit("}, 'expected': {'favoriteCount': "), (col("doc_id") * 13) % 900,
+          lit(", 'commentCount': "), (col("doc_id") * 5) % 60, lit("}}"))
+          .as("statistics"),
+        concat(lit("{'id': "), (col("doc_id") * 11) % 1000,
+          lit(", 'name': 'A, B', 'verified': False, 'bio': None}"))
+          .as("account"),
+        date_format(
+          timestamp_seconds(lit(1262304000L) + col("doc_id") * 3600),
+          "yyyy-MM-dd HH:mm:ss").as("date"))
+      .coalesce(1).write.option("header", "true").option("escape", "\"")
+      .csv(s"$root/ct_posts.csv")
+    val cfg =
+      """{"dataset_name": "ct", "stages": [
+        |  {"name": "CT Preprocessing", "implementation": "CTPreprocessorStage",
+        |   "input": "ct_posts.csv", "output": "ct_preprocessed.csv",
+        |   "params": {}}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "config.json"), cfg)
+    val summary = graft.pipeline.Pipeline.run(spark, root,
+      graft.pipeline.Pipeline.loadConfig(s"$root/config.json"))
+    require(summary.filter(col("status") =!= "ok").isEmpty, "ct01 stage failed")
+    spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(s"$root/ct_preprocessed.csv")
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("likes").cast("long").as("likes"),
+        col("comment_count").cast("long").as("comment_count"),
+        col("likes_expected").cast("long").as("likes_expected"),
+        col("comment_count_expected").cast("long").as("comment_count_expected"),
+        col("owner_id").cast("long").as("owner_id"),
+        col("hashtags").as("tags"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
-    io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead)
+    io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead,
+    ct01CtPreprocess)
 }
