@@ -17,31 +17,47 @@ object Exploratory {
     * a05_describe, approx variants belong at 100 TB).
     */
   def summary(df: DataFrame): DataFrame = {
+    // ONE aggregate pass computing every column's stats side by side,
+    // stacked to long format after — the r10 rewrite of a per-column
+    // agg-union that cost |cols| scans at scale and |cols| Catalyst
+    // plans of driver time at any scale (pl02's exploratory stage
+    // measured 5-8 s on 230 rows, mostly plan compilation)
     val nums = numericCols(df)
-    nums.map { c =>
-      df.agg(
-        count(col(c)).as("cnt"),
-        avg(col(c)).as("mean"),
-        stddev(col(c)).as("std"),
-        min(col(c)).cast("double").as("min_v"),
-        max(col(c)).cast("double").as("max_v"))
-        .select(lit(c).as("column"), col("cnt"), col("mean"), col("std"),
-          col("min_v"), col("max_v"))
-    }.reduce(_ unionByName _)
+    require(nums.nonEmpty, "summary: no numeric columns")
+    val aggs = nums.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      avg(col(c)).as(s"mean_$c"),
+      stddev(col(c)).as(s"std_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(nums.map(c => struct(
+        lit(c).as("column"), col(s"cnt_$c").as("cnt"),
+        col(s"mean_$c").as("mean"), col(s"std_$c").as("std"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))): _*)).as("r"))
+      .select("r.*")
   }
 
   /** A6 — per-column profile: non-null / missing / distinct counts (ref:
     * ExploratoryAnalysis.py:34-44). `approxDistinct` is the 100 TB path.
+    * One aggregate pass for ALL columns (the multi-DISTINCT expands to
+    * one |cols|-way Expand + single shuffle — still one scan of the
+    * data, vs the previous per-column agg-union's |cols| scans).
     */
-  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame =
-    df.columns.toSeq.map { c =>
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val cs = df.columns.toSeq
+    require(cs.nonEmpty, "profile: no columns")
+    val aggs = Seq(count(lit(1)).as("__total")) ++ cs.flatMap { c =>
       val nd = if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
-      df.agg(
-        count(col(c)).as("non_null"),
-        (count(lit(1)) - count(col(c))).as("missing"),
-        nd.as("n_distinct"))
-        .select(lit(c).as("column"), col("non_null"), col("missing"), col("n_distinct"))
-    }.reduce(_ unionByName _)
+      Seq(count(col(c)).as(s"nn_$c"), nd.as(s"nd_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.map(c => struct(
+        lit(c).as("column"), col(s"nn_$c").as("non_null"),
+        (col("__total") - col(s"nn_$c")).as("missing"),
+        col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+      .select("r.*")
+  }
 
   /** A1 — post counts per time grain (ref: plotting.py:50-67 Grouper;
     * grain ∈ week/month/quarter/year). `date_trunc` labels period *start*
