@@ -284,8 +284,21 @@ object Pipeline {
       else if (skipIfExists && outputExists(out)) StageResult(st.name, "skipped", 0.0)
       else {
         val t0 = System.nanoTime()
-        registry(st.implementation).run(spark, in, out, st.params, cfg.datasetName)
-        StageResult(st.name, "ok", (System.nanoTime() - t0) / 1e9)
+        // a throwing stage becomes a `failed` ROW, not a lost summary:
+        // later independent stages still run (those consuming the dead
+        // stage's output report missing_input), the operator sees the
+        // whole table, and RunPipeline still exits non-zero on any
+        // non-ok status. (The reference crashes outright here,
+        // orchestrator.py:46 — a deliberate upgrade.)
+        try {
+          registry(st.implementation).run(spark, in, out, st.params, cfg.datasetName)
+          StageResult(st.name, "ok", (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[pipeline] stage ${st.name} failed: $e")
+            StageResult(st.name, s"failed: ${e.getClass.getSimpleName}",
+              (System.nanoTime() - t0) / 1e9)
+        }
       }
     }
     import spark.implicits._

@@ -270,16 +270,21 @@ object Stages {
       val emb = Multimodal.embedImages(
         Multimodal.readImages(spark, in), Multimodal.ImageIoVisionModel())
       emb.write.mode("overwrite").parquet(s"$out.parquet")
-      val rows = spark.read.parquet(s"$out.parquet")
-        .orderBy("image")
-        .collect()
-        .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
-      val dim = rows.headOption.map(_._2.length).getOrElse(0)
-      require(rows.length.toLong * dim * 4 <= maxNpyBytes,
-        s"ImageFeatureVectorStage: ${rows.length} × $dim float32 exceeds " +
+      // budget-check BEFORE any collect (the trainIvfCentroids
+      // discipline, VERDICT r8 #6): n and dim come from cheap aggregate
+      // probes of the parquet twin; an over-budget corpus errors with
+      // the parquet path instead of OOMing the driver on the collect
+      val persisted = spark.read.parquet(s"$out.parquet")
+      val n = persisted.count()
+      val dim = persisted.select(size(col("embedding"))).as[Int](
+        org.apache.spark.sql.Encoders.scalaInt).head(1).headOption.getOrElse(0)
+      require(n * dim * 4 <= maxNpyBytes,
+        s"ImageFeatureVectorStage: $n × $dim float32 exceeds " +
           s"the $maxNpyBytes-byte npy budget — the single-file npy format " +
           "is driver-written by nature; consume the parquet twin at " +
           s"$out.parquet instead (or raise max_npy_bytes)")
+      val rows = persisted.orderBy("image").collect()
+        .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
       NpyIo.writeFloat32Matrix(out, rows.map(_._2))
       // next to the INPUT dir — DIRAdapter.py:22's
       // `os.path.dirname(input_path)/image_db.txt` placement

@@ -301,6 +301,31 @@ class PipelineSpec extends SparkSpec {
     assert(again.select("status").as[String].collect().forall(_ == "skipped"))
   }
 
+  test("a throwing stage becomes a failed row; later stages still run; exit non-zero") {
+    import graft.operators.Multimodal
+    val root = Files.createTempDirectory("graft-pipe-fail").toString
+    Files.createDirectories(Paths.get(s"$root/imgs"))
+    Files.write(Paths.get(s"$root/imgs/a.png"), Multimodal.syntheticImage(7L))
+    val cfgJson =
+      """{"dataset_name": "t", "stages": [
+        |  {"name": "Features", "implementation": "ImageFeatureVectorStage",
+        |   "input": "imgs", "output": "f.npy", "enabled": true,
+        |   "params": {"max_npy_bytes": 1}},
+        |  {"name": "Labels", "implementation": "ImageLabelerStage",
+        |   "input": "imgs", "output": "labels.csv", "enabled": true,
+        |   "params": {}}
+        |]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfgJson)
+    assert(RunPipeline.runCli(spark, Array(root, s"$root/config.json")) == 1)
+    val statuses = Pipeline.run(spark, root,
+        Pipeline.loadConfig(s"$root/config.json"))
+      .select("stage", "status").as[(String, String)].collect().toMap
+    // (second run: Labels memoized as skipped, Features fails again)
+    assert(statuses("Features").startsWith("failed"))
+    assert(statuses("Labels") == "skipped") // it RAN despite the earlier failure
+    assert(Files.exists(Paths.get(s"$root/labels.csv")))
+  }
+
   test("missing input is reported, not fatal") {
     val root = Files.createTempDirectory("graft-pipe2").toString
     Files.writeString(Paths.get(s"$root/config.json"), configJson)
