@@ -35,6 +35,11 @@ object RunPipeline {
     val summaryPath = flags.sliding(2).collectFirst {
       case Array("--summary", p) => p
     }
+    // a dangling --summary (no value, or another flag consumed as the
+    // path) must fail loudly, not silently skip the requested artifact
+    if (flags.contains("--summary"))
+      require(summaryPath.exists(!_.startsWith("--")),
+        "--summary requires a path argument")
     val summary = pipeline.Pipeline.run(spark, rootDir, cfg, skipIfExists = skip)
     summaryPath.foreach(p => io.CsvIo.writeCsv(summary, p, singleFile = true))
     val rows = summary.collect()

@@ -373,9 +373,11 @@ object ScaleBench {
 
     // incremental-ingestion experiment: fixed ~1k-doc batch (half novel,
     // half colliding with the store) admitted against each tier's store
-    // SPARK_GRAFT_SCALE_ONLY=incremental runs JUST this experiment (any
-    // other filter skips it, as before)
-    val incremental = (if (only.forall(_.contains("incremental"))) tiers
+    // SPARK_GRAFT_SCALE_ONLY=incremental (or any prefix of it, matching
+    // the env var's prefix semantics everywhere else) runs JUST this
+    // experiment; any other filter skips it, as before
+    val incremental = (if (only.forall(_.exists(tok =>
+        "incremental".startsWith(tok)))) tiers
       else Seq.empty).map { t =>
       val dir = s"$scaleRoot/$t"
       val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")

@@ -97,8 +97,15 @@ object CvFace {
     val blob = Class.forName("org.opencv.dnn.Dnn")
       .getMethod("blobFromImage", matCls, classOf[Double], sizeCls, scalarCls)
       .invoke(null, mat, java.lang.Double.valueOf(1.0), size300, mean)
-    n.getClass.getMethod("setInput", matCls).invoke(n, blob)
-    val out = n.getClass.getMethod("forward").invoke(n) // [1,1,N,7]
+    // cv::dnn::Net is NOT thread-safe (unlike ORT sessions — the cache
+    // pattern transfers, the concurrency contract does not): setInput +
+    // forward must not interleave across executor task threads, or one
+    // task reads the other's detections. Serialize per net; a
+    // throughput-bound deployment caches per-thread nets instead.
+    val out = n.synchronized {
+      n.getClass.getMethod("setInput", matCls).invoke(n, blob)
+      n.getClass.getMethod("forward").invoke(n) // [1,1,N,7]
+    }
     // reshape to a 2-D [N,7] view so row-wise get() works uniformly
     val total = matCls.getMethod("total").invoke(out)
       .asInstanceOf[java.lang.Long].longValue().toInt
@@ -150,19 +157,11 @@ final case class CvFaceVisionModel(
     base.embedBatch(contents)
 
   def anonymize(content: Array[Byte]): Array[Byte] =
-    Multimodal.pixelateBoxes(content, { (w, h) =>
-      // decode once more for the detector's pixel buffer: pixelateBoxes
-      // owns its own decode; this stays allocation-bounded per image
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        catch { case _: Exception => null }
-      if (img == null) Nil
-      else {
-        val norm = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        norm.getGraphics.drawImage(img, 0, 0, null)
-        val rgb = norm.getRGB(0, 0, w, h, null, 0, w)
-        CvFace.detect(protoPath, modelPath, w, h, rgb, confidence)
-      }
+    // the detector consumes the SAME decoded, INT_RGB-normalized image
+    // the fill works on — one ImageIO pass per image, not two
+    Multimodal.pixelateBoxesDecoded(content, { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      CvFace.detect(protoPath, modelPath, w, h, rgb, confidence)
     }, blocks)
 }

@@ -24,19 +24,28 @@ object Exploratory {
     // measured 5-8 s on 230 rows, mostly plan compilation)
     val nums = numericCols(df)
     require(nums.nonEmpty, "summary: no numeric columns")
-    val aggs = nums.flatMap(c => Seq(
-      count(col(c)).as(s"cnt_$c"),
-      avg(col(c)).as(s"mean_$c"),
-      stddev(col(c)).as(s"std_$c"),
-      min(col(c)).cast("double").as(s"min_$c"),
-      max(col(c)).cast("double").as(s"max_$c")))
+    // internal aliases are INDEX-based under a reserved prefix, never
+    // derived from user column names — a frame with columns `x` and
+    // `cnt_x` must not make two aggregates compete for one name
+    requireNoReservedCols(df)
+    val aggs = nums.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"__graft_cnt_$i"),
+      avg(col(c)).as(s"__graft_mean_$i"),
+      stddev(col(c)).as(s"__graft_std_$i"),
+      min(col(c)).cast("double").as(s"__graft_min_$i"),
+      max(col(c)).cast("double").as(s"__graft_max_$i")) }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(nums.map(c => struct(
-        lit(c).as("column"), col(s"cnt_$c").as("cnt"),
-        col(s"mean_$c").as("mean"), col(s"std_$c").as("std"),
-        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))): _*)).as("r"))
+      .select(explode(array(nums.zipWithIndex.map { case (c, i) => struct(
+        lit(c).as("column"), col(s"__graft_cnt_$i").as("cnt"),
+        col(s"__graft_mean_$i").as("mean"), col(s"__graft_std_$i").as("std"),
+        col(s"__graft_min_$i").as("min_v"), col(s"__graft_max_$i").as("max_v")) }: _*)).as("r"))
       .select("r.*")
   }
+
+  private def requireNoReservedCols(df: DataFrame): Unit =
+    require(!df.columns.exists(_.startsWith("__graft_")),
+      "column names starting with __graft_ collide with internal " +
+        "aggregate aliases — rename them first")
 
   /** A6 — per-column profile: non-null / missing / distinct counts (ref:
     * ExploratoryAnalysis.py:34-44). `approxDistinct` is the 100 TB path.
@@ -47,15 +56,17 @@ object Exploratory {
   def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val cs = df.columns.toSeq
     require(cs.nonEmpty, "profile: no columns")
-    val aggs = Seq(count(lit(1)).as("__total")) ++ cs.flatMap { c =>
-      val nd = if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
-      Seq(count(col(c)).as(s"nn_$c"), nd.as(s"nd_$c"))
-    }
+    requireNoReservedCols(df) // index-based internal aliases (see summary)
+    val aggs = Seq(count(lit(1)).as("__graft_total")) ++
+      cs.zipWithIndex.flatMap { case (c, i) =>
+        val nd = if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
+        Seq(count(col(c)).as(s"__graft_nn_$i"), nd.as(s"__graft_nd_$i"))
+      }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cs.map(c => struct(
-        lit(c).as("column"), col(s"nn_$c").as("non_null"),
-        (col("__total") - col(s"nn_$c")).as("missing"),
-        col(s"nd_$c").as("n_distinct"))): _*)).as("r"))
+      .select(explode(array(cs.zipWithIndex.map { case (c, i) => struct(
+        lit(c).as("column"), col(s"__graft_nn_$i").as("non_null"),
+        (col("__graft_total") - col(s"__graft_nn_$i")).as("missing"),
+        col(s"__graft_nd_$i").as("n_distinct")) }: _*)).as("r"))
       .select("r.*")
   }
 

@@ -187,6 +187,18 @@ object IncrementalNearDup {
     val blocked = vsIndex.union(intra).distinct().localCheckpoint()
     val admitted = batch.join(blocked.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti")
+    // SECOND fence check, immediately before the append: the admission
+    // compute above can run for a while, and a compaction may have
+    // started (staging table appeared) since the entry check — landing
+    // the append now would race its rewrite. The remaining window is
+    // the microseconds between this require and the write commit;
+    // compactIndex's pre-swap recheck + rename-failure fold covers the
+    // rest (plain parquet catalogs have no atomic CAS — a transactional
+    // table format is the production answer; this pair of fences plus
+    // the compactor's recheck is the strongest non-transactional form).
+    require(!spark.catalog.tableExists(table + "_compacting"),
+      s"dedupeBatchBucketed: a compaction of $table started during this " +
+        "batch's admission — retry the batch after it finishes")
     // bucketed on BOTH join keys: the scan's HashPartitioning then
     // matches the collision join's clustering exactly, which is what
     // lets the planner keep the bucketed read (a band_key-only layout
@@ -239,6 +251,13 @@ object IncrementalNearDup {
     */
   private[graft] var testHookBeforeSwap: () => Unit = () => ()
 
+  /** Test-only injection point for the NASTIER interleaving: runs after
+    * the live table's DROP, before the RENAME — an append-mode
+    * saveAsTable landing here RECREATES the table and makes the rename
+    * fail; the fold-in recovery below must not lose either side.
+    */
+  private[graft] var testHookAfterDrop: () => Unit = () => ()
+
   def compactIndex(spark: SparkSession, table: String, buckets: Int = 16,
                    writeTasks: Int = 1, dedupe: Boolean = false,
                    maxRewriteAttempts: Int = 5): Long = {
@@ -281,7 +300,29 @@ object IncrementalNearDup {
       if (liveNow == srcCount && wmNow == watermark) {
         val rows = spark.table(staged).count()
         spark.sql(s"DROP TABLE $table")
-        spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+        testHookAfterDrop()
+        // a racing append committing after the recheck can RECREATE the
+        // table (append-mode saveAsTable creates missing targets) and
+        // the rename then fails. Fold the racing rows into the staged
+        // snapshot — neither the compacted history (staged) nor the
+        // racing batch may be lost — carry the higher watermark, and
+        // finish the swap.
+        try spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+        catch {
+          case scala.util.control.NonFatal(_)
+              if spark.catalog.tableExists(table) =>
+            val racingRows = spark.table(table).count()
+            val racingWm = maxBatchIdProp(spark, table)
+            spark.table(table).write.mode("append")
+              .bucketBy(buckets, "band_id", "band_key")
+              .sortBy("band_id", "band_key")
+              .format("parquet").saveAsTable(staged)
+            (watermark ++ racingWm).maxOption.foreach(m => spark.sql(
+              s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.maxBatchId' = '$m')"))
+            spark.sql(s"DROP TABLE $table")
+            spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+            return rows + racingRows
+        }
         return rows
       }
       require(attempt < maxRewriteAttempts,

@@ -300,7 +300,19 @@ object Multimodal {
     */
   def pixelateBoxes(content: Array[Byte],
                     boxesFor: (Int, Int) => Seq[(Int, Int, Int, Int)],
-                    blocks: Int): Array[Byte] = {
+                    blocks: Int): Array[Byte] =
+    pixelateBoxesDecoded(content,
+      img => boxesFor(img.getWidth, img.getHeight), blocks)
+
+  /** [[pixelateBoxes]] whose detector receives the ALREADY-decoded,
+    * INT_RGB-normalized image — a pixel-consuming detector
+    * ([[CvFaceVisionModel]]) then shares the single decode instead of
+    * paying a second ImageIO pass per image (decode dominates the
+    * anonymization stage's CPU at corpus scale).
+    */
+  def pixelateBoxesDecoded(content: Array[Byte],
+                           boxesFor: java.awt.image.BufferedImage => Seq[(Int, Int, Int, Int)],
+                           blocks: Int): Array[Byte] = {
     val img0 =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Exception => null }
@@ -310,7 +322,7 @@ object Multimodal {
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.getGraphics.drawImage(img0, 0, 0, null)
     val (w, h) = (img.getWidth, img.getHeight)
-    for ((bx0, by0, bx1, by1) <- boxesFor(w, h)) {
+    for ((bx0, by0, bx1, by1) <- boxesFor(img)) {
       // SSD boxes can poke out of frame — clamp like the numpy slicing does
       val (sx, sy) = (math.max(0, bx0), math.max(0, by0))
       val (ex, ey) = (math.min(w, bx1), math.min(h, by1))

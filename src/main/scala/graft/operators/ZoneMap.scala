@@ -103,13 +103,27 @@ object ZoneMap {
   def readRange(spark: SparkSession, lake: String, key: String,
                 lo: Column, hi: Column,
                 maxListedFiles: Int = 100000): DataFrame = {
-    val selected = spark.read.parquet(resolveZones(spark, lake))
-      .filter(col("max_k") >= lo && col("min_k") < hi)
+    val zones = spark.read.parquet(resolveZones(spark, lake))
+    val selected = zones.filter(col("max_k") >= lo && col("min_k") < hi)
     val n = selected.limit(maxListedFiles + 1).count()
+    def manifestFresh(probe: Seq[String]): Boolean = probe.headOption.forall { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
     val base =
-      if (n == 0)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          spark.read.parquet(lake).schema)
+      if (n == 0) {
+        // an EMPTY intersection is only trustworthy from a FRESH
+        // manifest — a stale one (writer crashed between the lake
+        // overwrite and the manifest swap) knows nothing about the new
+        // lake's key ranges and would silently return zero rows for a
+        // populated band; probe any manifest file before believing it
+        val anyFile = zones.select("file").limit(1)
+          .collect().map(_.getString(0)).toSeq
+        if (manifestFresh(anyFile))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            spark.read.parquet(lake).schema)
+        else spark.read.parquet(lake)
+      }
       else if (n > maxListedFiles) spark.read.parquet(lake)
       else {
         val files = selected.select("file").collect()
@@ -121,9 +135,7 @@ object ZoneMap {
         // probe decides it; stale → plain root scan with the same
         // residual filter (correct rows of the current lake, no pruning
         // until the next successful writeClustered rebuilds the zones).
-        val p = new org.apache.hadoop.fs.Path(files.head)
-        val fresh = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-        if (fresh) spark.read.parquet(files: _*)
+        if (manifestFresh(files)) spark.read.parquet(files: _*)
         else spark.read.parquet(lake)
       }
     base.filter(col(key) >= lo && col(key) < hi)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The reference's scraper + vision stage implementations
   * (ref: stages.py:47-160, used by config/test.json) wired onto the
@@ -94,15 +95,39 @@ object Stages {
   /** The feed-scrape stage (ref: stages.py:47-89): one landing dir per
     * search term under `<root>/_scrape/<type>-<term>`, pages fetched
     * through [[FeedPager]] (resumable, retry-budgeted) when a fetcher is
-    * configured — skipped when the term's scrape already landed, the
-    * reference's `is_finished()` — then ALL terms' pages combined
-    * through the schema'd JSON scan + flatten
-    * ([[PostExtract.postsTable]], one distributed plan — the reference's
-    * per-page pandas concat, stages.py:73-87) into the `posts` CSV.
+    * configured, then ALL terms' pages combined through the schema'd
+    * JSON scan + flatten ([[PostExtract.postsTable]], one distributed
+    * plan — the reference's per-page pandas concat, stages.py:73-87)
+    * into the `posts` CSV.
+    *
+    * Resume contract: the pager's state (cursor history, pages fetched,
+    * exhausted flag) is PERSISTED in the landing dir after every run —
+    * the reference's per-page cursor checkpoint
+    * (InstagramFeedScraper.py:152-154). A scrape is finished only when
+    * its persisted state says `exhausted`; a retry-budget-exhausted
+    * PARTIAL scrape fails the stage loudly (a truncated posts.csv
+    * flowing silently downstream forever is the worse outcome), and the
+    * rerun resumes from the persisted cursor instead of page 0. Landed
+    * pages WITHOUT a state file (hand-staged dirs) combine as-is.
     * An empty scrape writes the headered empty CSV rather than no file,
     * so downstream stages see their input contract either way.
     */
   object InstagramFeedScraperStage extends Stage {
+    private def statePath(landing: java.nio.file.Path) = landing.resolve("_state.txt")
+
+    private def loadState(landing: java.nio.file.Path): Option[FeedPager.State] =
+      if (!Files.exists(statePath(landing))) None
+      else {
+        val lines = Files.readAllLines(statePath(landing)).asScala.toVector
+        Some(FeedPager.State(lines.drop(2), lines.head.toInt,
+          exhausted = lines(1).toBoolean))
+      }
+
+    private def saveState(landing: java.nio.file.Path, st: FeedPager.State): Unit =
+      Files.writeString(statePath(landing),
+        (Seq(st.pagesFetched.toString, st.exhausted.toString) ++ st.cursors)
+          .mkString("\n"))
+
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       val mode = pStr(params, "type", "hashtag")
@@ -122,9 +147,20 @@ object Stages {
           }
         }
         fetcher.foreach { f =>
-          if (!landedPages) // is_finished(): a landed scrape never re-fetches
-            FeedPager.run(landing.toString, FeedPager.initialState,
-              maxPages, maxTries)(f(term))
+          val st0 = loadState(landing)
+          val finished = st0.exists(_.exhausted) ||
+            (st0.isEmpty && landedPages) // hand-staged dir: combine as-is
+          if (!finished) {
+            val st = FeedPager.run(landing.toString,
+              st0.getOrElse(FeedPager.initialState), maxPages, maxTries)(f(term))
+            saveState(landing, st)
+            require(st.exhausted || st.pagesFetched >= maxPages,
+              s"feed scrape for '$term' stopped after ${st.pagesFetched} " +
+                s"pages with the feed unexhausted (a page ran out of its " +
+                s"$maxTries tries) — state is checkpointed in $landing; " +
+                "rerun to resume from the last cursor rather than ship a " +
+                "silently truncated posts table")
+          }
         }
         if (landedPages)
           Some(PostExtract.postsTable(

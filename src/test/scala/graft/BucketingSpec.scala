@@ -208,5 +208,31 @@ class BucketingSpec extends SparkSpec {
         s"post-swap table lost band rows: $rows vs serial $expectTotal")
     } finally IncrementalNearDup.testHookBeforeSwap = () => ()
     assert(!spark.catalog.tableExists(s"${table}_compacting"))
+
+    // half 3 — the nastiest interleaving: the racing append commits
+    // AFTER the live table's DROP. Append-mode saveAsTable recreates
+    // the table, the rename fails, and the fold-in recovery must keep
+    // BOTH the compacted history and the racing rows.
+    val preDrop = spark.table(table).count()
+    val lateRows2 = spark.table(table).limit(5).localCheckpoint()
+    val expectTotal2 = preDrop + lateRows2.count()
+    var fired2 = false
+    IncrementalNearDup.testHookAfterDrop = () => {
+      if (!fired2) {
+        fired2 = true
+        lateRows2.write.mode("append").bucketBy(16, "band_id", "band_key")
+          .sortBy("band_id", "band_key").format("parquet").saveAsTable(table)
+      }
+    }
+    try {
+      val rows2 = IncrementalNearDup.compactIndex(spark, table)
+      assert(fired2, "after-drop hook never fired")
+      assert(rows2 == expectTotal2 && spark.table(table).count() == expectTotal2,
+        s"rename-failure fold lost rows: $rows2 vs serial $expectTotal2")
+    } finally IncrementalNearDup.testHookAfterDrop = () => ()
+    assert(!spark.catalog.tableExists(s"${table}_compacting"))
+    // and the folded table still admits correctly (history intact)
+    assert(IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", table).isEmpty)
   }
 }

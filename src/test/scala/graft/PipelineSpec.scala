@@ -301,6 +301,57 @@ class PipelineSpec extends SparkSpec {
     assert(again.select("status").as[String].collect().forall(_ == "skipped"))
   }
 
+  test("a budget-exhausted partial scrape fails loudly and resumes from the persisted cursor") {
+    import graft.pipeline.Stages
+    import graft.sources.FeedPager
+    val root = Files.createTempDirectory("graft-pipe-resume").toString
+    def post(id: Long): String =
+      s"""{"id": $id, "shortcode": "sc$id", "type": "GraphImage",
+         | "is_video": false, "likes": 1, "comments": 1,
+         | "comments_disabled": false, "description": "p", "hashtags": [],
+         | "mentions": [], "display_url": "d", "thumbnail_src": "t",
+         | "owner": {"id": 9}, "taken_at_timestamp": 1425211200}"""
+        .stripMargin.replace("\n", "")
+    // page 0 lands; page 1 fails EVERY try until "the API recovers"
+    var apiUp = false
+    var page1Attempts = 0
+    Stages.FeedFetchers.register("flaky", _ => {
+      case None => Right(FeedPager.Page(
+        s"""{"collector": [${post(1)}]}""", Some("c1")))
+      case Some("c1") =>
+        if (apiUp) Right(FeedPager.Page(s"""{"collector": [${post(2)}]}""", None))
+        else { page1Attempts += 1; Left("503") }
+      case other => Left(s"bad cursor $other")
+    })
+    val cfgJson =
+      """{"dataset_name": "t", "stages": [
+        |  {"name": "Feed", "implementation": "InstagramFeedScraperStage",
+        |   "input": null, "output": "posts.csv", "enabled": true,
+        |   "params": {"terms": ["x"], "type": "hashtag", "max_tries": 2,
+        |              "fetcher": "flaky"}}
+        |]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfgJson)
+    // run 1: page 1 exhausts its budget → FAILED row, no truncated csv
+    val s1 = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(s1("Feed").startsWith("failed"), s1.toString)
+    assert(page1Attempts == 2, "retry budget not honored")
+    assert(!Files.exists(Paths.get(s"$root/posts.csv")),
+      "partial scrape must not ship a truncated posts table")
+    // run 2 (API recovered): resumes from the persisted cursor — page 0
+    // is NOT re-fetched — and combines both pages
+    apiUp = true
+    val s2 = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+      .select("stage", "status").as[(String, String)].collect().toMap
+    assert(s2("Feed") == "ok", s2.toString)
+    val posts = CsvIo.readPosts(spark, s"$root/posts.csv")
+    assert(posts.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // the state file records exhaustion; a third run is combine-only
+    val s3 = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"),
+      skipIfExists = false)
+    assert(s3.select("status").as[String].collect().forall(_ == "ok"))
+  }
+
   test("a throwing stage becomes a failed row; later stages still run; exit non-zero") {
     import graft.operators.Multimodal
     val root = Files.createTempDirectory("graft-pipe-fail").toString
