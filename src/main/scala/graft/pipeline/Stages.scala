@@ -67,15 +67,25 @@ object Stages {
   }
 
   /** Registry of image fetch transports for
-    * [[InstagramImageScraperStage]]. `"synthetic"` ships built-in: the
-    * deterministic PNG of the item's numeric post id — the in-sandbox
-    * stand-in for the HTTP download (InstagramImageScraper.py:97-130);
-    * a deployment registers its transport under its own name and points
-    * the stage's `fetcher` param at it.
+    * [[InstagramImageScraperStage]]. Two built-ins:
+    *  - `"unconfigured"` — the DEFAULT: fails every item, exactly what
+    *    the reference does when run without a valid API key (its dummy-
+    *    key requests all error, items exhaust max_attempts, the scrape
+    *    completes with failures — InstagramImageScraper.py:84-95). A
+    *    deployment that forgets to configure its transport gets an
+    *    all-failed scrape report, never silently fabricated images.
+    *  - `"synthetic"` — the deterministic PNG of the item's numeric
+    *    post id: the in-sandbox stand-in for the HTTP download, chosen
+    *    EXPLICITLY by gates/specs (never by default).
+    * A deployment registers its HTTP transport under its own name and
+    * points the stage's `fetcher` param at it.
     */
   object ImageFetchers {
     private val reg = new java.util.concurrent.ConcurrentHashMap[String, ImageFetcher]()
     def register(name: String, f: ImageFetcher): Unit = reg.put(name, f)
+    register("unconfigured", new ImageFetcher {
+      def fetch(itemId: String, url: String): Option[Array[Byte]] = None
+    })
     register("synthetic", new ImageFetcher {
       def fetch(itemId: String, url: String): Option[Array[Byte]] =
         itemId.takeWhile(_ != '_').toLongOption
@@ -85,7 +95,7 @@ object Stages {
       val f = reg.get(name)
       require(f != null,
         s"ImageFetchers: no fetcher registered under '$name' — register " +
-          "one (ImageFetchers.register) or use the built-in 'synthetic'")
+          "one (ImageFetchers.register); built-ins: 'unconfigured', 'synthetic'")
       f
     }
   }
@@ -228,14 +238,16 @@ object Stages {
     * state, driven to completion by [[ScrapeState.runLoop]] — each round
     * one distributed fetch job over the undone set, files landing as
     * `<id>_<shortcode>.jpg` (the reference's naming, :107) in the output
-    * dir. The transport is an [[ImageFetcher]] (param `fetcher`,
-    * default `synthetic`). A `_SUCCESS` marker makes the output
-    * memoizable even for an empty post set.
+    * dir. The transport is an [[ImageFetcher]] (param `fetcher`; the
+    * `unconfigured` default fails every item like the reference's
+    * dummy-key scraper — set it to a registered transport). The final
+    * scrape report prints scraped/failed counts. A `_SUCCESS` marker
+    * makes the output memoizable even for an empty post set.
     */
   object InstagramImageScraperStage extends Stage {
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
-      val fetcher = ImageFetchers.resolve(pStr(params, "fetcher", "synthetic"))
+      val fetcher = ImageFetchers.resolve(pStr(params, "fetcher", "unconfigured"))
       val maxAttempts = pInt(params, "max_attempts", 5)
       val df0 = CsvIo.readPreprocessed(spark, in)
       val posts =
@@ -262,7 +274,13 @@ object Stages {
             Row(id, ok)
           }
         }(enc)
-      ScrapeState.runLoop(state0, fetch, maxAttempts).count() // drive to done
+      val finalState = ScrapeState.runLoop(state0, fetch, maxAttempts)
+      val st = ScrapeState.statusSummary(finalState, maxAttempts).head()
+      def n(c: String): Long = // sums are null on an empty state table
+        Option(st.getAs[java.lang.Long](c)).map(_.longValue).getOrElse(0L)
+      println(s"[scrape] ${n("n_scraped")} scraped, " +
+        s"${n("n_failed")} failed of ${st.getAs[Long]("n_total")} " +
+        s"(fetcher: ${pStr(params, "fetcher", "unconfigured")})")
       Files.write(Paths.get(out, "_SUCCESS"), Array.emptyByteArray)
     }
   }

@@ -447,7 +447,7 @@ object CurationQueries {
          |  {"name": "Scrape Images",
          |   "implementation": "InstagramImageScraperStage",
          |   "input": "posts_preprocessed.csv", "output": "images/images",
-         |   "params": {}},
+         |   "params": {"fetcher": "synthetic"}},
          |  {"name": "Label Images", "implementation": "ImageLabelerStage",
          |   "input": "images/images", "output": "image_labels.csv",
          |   "params": {}},

@@ -5,6 +5,7 @@ import graft.pipeline.Pipeline
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** End-to-end config-driven pipeline over a reference-shaped posts CSV
   * (the test.json dummy-pipeline analog, readme.md:13-30).
@@ -240,7 +241,7 @@ class PipelineSpec extends SparkSpec {
         |              "lowercase_hashtags": true}},
         |  {"name": "Scrape Images", "implementation": "InstagramImageScraperStage",
         |   "input": "posts_preprocessed.csv", "output": "images/images",
-        |   "enabled": true, "params": {}},
+        |   "enabled": true, "params": {"fetcher": "synthetic"}},
         |  {"name": "Label Images", "implementation": "ImageLabelerStage",
         |   "input": "images/images", "output": "image_labels.csv",
         |   "enabled": true, "params": {}},
@@ -299,6 +300,31 @@ class PipelineSpec extends SparkSpec {
       Array(root, s"$root/config.json", "--summary", s"$root/summary2.csv")) == 0)
     val again = spark.read.option("header", "true").csv(s"$root/summary2.csv")
     assert(again.select("status").as[String].collect().forall(_ == "skipped"))
+  }
+
+  test("unconfigured image fetcher fails every item — never fabricates images") {
+    val root = Files.createTempDirectory("graft-pipe-unconf").toString
+    val posts = Seq((5L, "sc5", "t5")).toDF("id", "shortcode", "thumbnail_src")
+      .withColumn("scrape_image", lit(true))
+    // minimal preprocessed-shaped CSV: only the columns the stage reads
+    val full = graft.schema.Schemas.postsPreprocessedColumns.foldLeft(posts) {
+      (acc, c) => if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast("string"))
+    }.select(graft.schema.Schemas.postsPreprocessedColumns.map(col): _*)
+    full.coalesce(1).write.option("header", "true").csv(s"$root/pre.csv")
+    val cfgJson =
+      """{"dataset_name": "t", "stages": [
+        |  {"name": "Scrape", "implementation": "InstagramImageScraperStage",
+        |   "input": "pre.csv", "output": "imgs", "enabled": true,
+        |   "params": {"max_attempts": 2}}
+        |]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfgJson)
+    val s = Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+      .select("status").as[String].collect()
+    assert(s.forall(_ == "ok")) // the reference tolerates failed scrapes
+    val files = Files.list(Paths.get(s"$root/imgs"))
+    try assert(files.iterator().asScala.map(_.getFileName.toString).toSet
+      == Set("_SUCCESS"), "unconfigured fetcher must write NO images")
+    finally files.close()
   }
 
   test("a budget-exhausted partial scrape fails loudly and resumes from the persisted cursor") {
