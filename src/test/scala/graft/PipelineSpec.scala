@@ -302,6 +302,27 @@ class PipelineSpec extends SparkSpec {
     assert(again.select("status").as[String].collect().forall(_ == "skipped"))
   }
 
+  test("the npy side-car loads in REAL numpy with exact shape, dtype and values") {
+    // the .npy writer's oracle is numpy itself (available driver-side):
+    // a hand-rolled header that Spark-side tests can't see wrong — wrong
+    // padding, wrong endianness, wrong shape tuple — fails numpy.load
+    val canRun =
+      try new ProcessBuilder("python3", "-c", "import numpy").start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(canRun, "python3 + numpy not available")
+    val path = Files.createTempDirectory("graft-npy").resolve("m.npy").toString
+    graft.pipeline.NpyIo.writeFloat32Matrix(path,
+      Array(Array(1.5f, -2.25f, 0f), Array(3f, 4.125f, -5f)))
+    val p = new ProcessBuilder("python3", "-c",
+      s"""import numpy
+         |a = numpy.load("$path")
+         |print(a.shape, a.dtype, a[0,1], a[1,2], float(a.sum()))""".stripMargin)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes()).trim
+    assert(p.waitFor() == 0, s"numpy.load failed:\n$out")
+    assert(out == "(2, 3) float32 -2.25 -5.0 1.375", out)
+  }
+
   test("unconfigured image fetcher fails every item — never fabricates images") {
     val root = Files.createTempDirectory("graft-pipe-unconf").toString
     val posts = Seq((5L, "sc5", "t5")).toDF("id", "shortcode", "thumbnail_src")
