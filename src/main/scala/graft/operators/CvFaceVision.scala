@@ -109,6 +109,9 @@ object CvFace {
     // reshape to a 2-D [N,7] view so row-wise get() works uniformly
     val total = matCls.getMethod("total").invoke(out)
       .asInstanceOf[java.lang.Long].longValue().toInt
+    // a graph whose output is not detection-shaped (not a multiple of
+    // the 7-wide SSD rows) yields no detections rather than garbage boxes
+    if (total % 7 != 0) return Nil
     val flat = matCls.getMethod("reshape", classOf[Int], classOf[Int])
       .invoke(out, Integer.valueOf(1), Integer.valueOf(total / 7))
     val getM = matCls.getMethod("get", classOf[Int], classOf[Int])

@@ -243,6 +243,11 @@ object Stages {
     * dummy-key scraper — set it to a registered transport). The final
     * scrape report prints scraped/failed counts. A `_SUCCESS` marker
     * makes the output memoizable even for an empty post set.
+    *
+    * Filesystem contract (same as [[Multimodal.writeImages]]): fetched
+    * bytes land via executor-side java.nio writes, so on a cluster the
+    * output dir is a mounted shared filesystem/object store; the local
+    * path is the single-node form.
     */
   object InstagramImageScraperStage extends Stage {
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
