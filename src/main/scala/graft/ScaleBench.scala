@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Asymptotic scale bench: runs the operators whose VALUE is their scale
@@ -386,10 +386,15 @@ object ScaleBench {
       // novel half: new ids + per-token suffix → no shared keys/shingles.
       // TWO batches in disjoint id/text spaces make the admit measurable
       // best-of-2 (a repeat of ONE batch would admit 0 — the store
-      // remembers it); batch 2's novel suffix differs so it collides with
-      // neither the store nor batch 1's admissions, so both runs admit
-      // the identical shape. Single runs here measured up to 10× apart
-      // on page-cache state — exactly the noise best-of-2 strips.
+      // remembers it). The two batches do NOT admit identical counts:
+      // batch 2 is admitted against a store that already holds batch 1's
+      // appended bands, so random MinHash band collisions against them
+      // legitimately block a few extra docs. Admitted counts are
+      // therefore recorded PER BATCH INDEX, and the per-batch equality
+      // that IS the invariant — flat == bucketed == streaming on the
+      // same batch — is asserted right here in the sweep. Single runs
+      // here measured up to 10× apart on page-cache state — exactly the
+      // noise best-of-2 strips.
       def mkBatch(suffix: String, idOff: Long) = {
         val novel = batchBase.filter(col("doc_id") % 2 === 0)
           .withColumn("doc_id", col("doc_id") + lit(990000000000L + idOff))
@@ -400,43 +405,50 @@ object ScaleBench {
       }
       val batches = Seq(mkBatch("xb", 0L), mkBatch("xc", 10000000000L))
 
+      // run every batch in order, timing each: best time is the reported
+      // latency (page-cache noise), admitted counts are kept PER BATCH
+      // so cross-path equality is assertable on like-for-like batches
+      def timedBatches(run: (DataFrame, Int) => Long): (Double, Seq[Long]) = {
+        val rs = batches.zipWithIndex.map { case (b, i) =>
+          val t0 = System.nanoTime()
+          val n = run(b, i)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (rs.map(_._1).min, rs.map(_._2))
+      }
+
       val key = graft.functions.TextFunctions.rollingHash(col("text"))
       val exactStore = queries.Dsl.tempStore(s"scale_x04_$t")
       graft.operators.IncrementalDedup
         .dedupeBatch(docs, key, Seq(col("doc_id")), exactStore).count()
-      val (exactSec, exAdmitted) = batches.map { b =>
-        val t0 = System.nanoTime()
-        val n = graft.operators.IncrementalDedup
-          .dedupeBatch(b, key, Seq(col("doc_id")), exactStore).count()
-        ((System.nanoTime() - t0) / 1e9, n)
-      }.minBy(_._1)
+      val (exactSec, exAdmitted) = timedBatches((b, _) =>
+        graft.operators.IncrementalDedup
+          .dedupeBatch(b, key, Seq(col("doc_id")), exactStore).count())
 
       val ndStore = queries.Dsl.tempStore(s"scale_x08_$t")
       graft.operators.IncrementalNearDup
         .dedupeBatch(docs, "doc_id", "text", ndStore).count()
-      val (ndSec, ndAdmitted) = batches.map { b =>
-        val t1 = System.nanoTime()
-        val n = graft.operators.IncrementalNearDup
-          .dedupeBatch(b, "doc_id", "text", ndStore).count()
-        ((System.nanoTime() - t1) / 1e9, n)
-      }.minBy(_._1)
+      val (ndSec, ndAdmitted) = timedBatches((b, _) =>
+        graft.operators.IncrementalNearDup
+          .dedupeBatch(b, "doc_id", "text", ndStore).count())
 
       // BUCKETED index (x18): same admission semantics, but the
       // corpus-sized side is a bucketBy(band_id, band_key) table the
       // collision join reads pre-partitioned — the zero-exchange claim
       // BucketingSpec pins at gate scale, measured here across store
-      // tiers (VERDICT r9 #4). Admitted counts must equal the flat
-      // twin's (same batches, same rule) — printed for cross-checking.
+      // tiers (VERDICT r9 #4).
       val bkTable = s"scale_x18_$t"
       spark.sql(s"DROP TABLE IF EXISTS $bkTable")
       graft.operators.IncrementalNearDup
         .dedupeBatchBucketed(docs, "doc_id", "text", bkTable).count()
-      val (bkSec, bkAdmitted) = batches.map { b =>
-        val t2 = System.nanoTime()
-        val n = graft.operators.IncrementalNearDup
-          .dedupeBatchBucketed(b, "doc_id", "text", bkTable).count()
-        ((System.nanoTime() - t2) / 1e9, n)
-      }.minBy(_._1)
+      val (bkSec, bkAdmitted) = timedBatches((b, _) =>
+        graft.operators.IncrementalNearDup
+          .dedupeBatchBucketed(b, "doc_id", "text", bkTable).count())
+      // the x18 invariant, asserted where it's measured: the bucketed
+      // layout changes the PLAN, never the admission — per matching batch
+      require(ndAdmitted == bkAdmitted,
+        s"$t: bucketed admission diverged from flat per batch — " +
+          s"flat=$ndAdmitted bucketed=$bkAdmitted")
 
       // STREAMING admission (sm08's foreachBatch core): batch_id-tagged
       // bucketed index, strictly-earlier visibility filter, watermark
@@ -447,17 +459,21 @@ object ScaleBench {
       graft.operators.IncrementalNearDup
         .dedupeBatchBucketed(docs, "doc_id", "text", stTable,
           batchId = Some(0L)).count()
-      val (stSec, stAdmitted) = batches.zipWithIndex.map { case (b, i) =>
-        val t3 = System.nanoTime()
-        val n = graft.operators.IncrementalNearDup
+      val (stSec, stAdmitted) = timedBatches((b, i) =>
+        graft.operators.IncrementalNearDup
           .dedupeBatchBucketed(b, "doc_id", "text", stTable,
-            batchId = Some(i + 1L)).count()
-        ((System.nanoTime() - t3) / 1e9, n)
-      }.minBy(_._1)
+            batchId = Some(i + 1L)).count())
+      // the streaming twin sees the same batches through the same rule
+      // (the strictly-earlier batch filter equals the flat twin's
+      // pre-append view) — equal per batch, or the sweep screams
+      require(stAdmitted == ndAdmitted,
+        s"$t: streaming admission diverged from flat per batch — " +
+          s"flat=$ndAdmitted stream=$stAdmitted")
 
+      def fmtN(ns: Seq[Long]) = ns.mkString("[", ",", "]")
       println(f"[scalebench] $t incremental: exact $exactSec%.2fs " +
-        f"($exAdmitted admitted), neardup $ndSec%.2fs ($ndAdmitted), " +
-        f"bucketed $bkSec%.2fs ($bkAdmitted), stream $stSec%.2fs ($stAdmitted)")
+        f"(${fmtN(exAdmitted)} admitted), neardup $ndSec%.2fs (${fmtN(ndAdmitted)}), " +
+        f"bucketed $bkSec%.2fs (${fmtN(bkAdmitted)}), stream $stSec%.2fs (${fmtN(stAdmitted)})")
       t -> (exactSec, exAdmitted, ndSec, ndAdmitted, bkSec, bkAdmitted,
         stSec, stAdmitted)
     }
@@ -483,11 +499,16 @@ object ScaleBench {
       }.mkString(",")
       s""""$q":{$ratios}"""
     }.mkString(",")
+    // *_admitted are PER-BATCH-INDEX arrays: [batch1, batch2] — the
+    // cross-path equality (neardup == bucketed == stream, element-wise)
+    // is require()d during the sweep, so equal arrays here are evidence,
+    // not coincidence; exact admits by a different (hash) rule
+    def jArr(ns: Seq[Long]) = ns.mkString("[", ",", "]")
     val incJson = incremental.map { case (t, (es, ea, ns, na, bs, ba, ss, sa)) =>
-      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":$ea,""" +
-        s""""neardup_batch_sec":${j(ns)},"neardup_admitted":$na,""" +
-        s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":$ba,""" +
-        s""""stream_batch_sec":${j(ss)},"stream_admitted":$sa}"""
+      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":${jArr(ea)},""" +
+        s""""neardup_batch_sec":${j(ns)},"neardup_admitted":${jArr(na)},""" +
+        s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":${jArr(ba)},""" +
+        s""""stream_batch_sec":${j(ss)},"stream_admitted":${jArr(sa)}}"""
     }.mkString(",")
     val out = s"""{"metric":"scale_tiers","unit":"sec","cpus":$cpus,""" +
       s""""tiers":{$tierJson},"growth":{$growthJson},""" +

@@ -100,32 +100,37 @@ object CvFace {
     // cv::dnn::Net is NOT thread-safe (unlike ORT sessions — the cache
     // pattern transfers, the concurrency contract does not): setInput +
     // forward must not interleave across executor task threads, or one
-    // task reads the other's detections. Serialize per net; a
+    // task reads the other's detections. AND forward() returns a Mat
+    // VIEWING the net's internal output blob, which the next forward
+    // overwrites — so the total/reshape/get decode must ALSO happen
+    // under the lock; only the copied-out JVM doubles escape it. A
     // throughput-bound deployment caches per-thread nets instead.
-    val out = n.synchronized {
+    n.synchronized {
       n.getClass.getMethod("setInput", matCls).invoke(n, blob)
-      n.getClass.getMethod("forward").invoke(n) // [1,1,N,7]
-    }
-    // reshape to a 2-D [N,7] view so row-wise get() works uniformly
-    val total = matCls.getMethod("total").invoke(out)
-      .asInstanceOf[java.lang.Long].longValue().toInt
-    // a graph whose output is not detection-shaped (not a multiple of
-    // the 7-wide SSD rows) yields no detections rather than garbage boxes
-    if (total % 7 != 0) return Nil
-    val flat = matCls.getMethod("reshape", classOf[Int], classOf[Int])
-      .invoke(out, Integer.valueOf(1), Integer.valueOf(total / 7))
-    val getM = matCls.getMethod("get", classOf[Int], classOf[Int])
-    val rows = total / 7
-    (0 until rows).flatMap { r =>
-      def cell(c: Int): Double =
-        getM.invoke(flat, Integer.valueOf(r), Integer.valueOf(c))
-          .asInstanceOf[Array[Double]](0)
-      val conf = cell(2)
-      if (conf > confidence)
-        // box * [w, h, w, h], astype(int) — anonymize_face.py:36-37
-        Some(((cell(3) * w).toInt, (cell(4) * h).toInt,
-          (cell(5) * w).toInt, (cell(6) * h).toInt))
-      else None
+      val out = n.getClass.getMethod("forward").invoke(n) // [1,1,N,7]
+      // reshape to a 2-D [N,7] view so row-wise get() works uniformly
+      val total = matCls.getMethod("total").invoke(out)
+        .asInstanceOf[java.lang.Long].longValue().toInt
+      // a graph whose output is not detection-shaped (not a multiple of
+      // the 7-wide SSD rows) yields no detections rather than garbage boxes
+      if (total % 7 != 0) Nil
+      else {
+        val flat = matCls.getMethod("reshape", classOf[Int], classOf[Int])
+          .invoke(out, Integer.valueOf(1), Integer.valueOf(total / 7))
+        val getM = matCls.getMethod("get", classOf[Int], classOf[Int])
+        val rows = total / 7
+        (0 until rows).flatMap { r =>
+          def cell(c: Int): Double =
+            getM.invoke(flat, Integer.valueOf(r), Integer.valueOf(c))
+              .asInstanceOf[Array[Double]](0)
+          val conf = cell(2)
+          if (conf > confidence)
+            // box * [w, h, w, h], astype(int) — anonymize_face.py:36-37
+            Some(((cell(3) * w).toInt, (cell(4) * h).toInt,
+              (cell(5) * w).toInt, (cell(6) * h).toInt))
+          else None
+        }
+      }
     }
   }
 }

@@ -92,35 +92,48 @@ object Exploratory {
   def histogram(df: DataFrame, c: String, bins: Int = 30): DataFrame = {
     val s = df.agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
     df.crossJoin(broadcast(s))
-      .select(least(
-        floor((col(c) - col("lo")) / ((col("hi") - col("lo")) / bins)).cast("long"),
-        lit(bins - 1L)).as("bucket"))
+      .select(
+        // a constant column makes the bin width 0 → the division yields
+        // Infinity and floor(Infinity).cast(long) throws under ANSI;
+        // pandas/numpy put everything in bucket 0 — do the same
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col(c) - col("lo")) / ((col("hi") - col("lo")) / bins)).cast("long"),
+          lit(bins - 1L))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
   }
 
-  /** A8 — pairwise Pearson correlation in one decimal-sum pass (long
-    * format; ref: plotting.py:14-21).
+  /** A8 — pairwise Pearson correlation in one aggregation pass (long
+    * format; ref: plotting.py:14-21, pandas `df.corr()` in float64).
+    *
+    * Built on Spark's `corr` aggregate — a numerically stable one-pass
+    * co-moment (deviations-from-running-mean) in double. The naive
+    * sum-of-products form overflows on real social-media magnitudes:
+    * owner_ids ~10^10 overflow Long when squared (ANSI throws
+    * ARITHMETIC_OVERFLOW — the round-10 fixture crash) and post ids
+    * ~2*10^18 overflow even a decimal(38,6) product. The co-moment form
+    * subtracts means first, so magnitude never compounds. Spark's `corr`
+    * aggregate itself throws DIVIDE_BY_ZERO under ANSI on a zero-variance
+    * column, so the ratio is assembled from covar/stddev with an explicit
+    * guard → NaN, matching pandas (the sample-ddof (n-1) factors cancel).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    requireNoReservedCols(df) // index-based internal aliases (see summary)
     val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
-    def s(c: String) = s"s_$c"; def ss(c: String) = s"ss_$c"
-    def sp(a: String, b: String) = s"sp_${a}_$b"
-    val sumCols =
-      Seq(count(lit(1)).as("n")) ++
-        cols.map(c => sum(col(c).cast("decimal(38,8)")).as(s(c))) ++
-        cols.map(c => sum((col(c) * col(c)).cast("decimal(38,8)")).as(ss(c))) ++
-        pairs.map { case (a, b) => sum((col(a) * col(b)).cast("decimal(38,8)")).as(sp(a, b)) }
-    val sums = df.agg(sumCols.head, sumCols.tail: _*)
     def d(c: String) = col(c).cast("double")
-    sums.select(explode(array(pairs.map { case (a, b) =>
-      // zero-variance columns → NaN, like pandas corr (ANSI would error)
-      val den = sqrt(col("n") * d(ss(a)) - d(s(a)) * d(s(a))) *
-        sqrt(col("n") * d(ss(b)) - d(s(b)) * d(s(b)))
-      struct(lit(a).as("col_x"), lit(b).as("col_y"),
-        when(den === 0.0, lit(Double.NaN))
-          .otherwise((col("n") * d(sp(a, b)) - d(s(a)) * d(s(b))) / den).as("corr"))
-    }: _*)).as("r")).select("r.*")
+    val aggs =
+      cols.zipWithIndex.map { case (c, i) => stddev_samp(d(c)).as(s"__graft_sd_$i") } ++
+        pairs.zipWithIndex.map { case ((a, b), i) => covar_samp(d(a), d(b)).as(s"__graft_cv_$i") }
+    val sdIdx = cols.zipWithIndex.toMap
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), i) =>
+        val den = col(s"__graft_sd_${sdIdx(a)}") * col(s"__graft_sd_${sdIdx(b)}")
+        struct(
+          lit(a).as("col_x"), lit(b).as("col_y"),
+          when(den.isNull || den === 0.0, lit(Double.NaN))
+            .otherwise(col(s"__graft_cv_$i") / den).as("corr")) }: _*)).as("r"))
+      .select("r.*")
   }
 
   /** A9 — category count (ref: ExploratoryAnalysis.py:106-108). */

@@ -101,10 +101,103 @@ object IncrementalNearDup {
     */
   def recoverCompaction(spark: SparkSession, table: String): Boolean = {
     val staged = table + "_compacting"
-    val recover = !spark.catalog.tableExists(table) &&
-      spark.catalog.tableExists(staged)
-    if (recover) spark.sql(s"ALTER TABLE $staged RENAME TO $table")
-    recover
+    if (!spark.catalog.tableExists(staged)) false
+    else if (!spark.catalog.tableExists(table)) {
+      // crash between DROP and RENAME: staged is the complete index
+      spark.sql(s"ALTER TABLE $staged RENAME TO $table")
+      clearSwapPending(spark, table)
+      true
+    } else if (swapPendingOn(spark, staged)) {
+      // the swap had BEGUN when the process died: staged is the
+      // authoritative compacted index, and the live table holds either
+      // the untouched original (crash before its DROP) or racing appends
+      // that recreated it (crash mid-fold). Fold whatever rows staged
+      // lacks — a set-difference, so neither state double-counts — and
+      // finish the swap. Without this explicit pending marker, a rerun's
+      // DROP-staged-and-rebuild would discard the compacted history and
+      // crown the racing rows as the whole index.
+      finishPendingSwap(spark, table, bucketCountOf(spark, staged))
+      true
+    } else false // incomplete rewrite: original intact, staged is rebuilt
+  }
+
+  private def swapPendingOn(spark: SparkSession, table: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .exists(r => r.getString(0) == "graft.swapPending" && r.getString(1) == "true")
+
+  private def clearSwapPending(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS ('graft.swapPending')")
+
+  private def bucketCountOf(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(_.getString(0) == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"recoverCompaction: $table carries no bucket spec — not an index table"))
+
+  /** Append to the staging table every live-table row it lacks (null-safe
+    * full-row set difference — the index is semantically a SET of band
+    * rows), carrying the higher streaming watermark. Returns rows folded.
+    */
+  private def foldExtras(spark: SparkSession, table: String, buckets: Int): Long = {
+    val staged = table + "_compacting"
+    val stagedDf = spark.table(staged)
+    val live = spark.table(table)
+    val cond = stagedDf.columns.map(c => live(c) <=> stagedDf(c)).reduce(_ && _)
+    // pin BEFORE the append: the write lands in the table the plan reads
+    val extras = live.join(stagedDf, cond, "left_anti").localCheckpoint()
+    val n = extras.count()
+    if (n > 0) {
+      extras.coalesce(1).write.bucketBy(buckets, "band_id", "band_key")
+        .sortBy("band_id", "band_key")
+        .mode("append").format("parquet").saveAsTable(staged)
+      (maxBatchIdProp(spark, table) ++ maxBatchIdProp(spark, staged)).maxOption
+        .foreach(m => spark.sql(
+          s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.maxBatchId' = '$m')"))
+    }
+    n
+  }
+
+  /** Finish a swap whose staging table carries `graft.swapPending`: fold
+    * live rows staged lacks, DROP the live table, RENAME staged into
+    * place — looping because an append-mode saveAsTable can RECREATE the
+    * live table between the DROP and the RENAME (bounded, then loud).
+    * `expectedLiveCount` lets the in-process compactor skip the fold's
+    * anti-join when the live count still equals what the rewrite read —
+    * appends only ever grow the count, so equality means nothing landed.
+    * Returns total rows folded.
+    */
+  private def finishPendingSwap(spark: SparkSession, table: String,
+                                buckets: Int,
+                                expectedLiveCount: Option[Long] = None,
+                                maxAttempts: Int = 5): Long = {
+    val staged = table + "_compacting"
+    var folded = 0L
+    var expected = expectedLiveCount
+    var attempt = 0
+    var renamed = false
+    while (!renamed) {
+      attempt += 1
+      require(attempt <= maxAttempts,
+        s"finishPendingSwap: racing appends keep recreating $table through " +
+          s"$maxAttempts swap attempts — pause ingestion, then re-run " +
+          "compactIndex (the staging table remains the authoritative index)")
+      if (spark.catalog.tableExists(table)) {
+        val skipFold = expected.exists(_ == spark.table(table).count())
+        if (!skipFold) folded += foldExtras(spark, table, buckets)
+        expected = None // only the first pass may skip
+        spark.sql(s"DROP TABLE $table")
+        testHookAfterDrop()
+      }
+      try { spark.sql(s"ALTER TABLE $staged RENAME TO $table"); renamed = true }
+      catch {
+        // recreated again between DROP and RENAME: loop folds it in
+        case scala.util.control.NonFatal(_)
+            if spark.catalog.tableExists(table) => ()
+      }
+    }
+    clearSwapPending(spark, table)
+    folded
   }
 
   private def maxBatchIdProp(spark: SparkSession, table: String): Option[Long] =
@@ -190,12 +283,15 @@ object IncrementalNearDup {
     // SECOND fence check, immediately before the append: the admission
     // compute above can run for a while, and a compaction may have
     // started (staging table appeared) since the entry check — landing
-    // the append now would race its rewrite. The remaining window is
-    // the microseconds between this require and the write commit;
-    // compactIndex's pre-swap recheck + rename-failure fold covers the
-    // rest (plain parquet catalogs have no atomic CAS — a transactional
-    // table format is the production answer; this pair of fences plus
-    // the compactor's recheck is the strongest non-transactional form).
+    // the append now would race its rewrite. An append that slips past
+    // this require is caught by the compactor's pre-swap recheck, its
+    // final pre-DROP count re-verify, or the post-DROP recreation fold
+    // — EXCEPT one residual window: a commit landing between the
+    // compactor's final count read and its DROP is dropped with the
+    // table (plain parquet catalogs have no atomic CAS; a transactional
+    // table format is the production answer — this pair of fences plus
+    // the compactor's fold-everywhere swap is the strongest
+    // non-transactional form).
     require(!spark.catalog.tableExists(table + "_compacting"),
       s"dedupeBatchBucketed: a compaction of $table started during this " +
         "batch's admission — retry the batch after it finishes")
@@ -227,16 +323,24 @@ object IncrementalNearDup {
     * from both sides: [[dedupeBatchBucketed]] refuses while the staging
     * table exists, and this job re-checks the live table's row count +
     * watermark before its swap, redoing the rewrite if an
-    * already-in-flight append landed — so an interleaved append is
-    * either fenced or folded in, never silently dropped (spec'd in
-    * BucketingSpec's race-shape scenario). Crash-safe at every point:
-    * before the DROP the original table is untouched (the staging
-    * table is simply rebuilt next run); between DROP and RENAME the
-    * staged table IS the complete compacted index, and the next caller —
+    * already-in-flight append landed (spec'd in BucketingSpec's
+    * race-shape scenario). The swap itself is EXPLICIT state: once the
+    * rewrite passes the recheck, staged gets `graft.swapPending` and
+    * becomes authoritative — [[finishPendingSwap]] re-verifies the live
+    * count one last time immediately before the DROP and FOLDS (null-safe
+    * full-row set difference) any append that landed since, including one
+    * that recreates the table between DROP and RENAME. The one residual
+    * window where a concurrent append can still be lost WITHOUT a crash
+    * is between that final count read and the DROP commit — plain
+    * parquet catalogs have no atomic CAS, so closing it outright takes a
+    * transactional table format; this is the strongest
+    * non-transactional form. Crash-safe at EVERY point: before
+    * swapPending is set the original table is untouched (staged is
+    * simply rebuilt next run); after it, every recovery path —
     * [[compactIndex]] OR an ingesting [[dedupeBatchBucketed]], via
-    * [[recoverCompaction]] — finishes the RENAME instead of rebuilding
-    * or seeding an empty index (spec'd in BucketingSpec and
-    * StreamNearDupSpec).
+    * [[recoverCompaction]] — folds-and-finishes rather than rebuilding,
+    * seeding an empty index, or discarding the compacted history
+    * (spec'd in BucketingSpec and StreamNearDupSpec).
     *
     * `dedupe` drops exact-duplicate rows during the rewrite — safe
     * because the index is semantically a SET of band rows (collision is
@@ -299,31 +403,25 @@ object IncrementalNearDup {
       val wmNow = maxBatchIdProp(spark, table)
       if (liveNow == srcCount && wmNow == watermark) {
         val rows = spark.table(staged).count()
-        spark.sql(s"DROP TABLE $table")
-        testHookAfterDrop()
-        // a racing append committing after the recheck can RECREATE the
-        // table (append-mode saveAsTable creates missing targets) and
-        // the rename then fails. Fold the racing rows into the staged
-        // snapshot — neither the compacted history (staged) nor the
-        // racing batch may be lost — carry the higher watermark, and
-        // finish the swap.
-        try spark.sql(s"ALTER TABLE $staged RENAME TO $table")
-        catch {
-          case scala.util.control.NonFatal(_)
-              if spark.catalog.tableExists(table) =>
-            val racingRows = spark.table(table).count()
-            val racingWm = maxBatchIdProp(spark, table)
-            spark.table(table).write.mode("append")
-              .bucketBy(buckets, "band_id", "band_key")
-              .sortBy("band_id", "band_key")
-              .format("parquet").saveAsTable(staged)
-            (watermark ++ racingWm).maxOption.foreach(m => spark.sql(
-              s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.maxBatchId' = '$m')"))
-            spark.sql(s"DROP TABLE $table")
-            spark.sql(s"ALTER TABLE $staged RENAME TO $table")
-            return rows + racingRows
-        }
-        return rows
+        // make the swap EXPLICIT crash-safe state before touching the
+        // live table: once graft.swapPending is set, staged is the
+        // authoritative index and every recovery path (a rerun of
+        // compactIndex, or an ingesting dedupeBatchBucketed, both via
+        // recoverCompaction) FOLDS live rows staged lacks and finishes
+        // the swap — it never drops either side. Without the marker, a
+        // crash between the fold-in's append and its rename left
+        // staged-with-history + table-with-racing-rows, and the next
+        // run's DROP-staged would discard the whole dedup history.
+        spark.sql(
+          s"ALTER TABLE $staged SET TBLPROPERTIES ('graft.swapPending' = 'true')")
+        // finishPendingSwap re-verifies the live count one final time
+        // right before the DROP, folding any append that committed after
+        // the recheck above. The only window a commit can still vanish
+        // in is between that final count read and the DROP itself —
+        // plain parquet catalogs have no atomic CAS; a transactional
+        // table format is the production answer for closing it outright.
+        return rows + finishPendingSwap(spark, table, buckets,
+          expectedLiveCount = Some(srcCount))
       }
       require(attempt < maxRewriteAttempts,
         s"compactIndex: $table kept growing through $maxRewriteAttempts " +

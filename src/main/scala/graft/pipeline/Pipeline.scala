@@ -33,6 +33,13 @@ object Pipeline {
   trait Stage {
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit
+
+    /** Param keys this stage understands. The runner warns (stderr) on
+      * any config key outside this set — the reference's orchestrator
+      * accepts unknown params silently, which hides typos like
+      * `max_trys`; a warning names them without breaking configs.
+      */
+    def knownParams: Set[String] = Set.empty
   }
 
   // ------------------------------------------------------- param helpers
@@ -51,6 +58,9 @@ object Pipeline {
     * config/test.json:24-36).
     */
   object PreprocessorStage extends Stage {
+    override val knownParams: Set[String] = Set("remove_duplicates",
+      "images_only", "year_filter", "hashtag_filter_include",
+      "hashtag_filter_exclude", "max_images_per_year", "lowercase_hashtags")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       val yr = pIntSeq(params, "year_filter") match {
@@ -74,27 +84,58 @@ object Pipeline {
     * aggregate fan-out, each result a CSV under the output dir.
     */
   object ExploratoryAnalysisStage extends Stage {
+    // no params (config/test.json ships an empty object)
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
-            datasetName: String): Unit = {
-      val df = CsvIo.readPreprocessed(spark, in)
-      val analyses = Exploratory.analyze(df)
-      // the fan-out is independent aggregate jobs off ONE cached frame:
-      // submit them concurrently (Spark's scheduler is thread-safe and
-      // fills executor slots across jobs) instead of paying |analyses| ×
-      // serial job latency — the same wall-clock win on a 1000-executor
-      // cluster, where each small aggregate would otherwise leave the
-      // cluster idle between jobs. Each lands as the reference's
-      // one-CSV-per-analysis artifact (aggregates are small by
-      // construction).
+            datasetName: String): Unit =
+      writeAnalyses(Exploratory.analyze(CsvIo.readPreprocessed(spark, in)), out)
+
+    /** The fan-out sink: independent aggregate jobs off ONE cached frame,
+      * submitted concurrently (Spark's scheduler is thread-safe and fills
+      * executor slots across jobs) instead of paying |analyses| × serial
+      * job latency — the same wall-clock win on a 1000-executor cluster,
+      * where each small aggregate would otherwise leave the cluster idle
+      * between jobs. Each lands as the reference's one-CSV-per-analysis
+      * artifact (aggregates are small by construction).
+      *
+      * All CSVs land under a staging dir promoted (rename) only after
+      * EVERY future has settled: stage memoization trusts outputExists,
+      * so the output dir must never be visible half-populated — and a
+      * failed analysis must not leave sibling futures writing into the
+      * published path in the background.
+      */
+    private[graft] def writeAnalyses(
+        analyses: Map[String, DataFrame], out: String): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      analyses.toSeq
-        .map { case (name, result) =>
-          Future(CsvIo.writeCsv(result, s"$out/$name", singleFile = true))
-        }
-        .foreach(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+      import scala.concurrent.duration.Duration
+      val staging = Paths.get(s"$out._staging")
+      deleteTree(staging) // leftovers from a prior crash
+      val settled = analyses.toSeq.map { case (name, result) =>
+        Future(CsvIo.writeCsv(result, s"$staging/$name", singleFile = true))
+          .map(_ => name -> Option.empty[Throwable])
+          .recover { case scala.util.control.NonFatal(e) => name -> Some(e) }
+      }
+      val failures = Await.result(Future.sequence(settled), Duration.Inf)
+        .collect { case (name, Some(e)) => name -> e }
+      if (failures.nonEmpty) {
+        deleteTree(staging)
+        val (name, cause) = failures.head
+        throw new IllegalStateException(
+          s"exploratory analyses failed: ${failures.map(_._1).mkString(", ")} " +
+            s"(${failures.size}/${analyses.size}); first cause from '$name'", cause)
+      }
+      deleteTree(Paths.get(out)) // rerun with skip_if_exists=false overwrites
+      Files.move(staging, Paths.get(out))
     }
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** The translation stage (ref: stages.py Translation entry,
     * Translator.py:50-65): translates `target_column` into
@@ -107,6 +148,8 @@ object Pipeline {
     * `dictionary`); a service-backed impl drops into the same call.
     */
   object TranslatorStage extends Stage {
+    override val knownParams: Set[String] =
+      Set("target_column", "target_language", "dictionary")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       val colName = optNode(params, "target_column").map(_.asText).getOrElse("caption")
@@ -148,6 +191,8 @@ object Pipeline {
     * threshold land in the output.
     */
   object DedupStage extends Stage {
+    override val knownParams: Set[String] =
+      Set("threshold", "shingle_k", "num_perms", "bands")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       import org.apache.spark.sql.functions.col
@@ -171,6 +216,8 @@ object Pipeline {
     * `bands`, `decontam_k` (0 disables), `benchmark_mod` (0 disables).
     */
   object CurationStage extends Stage {
+    override val knownParams: Set[String] = Set("shingle_k", "num_perms",
+      "bands", "decontam_k", "benchmark_mod")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       import org.apache.spark.sql.functions._
@@ -284,6 +331,14 @@ object Pipeline {
       else if (skipIfExists && outputExists(out)) StageResult(st.name, "skipped", 0.0)
       else {
         val t0 = System.nanoTime()
+        val stage = registry(st.implementation)
+        val unknown = Option(st.params).filterNot(_.isNull)
+          .map(_.fieldNames.asScala.toSet -- stage.knownParams)
+          .getOrElse(Set.empty)
+        if (unknown.nonEmpty)
+          System.err.println(s"[pipeline] stage ${st.name}: ignoring unknown " +
+            s"param(s) ${unknown.toSeq.sorted.mkString(", ")} (known: " +
+            s"${stage.knownParams.toSeq.sorted.mkString(", ")})")
         // a throwing stage becomes a `failed` ROW, not a lost summary:
         // later independent stages still run (those consuming the dead
         // stage's output report missing_input), the operator sees the
@@ -291,7 +346,7 @@ object Pipeline {
         // non-ok status. (The reference crashes outright here,
         // orchestrator.py:46 — a deliberate upgrade.)
         try {
-          registry(st.implementation).run(spark, in, out, st.params, cfg.datasetName)
+          stage.run(spark, in, out, st.params, cfg.datasetName)
           StageResult(st.name, "ok", (System.nanoTime() - t0) / 1e9)
         } catch {
           case scala.util.control.NonFatal(e) =>

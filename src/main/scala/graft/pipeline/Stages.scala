@@ -123,20 +123,41 @@ object Stages {
     * so downstream stages see their input contract either way.
     */
   object InstagramFeedScraperStage extends Stage {
+    override val knownParams: Set[String] =
+      Set("terms", "type", "max_tries", "max_pages", "fetcher")
     private def statePath(landing: java.nio.file.Path) = landing.resolve("_state.txt")
 
     private def loadState(landing: java.nio.file.Path): Option[FeedPager.State] =
       if (!Files.exists(statePath(landing))) None
       else {
+        // validate before indexing: the state file exists exactly so a
+        // crashed scrape can resume, so a truncated/garbled file must
+        // produce an actionable error naming the landing dir — not a bare
+        // IndexOutOfBounds/NumberFormat on the resume path itself
         val lines = Files.readAllLines(statePath(landing)).asScala.toVector
-        Some(FeedPager.State(lines.drop(2), lines.head.toInt,
-          exhausted = lines(1).toBoolean))
+        def bad(reason: String) = throw new IllegalStateException(
+          s"corrupt feed-pager state ${statePath(landing)} ($reason) — " +
+            s"delete the file to restart the scrape of $landing from page 0, " +
+            "or restore it from a backup to resume mid-feed")
+        if (lines.length < 2) bad(s"expected >=2 lines, found ${lines.length}")
+        val pages = lines.head.toIntOption.getOrElse(
+          bad(s"line 1 must be the fetched-page count, got '${lines.head}'"))
+        val exhausted = lines(1).toBooleanOption.getOrElse(
+          bad(s"line 2 must be the exhausted flag, got '${lines(1)}'"))
+        Some(FeedPager.State(lines.drop(2), pages, exhausted = exhausted))
       }
 
-    private def saveState(landing: java.nio.file.Path, st: FeedPager.State): Unit =
-      Files.writeString(statePath(landing),
+    private def saveState(landing: java.nio.file.Path, st: FeedPager.State): Unit = {
+      // temp + atomic rename (the repo's ZoneMap discipline): a crash
+      // mid-write must never leave a truncated state file behind
+      val tmp = landing.resolve("_state.txt.tmp")
+      Files.writeString(tmp,
         (Seq(st.pagesFetched.toString, st.exhausted.toString) ++ st.cursors)
           .mkString("\n"))
+      Files.move(tmp, statePath(landing),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
@@ -197,6 +218,7 @@ object Stages {
     * faithful for this contract.
     */
   object CTPreprocessorStage extends Stage {
+    // no params: the CT contract is carried entirely by the input CSV
     private val statsSchema = StructType(Seq(
       StructField("actual", StructType(Seq(
         StructField("favoriteCount", LongType),
@@ -250,6 +272,7 @@ object Stages {
     * path is the single-node form.
     */
   object InstagramImageScraperStage extends Stage {
+    override val knownParams: Set[String] = Set("fetcher", "max_attempts")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       val fetcher = ImageFetchers.resolve(pStr(params, "fetcher", "unconfigured"))
@@ -299,12 +322,27 @@ object Stages {
     * [[Multimodal.ImageIoVisionModel]] here, ONNX in deployment.
     */
   object ImageLabelerStage extends Stage {
+    override val knownParams: Set[String] = Set("limit", "print_only")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
-      val labeled = Multimodal.labelImages(
-        Multimodal.readImages(spark, in), Multimodal.ImageIoVisionModel())
-      CsvIo.writeCsv(
-        Multimodal.joinSceneDim(labeled, Multimodal.sceneDim(spark)), out)
+      // `limit` (ImageLabeler.py:80,130-131): label only the first N
+      // images — the reference's debug knob for a slow model. listdir
+      // order is nondeterministic there; sort by image name so the
+      // labeled subset is stable across reruns.
+      val limit = pInt(params, "limit", 0)
+      val images0 = Multimodal.readImages(spark, in)
+      val images = if (limit > 0) images0.orderBy("image").limit(limit) else images0
+      val labeled = Multimodal.joinSceneDim(
+        Multimodal.labelImages(images, Multimodal.ImageIoVisionModel()),
+        Multimodal.sceneDim(spark))
+      // `print_only` (ImageLabeler.py:50,161-171): print classifications,
+      // write no table — the stage output never materializes, so it is
+      // deliberately NOT memoizable and reruns every time, like the ref.
+      if (Pipeline.pBool(params, "print_only", dflt = false))
+        labeled.select("image", "category").collect().foreach { r =>
+          println(s"[label] ${r.getString(0)} -> ${r.getString(1)}")
+        }
+      else CsvIo.writeCsv(labeled, out)
     }
   }
 
@@ -322,8 +360,18 @@ object Stages {
     * on the same machine).
     */
   object ImageFeatureVectorStage extends Stage {
+    override val knownParams: Set[String] = Set("gpu_id", "max_npy_bytes")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
+      // `gpu_id` (DIRAdapter.py:26, -1 = CPU): device placement belongs
+      // to the deployed inference backend (an ONNX VisionModel pins its
+      // session to the device); the in-repo backend is CPU-only, so a
+      // GPU request is honored with a visible note, not silence.
+      val gpuId = pInt(params, "gpu_id", -1)
+      if (gpuId >= 0)
+        System.err.println(s"[features] gpu_id=$gpuId requested; the " +
+          "built-in vision backend runs on CPU — a GPU ONNX/DJL " +
+          "VisionModel consumes this setting in deployment")
       val maxNpyBytes = optNode(params, "max_npy_bytes").map(_.asLong)
         .getOrElse(256L << 20)
       val emb = Multimodal.embedImages(
@@ -364,6 +412,7 @@ object Stages {
     * anonymize_face.py:30) and unused by the stand-in detector.
     */
   object ImageAnonymizerStage extends Stage {
+    override val knownParams: Set[String] = Set("in_place", "confidence")
     def run(spark: SparkSession, in: String, out: String, params: JsonNode,
             datasetName: String): Unit = {
       val inPlace = pBool(params, "in_place", dflt = false)

@@ -249,13 +249,19 @@ object AnalyticsQueries {
   val a06Profile: GraftQuery = GraftQuery(
     "a06_profile", {
       val cols = Seq("event_id", "user_id", "event_type", "value", "props")
-      cols.map(c =>
+      (cols.map(c =>
         s"""SELECT '$c' AS col_name, COUNT($c) AS non_null,
-           |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+           |COUNT(*) - COUNT($c) AS nulls, COUNT(DISTINCT $c) AS n_distinct FROM events""".stripMargin) :+
+        // a derived real-magnitude id (~10^14): the reference profiles
+        // Instagram owner_id/post-id columns — the gate carries that range
+        s"""SELECT 'big_id' AS col_name, COUNT(big_id) AS non_null,
+           |COUNT(*) - COUNT(big_id) AS nulls, COUNT(DISTINCT big_id) AS n_distinct
+           |FROM (SELECT CAST(user_id AS BIGINT) * 4999999937 + event_id AS big_id FROM events)""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     }) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
-    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("big_id", col("user_id") * 4999999937L + col("event_id"))
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props", "big_id")
     cols.map { c =>
       ev.agg(
         count(col(c)).as("non_null"),
@@ -348,6 +354,50 @@ object AnalyticsQueries {
       sums.select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("col_x"), lit(b).as("col_y"), corrCol(a, b).as("corr"))
       }: _*)).as("r")).select("r.*").orderBy("col_x", "col_y")
+    }
+  }
+
+  /** A8 at REAL id magnitudes (the round-10 fixture crash class): the
+    * reference's corr columns include Instagram owner_ids ~10^10 whose
+    * Long squares overflow 2^63 — this gate carries derived ~10^11 /
+    * ~10^9 ids so the oracle itself pins that range. Moments are EXACT
+    * integer sums — decimal(38,0) in Spark, HUGEINT in DuckDB; both are
+    * order-independent, and both engines' integer→double casts are
+    * correctly rounded (no fractional scale division, the a05 1-ulp
+    * hazard), so the identical IEEE assembly is bit-equal. Bounds:
+    * per-row b·b ≤ ~6e21, Σ over 38-digit headroom good to ~10^16 rows.
+    */
+  val a08bCorrBigint: GraftQuery = {
+    def corrSql(n: String, sb: String, sc: String, ssb: String, ssc: String, sp: String) =
+      s"""(CAST($n AS DOUBLE) * CAST($sp AS DOUBLE) - CAST($sb AS DOUBLE) * CAST($sc AS DOUBLE)) /
+         | (sqrt(CAST($n AS DOUBLE) * CAST($ssb AS DOUBLE) - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)) *
+         |  sqrt(CAST($n AS DOUBLE) * CAST($ssc AS DOUBLE) - CAST($sc AS DOUBLE) * CAST($sc AS DOUBLE)))""".stripMargin
+    val oracle =
+      s"""WITH t AS (SELECT CAST(l_orderkey AS BIGINT) * 12345 + l_partkey AS b,
+         |                  CAST(l_partkey AS BIGINT) * 54321 + l_suppkey AS c
+         |           FROM lineitem),
+         |sums AS (SELECT COUNT(*) AS n,
+         |  SUM(CAST(b AS HUGEINT)) AS s_b, SUM(CAST(c AS HUGEINT)) AS s_c,
+         |  SUM(CAST(b AS HUGEINT) * b) AS ss_b, SUM(CAST(c AS HUGEINT) * c) AS ss_c,
+         |  SUM(CAST(b AS HUGEINT) * c) AS sp_bc FROM t)
+         |SELECT 'b' AS col_x, 'c' AS col_y,
+         |  ${corrSql("n", "s_b", "s_c", "ss_b", "ss_c", "sp_bc")} AS corr
+         |FROM sums""".stripMargin
+    GraftQuery("a08b_corr_bigint", oracle) { (spark, dir) =>
+      val t = Tables.lineitem(spark, dir).select(
+        (col("l_orderkey") * 12345L + col("l_partkey")).as("b"),
+        (col("l_partkey") * 54321L + col("l_suppkey")).as("c"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val sums = t.agg(count(lit(1)).as("n"),
+        sum(dec(col("b"))).as("s_b"), sum(dec(col("c"))).as("s_c"),
+        sum(dec(col("b")) * dec(col("b"))).as("ss_b"),
+        sum(dec(col("c")) * dec(col("c"))).as("ss_c"),
+        sum(dec(col("b")) * dec(col("c"))).as("sp_bc"))
+      def d(n: String) = col(n).cast("double")
+      sums.select(lit("b").as("col_x"), lit("c").as("col_y"),
+        ((d("n") * d("sp_bc") - d("s_b") * d("s_c")) /
+          (sqrt(d("n") * d("ss_b") - d("s_b") * d("s_b")) *
+            sqrt(d("n") * d("ss_c") - d("s_c") * d("s_c")))).as("corr"))
     }
   }
 
@@ -2358,7 +2408,7 @@ object AnalyticsQueries {
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
-    a07Histogram, a08Correlation, a10CondCounts, a13RowTotals, a14Rollup,
+    a07Histogram, a08Correlation, a08bCorrBigint, a10CondCounts, a13RowTotals, a14Rollup,
     a15PlotLabels, a16Cube, a17GroupQuantiles, a18ResampleFill, a19PartialReagg,
     a20HllReagg, a21CohortRetention, a22Unpivot, a23WinsorizedStats,
     a24EquidepthHist, a26ConstraintAudit, a27SpikeDetection, a28DriftChi2,

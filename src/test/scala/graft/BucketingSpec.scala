@@ -212,9 +212,14 @@ class BucketingSpec extends SparkSpec {
     // half 3 — the nastiest interleaving: the racing append commits
     // AFTER the live table's DROP. Append-mode saveAsTable recreates
     // the table, the rename fails, and the fold-in recovery must keep
-    // BOTH the compacted history and the racing rows.
+    // BOTH the compacted history and the racing rows. The racing rows
+    // carry band keys the index has never seen (a real racing batch is
+    // NEW data; the fold is a set difference, so re-sent duplicates
+    // would — correctly — fold to nothing).
     val preDrop = spark.table(table).count()
-    val lateRows2 = spark.table(table).limit(5).localCheckpoint()
+    val lateRows2 = spark.table(table).limit(5)
+      .withColumn("band_key", col("band_key") + 999999999L)
+      .localCheckpoint()
     val expectTotal2 = preDrop + lateRows2.count()
     var fired2 = false
     IncrementalNearDup.testHookAfterDrop = () => {
@@ -234,5 +239,62 @@ class BucketingSpec extends SparkSpec {
     // and the folded table still admits correctly (history intact)
     assert(IncrementalNearDup.dedupeBatchBucketed(
       docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", table).isEmpty)
+  }
+
+  /** The crash state that used to DISCARD the whole dedup history: the
+    * process died after the swap began (staged carries the full
+    * compacted index + `graft.swapPending`) with the live table holding
+    * only a racing batch that recreated it. A rerun's old behavior was
+    * DROP-staged-and-rebuild from the racing rows — the explicit pending
+    * marker makes every recovery path fold-and-finish instead.
+    */
+  test("swap-pending crash recovery: staged history survives, racing rows fold in") {
+    import graft.operators.IncrementalNearDup
+    val table = "x18_pending_idx"
+    def saveAs(df: org.apache.spark.sql.DataFrame, t: String, mode: String): Unit =
+      df.write.mode(mode).bucketBy(16, "band_id", "band_key")
+        .sortBy("band_id", "band_key").format("parquet").saveAsTable(t)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compacting")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+    IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table)
+    val history = spark.table(table).localCheckpoint()
+    val historyN = history.count()
+
+    // manufacture the crash state: staged = full history + swapPending;
+    // live = ONLY a racing batch (5 never-seen band rows)
+    saveAs(history, s"${table}_compacting", "overwrite")
+    spark.sql(s"ALTER TABLE ${table}_compacting " +
+      "SET TBLPROPERTIES ('graft.swapPending' = 'true')")
+    val racing = history.limit(5)
+      .withColumn("band_key", col("band_key") + 888888888L).localCheckpoint()
+    spark.sql(s"DROP TABLE $table")
+    saveAs(racing, table, "overwrite")
+
+    // a rerun of compactIndex recovers: full history + racing rows, no dup
+    val rows = IncrementalNearDup.compactIndex(spark, table)
+    assert(rows == historyN + 5,
+      s"recovery lost rows: $rows vs ${historyN + 5}")
+    assert(spark.table(table).count() == historyN + 5)
+    assert(!spark.catalog.tableExists(s"${table}_compacting"))
+    // history demonstrably intact: re-sending batch 1 admits nothing
+    assert(IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table).isEmpty)
+
+    // crash BEFORE the drop (live = untouched original): the set-
+    // difference fold adds nothing — no duplicated history after recovery
+    saveAs(spark.table(table), s"${table}_compacting", "overwrite")
+    spark.sql(s"ALTER TABLE ${table}_compacting " +
+      "SET TBLPROPERTIES ('graft.swapPending' = 'true')")
+    val liveN = spark.table(table).count()
+    // the INGEST side hits the same state via recoverCompaction and must
+    // fold-and-finish too (never refuse forever, never seed from racing)
+    val admitted = IncrementalNearDup.dedupeBatchBucketed(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", table)
+    assert(admitted.count() > 0)
+    assert(!spark.catalog.tableExists(s"${table}_compacting"))
+    assert(spark.table(table).count() > liveN, "ingest append missing")
   }
 }

