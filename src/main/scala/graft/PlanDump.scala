@@ -67,7 +67,10 @@ object PlanDump {
     "io12_incremental_read", "x20_canonical_selection",
     "t28_vocab_coverage", "t29_lm_doc_score", "q07_priority_count",
     "i09_audio_fp_dedup", "q08_promo_revenue", "q09_cust_distribution",
-    "io13_xml_roundtrip")
+    "io13_xml_roundtrip",
+    "t30_unicode_normalize", "t31_url_domain_stats", "t32_boilerplate_lines",
+    "d17_stratified_exact_sample", "g11_link_prediction",
+    "e22_maxsim_late_interaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

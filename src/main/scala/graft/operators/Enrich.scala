@@ -317,7 +317,11 @@ object Enrich {
       try s.anyMatch(p => p.toString.endsWith(".state")) finally s.close()
     }
     if (!hasState) Seq.empty[(String, String)].toDF("__k", "__v")
-    else spark.read.textFile(s"$stateDir/*.state")
+    // pathGlobFilter on the DIRECTORY, not a glob path: a glob makes the
+    // source probe "<dir>/*.state" as a literal streaming-metadata path
+    // and log a full FileNotFoundException stack (benign but alarming)
+    // into every pipeline run's output
+    else spark.read.option("pathGlobFilter", "*.state").textFile(stateDir)
       .map(StateCodec.dec)
       .toDF("__k", "__v")
       .groupBy("__k").agg(min("__v").as("__v"))

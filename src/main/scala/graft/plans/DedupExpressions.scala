@@ -143,4 +143,6 @@ object DedupExprs {
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokenHashes), bits))
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
 }

@@ -539,7 +539,78 @@ object GraphQueries {
           .as("modularity"))
   }
 
+  /** G11 — LINK-PREDICTION scores (common neighbors + neighborhood
+    * Jaccard, Liben-Nowell & Kleinberg 2003): for every non-adjacent
+    * pair with ≥1 shared neighbor, cn = |Γ(u) ∩ Γ(v)| and
+    * jaccard_ppm = 10⁶·cn div (|Γ(u)| + |Γ(v)| − cn) — the candidate
+    * generator behind "people you may know" and graph-completion
+    * curation. Exact integer ppm (the a30/a35 convention), top-20 by
+    * score with the full candidate count as the audit column.
+    *
+    * Scale shape: the wedge join is the quadratic temptation — a hub
+    * with degree d fans out C(d,2) candidate pairs — so the adjacency is
+    * CAPPED at each node's 16 smallest-id neighbors first (g08's
+    * bounded-contributor move; the cap is part of the gated semantics,
+    * and deg/jaccard are computed ON the capped graph so the score
+    * family stays internally consistent). Per node the fan-out is then
+    * ≤ C(16,2); everything after the wedge agg runs on candidate-pair
+    * rows. The existing-edge exclusion is one LEFT ANTI join; top-20
+    * plans as TakeOrderedAndProject per-partition heaps.
+    */
+  val g11LinkPrediction: GraftQuery = GraftQuery(
+    "g11_link_prediction", {
+      val base =
+        s"""WITH edges AS ($edgesSql),
+           |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           |        FROM edges WHERE src <> dst),
+           |adj AS (SELECT u AS node, v AS nb FROM und
+           |        UNION ALL SELECT v AS node, u AS nb FROM und),
+           |cadj AS (SELECT node, nb FROM adj
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) <= 16),
+           |deg AS (SELECT node, COUNT(*) AS deg FROM cadj GROUP BY node),
+           |cn AS (SELECT a.node AS u, b.node AS v, COUNT(*) AS cn
+           |       FROM cadj a JOIN cadj b ON a.nb = b.nb AND a.node < b.node
+           |       GROUP BY a.node, b.node),
+           |cand AS (SELECT cn.u, cn.v, cn.cn FROM cn
+           |         LEFT JOIN und ON cn.u = und.u AND cn.v = und.v
+           |         WHERE und.u IS NULL)
+           |SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+           |       CAST(du.deg AS BIGINT) AS du, CAST(dv.deg AS BIGINT) AS dv,
+           |       (1000000 * c.cn) // (du.deg + dv.deg - c.cn) AS jaccard_ppm
+           |FROM cand c
+           |JOIN deg du ON du.node = c.u
+           |JOIN deg dv ON dv.node = c.v""".stripMargin
+      Dsl.sqlTopNWithTotal(base, "u, v, cn, du, dv, jaccard_ppm",
+        "jaccard_ppm DESC, u, v", 20)
+    }) { (spark, dir) =>
+    val und = edgesDf(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("nb")
+    val cadj = adj
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= 16).drop("__rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = cadj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val cn = cadj.select(col("node").as("u"), col("nb"))
+      .join(cadj.select(col("node").as("v"), col("nb")), "nb")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val cand = cn.join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        expr("(1000000 * cn) div (du + dv - cn)").as("jaccard_ppm"))
+    Dsl.topNWithTotal(cand, 20, desc("jaccard_ppm"), asc("u"), asc("v"))
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
-    g09CcStarRound, g10Modularity)
+    g09CcStarRound, g10Modularity, g11LinkPrediction)
 }

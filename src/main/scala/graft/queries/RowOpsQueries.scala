@@ -621,10 +621,47 @@ object RowOpsQueries {
       .orderBy("bucket", "doc_id").limit(500)
   }
 
+  /** D17 — PER-STRATUM exact-size deterministic sample: exactly k rows
+    * from EVERY stratum (here: k=30 per language), the balanced-eval-set
+    * cut. d10 gives per-stratum RATES (size varies), d16 a global exact
+    * k (strata unbalanced); an eval suite needs both at once — fixed
+    * size AND fixed composition. Membership is d16's consistent-sampling
+    * rule applied within each stratum: the k rows with the smallest
+    * (md5-hash-bucket, key), so the sample is a pure function of the
+    * keys — stable across reruns/engines/cluster sizes, and growing a
+    * stratum only swaps members across its own k-th hash boundary.
+    *
+    * Scale shape: a codegen'd hash projection + ONE rank window
+    * partitioned by stratum — a single shuffle on the stratum key, O(k)
+    * state per stratum. Strata are few and coarse by construction (the
+    * partition-count knob is the stratum definition itself); a
+    * pathologically hot stratum degrades to d16's global form per
+    * stratum (TakeOrdered heaps), not a bigger window.
+    */
+  val d17StratifiedExactSample: GraftQuery = GraftQuery(
+    "d17_stratified_exact_sample",
+    s"""WITH h AS (
+       |  SELECT lang, doc_id,
+       |         ${graft.operators.Sampling.sqlHashBucket("doc_id")} AS bucket
+       |  FROM documents)
+       |SELECT lang, doc_id, CAST(bucket AS BIGINT) AS bucket
+       |FROM h
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 30
+       |ORDER BY lang, bucket, doc_id""".stripMargin) { (spark, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bucket", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 30).drop("__rn")
+      .orderBy("lang", "bucket", "doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
-    x14KAnonymity, d16ExactSample)
+    x14KAnonymity, d16ExactSample, d17StratifiedExactSample)
 }

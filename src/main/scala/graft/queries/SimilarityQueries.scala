@@ -900,10 +900,64 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E22 — LATE-INTERACTION (MaxSim) retrieval, the ColBERT scoring rule
+    * (Khattab & Zaharia 2020): documents and queries are MULTI-VECTOR
+    * (one embedding per token), and score(q, d) = Σ_{qv∈q} max_{dv∈d}
+    * qv·dv — each query token matches its best document token, summed.
+    * Between the single-vector ANN family (e01–e21) and a cross-encoder
+    * this is the standard quality/cost middle rung; corpora that store
+    * per-token embeddings need exactly this operator for re-ranking.
+    * Multi-vector docs derive from the embeddings table (vec_id % 100
+    * groups ~5–50 vectors per doc; docs 0–1 double as queries); scores
+    * stay in fixed-point BIGINT ([[Similarity.dotFixed]]) end to end, so
+    * ranking is exact and engine-identical — no float-order leak.
+    *
+    * Scale shape: the RELATIONAL MaxSim — query token-vectors broadcast
+    * into a scan of corpus token-vector rows (never a corpus self-join),
+    * per-(query-token, doc) max and per-(query, doc) sum are BOTH
+    * map-side-combinable keyed aggs, and the top-5 window runs on
+    * |queries|×|docs| score rows, not token rows. At 100 TB the corpus
+    * is scanned once per query batch; candidate generation composes with
+    * e02/e19 upstream (MaxSim re-ranks their shortlist — here it runs
+    * corpus-wide so the ranking itself is what's gated).
+    */
+  val e22MaxSimLateInteraction: GraftQuery = GraftQuery(
+    "e22_maxsim_late_interaction", {
+      s"""WITH v AS (SELECT vec_id, vec_id % 100 AS d, embedding AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qv, d AS qd, emb AS q_emb FROM v WHERE d < 2),
+         |p AS (SELECT q.qd, q.qv, v.d AS cd,
+         |             MAX(${Similarity.sqlDotFixed("q_emb", "v.emb")}) AS m
+         |      FROM q CROSS JOIN v WHERE v.d != q.qd
+         |      GROUP BY q.qd, q.qv, v.d),
+         |sc AS (SELECT qd, cd, CAST(SUM(m) AS BIGINT) AS score
+         |       FROM p GROUP BY qd, cd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd) AS rank
+         |      FROM sc)
+         |SELECT qd, rank, cd, score FROM r WHERE rank <= 5
+         |ORDER BY qd, rank""".stripMargin
+    }) { (spark, dir) =>
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), (col("vec_id") % 100).as("d"),
+        col("embedding").as("emb"))
+    val q = v.filter(col("d") < 2)
+      .select(col("vec_id").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
+    val scores = v.crossJoin(broadcast(q))
+      .filter(col("d") =!= col("qd"))
+      .select(col("qd"), col("qv"), col("d").as("cd"),
+        Similarity.dotFixed(col("q_emb"), col("emb")).as("dp"))
+      .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
+      .groupBy("qd", "cd").agg(sum("m").as("score"))
+    val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qd", "rank", "cd", "score")
+      .orderBy("qd", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
-    e19IvfPqStored,
+    e19IvfPqStored, e22MaxSimLateInteraction,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

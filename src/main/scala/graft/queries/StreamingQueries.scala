@@ -580,8 +580,80 @@ object StreamingQueries {
     }
   }
 
+  /** SM09 — STREAMING SKETCH MAINTENANCE: t23's count-min sketch kept
+    * current by a stream, micro-batch by micro-batch, through
+    * [[graft.streaming.StreamSketch.mergeBatch]] — each batch writes its
+    * own additive CMS partial as a dynamic-partition overwrite of its
+    * `batch=<id>` slice (exactly-once under foreachBatch redelivery, the
+    * sm08 sink discipline), and readers merge cells with one SUM. The
+    * gate drives three micro-batches (event thirds) and compares the
+    * MERGED store's estimates against the oracle's single-pass batch
+    * sketch over all events — the additivity equality
+    * merge(sketch(A), sketch(B), sketch(C)) = sketch(A∪B∪C) is the
+    * entire point: it is what lets the 100 TB pipeline track hot items
+    * without ever re-scanning history (a19/a20/a36's mergeable-partials
+    * story, under streaming).
+    *
+    * Scale shape: per batch, ONE map-side-combinable count agg (the only
+    * batch-sized work) collapsing to ≤ 4×64 cell rows; the store grows
+    * by ≤ 256 rows per batch and the merge runs on |batches|×256 rows.
+    * (GATE FIXTURE ONLY: MemoryStream needs the rows driver-side for
+    * deterministic batch boundaries, the sm08 note verbatim; production
+    * ingest is a file/queue readStream — mergeBatch never collects.)
+    */
+  val sm09StreamSketch: GraftQuery = GraftQuery(
+    "sm09_stream_sketch", {
+      val itemE = "'k' || CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 500 AS VARCHAR)"
+      val bucketE = graft.functions.TextFunctions
+        .sqlRollingHash("item || '#' || CAST(r AS VARCHAR)")
+      s"""WITH it AS (SELECT $itemE AS item FROM events),
+         |counts AS (SELECT item, COUNT(*) AS cnt FROM it GROUP BY item),
+         |salted AS (SELECT item, cnt, r, ($bucketE) % ${graft.streaming.StreamSketch.Buckets} AS bucket
+         |           FROM counts, range(0, ${graft.streaming.StreamSketch.Rows}) t(r)),
+         |sketch AS (SELECT r, bucket, SUM(cnt) AS bsum FROM salted GROUP BY r, bucket),
+         |est AS (SELECT item, cnt, MIN(bsum) AS cms_est
+         |        FROM salted JOIN sketch USING (r, bucket) GROUP BY item, cnt)
+         |SELECT item, cnt AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+         |       CASE WHEN cms_est > cnt THEN 1 ELSE 0 END AS overestimate
+         |FROM est ORDER BY n_exact DESC, item LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Dsl.tempStore("sm09_cms")
+    val items = Tables.events(spark, dir).select(
+      concat(lit("k"),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 500)
+          .cast("string")).as("item"),
+      col("event_id"))
+    val thirds = (0 to 2).map(i =>
+      items.filter(col("event_id") % 3 === i).select("item").as[String]
+        .collect().toSeq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().toDF("item").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamSketch.mergeBatch(b, id, "item", store)
+      }
+      .start()
+    try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
+    finally q.stop()
+    val cells = graft.streaming.StreamSketch.readMerged(spark, store)
+    val salted = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .select(col("item"), col("n_exact"),
+        explode(sequence(lit(0), lit(graft.streaming.StreamSketch.Rows - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(graft.functions.TextFunctions.rollingHash(
+          concat(col("item"), lit("#"), col("r").cast("string"))),
+          lit(graft.streaming.StreamSketch.Buckets)))
+    salted.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("item", "n_exact").agg(min("bsum").as("cms_est"))
+      .select(col("item"), col("n_exact"), col("cms_est"),
+        when(col("cms_est") > col("n_exact"), 1).otherwise(0).as("overestimate"))
+      .orderBy(desc("n_exact"), asc("item")).limit(10)
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     st04LateProfile,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
-    sm05StreamStaticJoin, sm06StreamOuterJoin, sm07StreamUpsert)
+    sm05StreamStaticJoin, sm06StreamOuterJoin, sm07StreamUpsert,
+    sm09StreamSketch)
 }

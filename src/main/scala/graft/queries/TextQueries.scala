@@ -1416,11 +1416,196 @@ object TextQueries {
       .orderBy("k")
   }
 
+  /** T30 — UNICODE NORMALIZATION + control-character scrub, the cleaning
+    * pass every web corpus runs BEFORE hashing/dedup/tokenization (CCNet
+    * and C4 both normalize first): a decomposed "e"+U+0301 must dedup and
+    * shingle identically to the precomposed "é", and zero-width/control
+    * characters (the classic paste artifacts) must not split tokens or
+    * perturb fingerprints. The gate's fixture DERIVES a dirty twin of
+    * each document carrying a decomposed é, a combining diaeresis, a
+    * tab, and a zero-width space, then cleans it: NFC-compose (native
+    * [[graft.plans.NfcNormalizeExpr]] — Spark has no builtin; ASCII rows
+    * return uncopied), strip \\p{Cc}/\\p{Cf} (control + format chars —
+    * combining marks are Mn and survive into composition), collapse
+    * whitespace runs, trim. The cleaned STRING itself is a gate column,
+    * so both engines' normalizers (JDK Normalizer vs DuckDB
+    * nfc_normalize, both UAX #15) must agree byte-for-byte.
+    *
+    * Scale shape: one codegen'd per-row projection — no explode, no
+    * shuffle except the gate ORDER BY; the native expression's ASCII
+    * fast path makes the normalize a byte scan on the overwhelming
+    * majority of web rows.
+    */
+  val t30UnicodeNormalize: GraftQuery = GraftQuery(
+    "t30_unicode_normalize", {
+      val dirtyE = "'e\u0301 ' || substr(text, 1, 60) || '\t x\u0308y \u200b'"
+      s"""WITH d AS (SELECT doc_id, $dirtyE AS dirty FROM documents),
+         |c AS (SELECT doc_id, dirty,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+         |    '[\\p{Cc}\\p{Cf}]', '', 'g'), '\\s+', ' ', 'g')) AS clean
+         |  FROM d)
+         |SELECT doc_id, clean,
+         |  CAST(len(dirty) AS BIGINT) AS raw_chars,
+         |  CAST(len(clean) AS BIGINT) AS clean_chars
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val dirty = concat(lit("e\u0301 "), substring(col("text"), 1, 60),
+      lit("\t x\u0308y \u200b"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"), col("dirty"),
+        trim(regexp_replace(regexp_replace(
+          graft.plans.DedupExprs.nfcNormalize(col("dirty")),
+          "[\\p{Cc}\\p{Cf}]", ""), "\\s+", " ")).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("dirty")).cast("long").as("raw_chars"),
+        length(col("clean")).cast("long").as("clean_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** T31 — URL PARSING + domain-level corpus stats + URL blocklist, the
+    * first gate of every crawl pipeline (C4/RefinedWeb drop whole
+    * domains before looking at a byte of text). Each document DERIVES a
+    * deterministic URL (first token as subdomain, source as the
+    * registered label, doc_id-keyed TLD); the engine parses it with the
+    * codegen'd `parse_url` builtin (HOST / PATH / QUERY-key forms), rolls
+    * the corpus up to registered-domain grain, and flags the top-5
+    * domains by volume as the data-derived blocklist (the t18 pattern:
+    * the list a real pipeline ships is curated, the PLAN — parse, roll
+    * up, rank, flag — is the real thing).
+    *
+    * Scale shape: URL parse + domain split are one per-row codegen'd
+    * projection; the rollup is ONE map-side-combinable agg to |domains|
+    * rows; the blocklist rank window runs on |domains| rows, never the
+    * corpus. Enforcement composes as a broadcast membership filter (x11's
+    * flag-and-scan shape).
+    */
+  val t31UrlDomainStats: GraftQuery = GraftQuery(
+    "t31_url_domain_stats", {
+      val urlE = "'https://' || (" + sqlTokens("text") + ")[1] || '.' || source || '.' || " +
+        "(CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) || " +
+        "'/' || lang || '/p/' || CAST(doc_id AS VARCHAR) || '?ref=' || source"
+      s"""WITH u AS (SELECT doc_id, lang, source, $urlE AS url FROM documents),
+         |p AS (SELECT doc_id, lang,
+         |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+         |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+         |  FROM u),
+         |s AS (SELECT regexp_extract(host, '^[^.]+\\.(.+)$$', 1) AS site,
+         |             regexp_extract(host, '^([^.]+)\\.', 1) AS sub,
+         |             lang, ref, path, doc_id
+         |      FROM p),
+         |g AS (SELECT site, COUNT(*) AS n_docs,
+         |             COUNT(DISTINCT sub) AS n_subdomains,
+         |             COUNT(DISTINCT lang) AS n_langs,
+         |             MIN(ref) AS ref_sample,
+         |             CAST(MAX(len(path)) AS BIGINT) AS path_len_max
+         |      FROM s GROUP BY site)
+         |SELECT site, n_docs, n_subdomains, n_langs, ref_sample, path_len_max,
+         |  CASE WHEN ROW_NUMBER() OVER (ORDER BY n_docs DESC, site) <= 5
+         |       THEN 1 ELSE 0 END AS blocked
+         |FROM g ORDER BY site""".stripMargin
+    }) { (spark, dir) =>
+    val url = concat(lit("https://"), element_at(tokens(col("text")), 1),
+      lit("."), col("source"), lit("."),
+      when(col("doc_id") % 3 === 0, "com")
+        .when(col("doc_id") % 3 === 1, "org").otherwise("net"),
+      lit("/"), col("lang"), lit("/p/"), col("doc_id").cast("string"),
+      lit("?ref="), col("source"))
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), url.as("url"))
+      .select(col("doc_id"), col("lang"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+      .select(col("doc_id"), col("lang"), col("ref"), col("path"),
+        regexp_extract(col("host"), "^[^.]+\\.(.+)$", 1).as("site"),
+        regexp_extract(col("host"), "^([^.]+)\\.", 1).as("sub"))
+      .groupBy("site")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("sub")).as("n_subdomains"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("ref")).as("ref_sample"),
+        max(length(col("path"))).cast("long").as("path_len_max"))
+    g.select(col("site"), col("n_docs"), col("n_subdomains"), col("n_langs"),
+      col("ref_sample"), col("path_len_max"),
+      when(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(desc("n_docs"), asc("site"))) <= 5, 1).otherwise(0).as("blocked"))
+      .orderBy("site")
+  }
+
+  /** T32 — BOILERPLATE LINE FILTERING, the C4 line-level cleaning rule
+    * (Raffel et al. 2020 §2.2: keep only lines that end in terminal
+    * punctuation and have ≥ 5 words; RefinedWeb's line-wise filters are
+    * the same shape). Documents are split into 8-token lines; each line
+    * DERIVES deterministic terminal punctuation (rolling hash % 3 — the
+    * corpus has none of its own), then the C4 rule keeps punctuated
+    * lines of ≥ 5 tokens and the survivors reassemble with newlines.
+    * The reassembled document is pinned by its rolling hash, so line
+    * geometry, the keep decision, and reassembly ORDER are all gated.
+    *
+    * Scale shape: entirely per-row HOFs — chunk via transform over a
+    * stride sequence (t13's chunker), punctuate + filter + array_join
+    * inside the same projection; no explode, no shuffle except the gate
+    * ORDER BY. At 100 TB this is a pure map over the corpus. (The oracle
+    * replays the same semantics in unnest + string_agg form — nested
+    * HOF-in-HOF comprehensions are where DuckDB and Spark lambda scoping
+    * diverge, and semantics, not plan shape, is what the gate pins.)
+    */
+  val t32BoilerplateLines: GraftQuery = GraftQuery(
+    "t32_boilerplate_lines", {
+      val tkE = sqlTokens("text")
+      val lineE = "array_to_string(list_slice(tk, st + 1, LEAST(st + 8, n)), ' ')"
+      s"""WITH tok AS (SELECT doc_id, $tkE AS tk, len($tkE) AS n FROM documents),
+         |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 8)) AS st
+         |       FROM tok WHERE n > 0),
+         |ln AS (SELECT doc_id, st, $lineE AS line0 FROM st),
+         |pl AS (SELECT doc_id, st,
+         |  CASE WHEN (${sqlRollingHash("line0")}) % 3 != 0
+         |       THEN line0 || '.' ELSE line0 END AS line
+         |  FROM ln),
+         |ag AS (SELECT doc_id,
+         |  COUNT(*) AS n_lines,
+         |  COUNT(*) FILTER (WHERE line LIKE '%.' AND len(string_split(line, ' ')) >= 5)
+         |    AS n_kept,
+         |  COALESCE(string_agg(
+         |    CASE WHEN line LIKE '%.' AND len(string_split(line, ' ')) >= 5
+         |         THEN line END, chr(10) ORDER BY st), '') AS clean
+         |  FROM pl GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  ${sqlRollingHash("clean")} AS clean_hash
+         |FROM ag ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val tk = tokens(col("text"))
+    // bind lines to their own attribute before the three consumers (the
+    // t11/t14 HOF-rebinding lesson)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n") - 1, lit(8)), st => {
+          val line0 = array_join(
+            slice(col("tk"), st + 1, least(lit(8), col("n") - st)), " ")
+          when(pmod(graft.functions.TextFunctions.rollingHash(line0), lit(3)) =!= 0,
+            concat(line0, lit("."))).otherwise(line0)
+        }).as("lines"))
+      .select(col("doc_id"), col("lines"),
+        filter(col("lines"), l =>
+          l.endsWith(".") && size(split(l, " ")) >= 5).as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        graft.functions.TextFunctions.rollingHash(array_join(col("kept"), "\n"))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
-    t29LmDocScore)
+    t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines)
 }

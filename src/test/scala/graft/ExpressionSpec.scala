@@ -65,4 +65,40 @@ class ExpressionSpec extends SparkSpec {
     RollingHashExpr.register(fresh) // same builder the extension uses
     assert(fresh.sql("SELECT graft_rolling_hash('abc') AS h").collect()(0).getLong(0) == 96354L)
   }
+
+  test("graft_nfc composes decomposed sequences and equals the JDK normalizer") {
+    graft.plans.NfcNormalizeExpr.register(spark)
+    val rnd = new Random(43)
+    val marks = Seq("\u0301", "\u0308", "\u0300", "")
+    val strings = Seq("", "abc", "e\u0301", "x\u0308y", "\u00e9") ++
+      (1 to 200).map { _ =>
+        val len = rnd.nextInt(40)
+        (0 until len).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar.toString +
+            marks(rnd.nextInt(marks.length))).mkString
+      }
+    val df = strings.toDF("s")
+    val out = df.select(col("s"), expr("graft_nfc(s)").as("n")).collect()
+    out.foreach { r =>
+      val expected = java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == expected, s"input ${r.getString(0)}")
+    }
+    // the decomposed pair composes, the precomposed char is untouched
+    assert(df.filter($"s" === "e\u0301")
+      .select(expr("graft_nfc(s)")).as[String].head() == "\u00e9")
+    assert(df.filter($"s" === "\u00e9")
+      .select(expr("graft_nfc(s)")).as[String].head() == "\u00e9")
+  }
+
+  test("graft_nfc stays inside whole-stage codegen and is null-safe") {
+    graft.plans.NfcNormalizeExpr.register(spark)
+    val plan = spark.range(10)
+      .selectExpr("graft_nfc(cast(id as string))")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nfc"))
+    val nulls = Seq[String](null, "a").toDF("s")
+      .selectExpr("graft_nfc(s)").collect()
+    assert(nulls(0).isNullAt(0) && nulls(1).getString(0) == "a")
+  }
 }

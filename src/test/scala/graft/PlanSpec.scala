@@ -267,7 +267,9 @@ class PlanSpec extends SparkSpec {
       "a31b_conversion_lag_approx" ->
         "band-edge proof only — benchAs form is the sketch agg, no window in the production plan",
       "t28_vocab_coverage" ->
-        "rank/cumsum windows AFTER the TakeOrdered(1000) heap cut — bounded frame (own PlanSpec pin)")
+        "rank/cumsum windows AFTER the TakeOrdered(1000) heap cut — bounded frame (own PlanSpec pin)",
+      "t31_url_domain_stats" ->
+        "blocklist rank window over the |domains| aggregate frame (map-side-collapsed before the window)")
     val offenders = PlanDump.AuditQueries
       .flatMap { n =>
         val df = SparkEntry.queries(n)(spark, sf)

@@ -1024,4 +1024,74 @@ class PropertySpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).min).toMap
     assert(got == brute, s"got $got expected $brute")
   }
+
+  test("streaming CMS merge is additive and redelivery-idempotent (sm09)") {
+    import graft.streaming.StreamSketch
+    val base = java.nio.file.Files.createTempDirectory("cms_spec")
+    val streamed = base.resolve("streamed").toString
+    val onepass = base.resolve("onepass").toString
+    val all = (1 to 600).map(i => s"k${(i * i) % 53}")
+    val slices = all.grouped(200).toSeq
+    slices.zipWithIndex.foreach { case (sl, id) =>
+      StreamSketch.mergeBatch(sl.toDF("item"), id.toLong, "item", streamed)
+    }
+    StreamSketch.mergeBatch(all.toDF("item"), 0L, "item", onepass)
+    def cells(store: String) =
+      StreamSketch.readMerged(spark, store)
+        .as[(Int, Long, Long)].collect().toSet
+    // additivity: three merged partials == the single batch pass
+    assert(cells(streamed) == cells(onepass))
+    // redelivery: re-running a batch overwrites its own partition, so the
+    // merged sketch is unchanged (exactly-once under foreachBatch retry)
+    StreamSketch.mergeBatch(slices(1).toDF("item"), 1L, "item", streamed)
+    assert(cells(streamed) == cells(onepass))
+  }
+
+  test("e22 relational MaxSim equals the naive driver computation at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("e22_maxsim_late_interaction")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def dotF(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e15).toLong).sum
+    val byDoc = vecs.groupBy { case (id, _) => id % 100 }
+    val expected = byDoc.keys.filter(_ < 2).flatMap { qd =>
+      val scores = byDoc.collect { case (cd, dvs) if cd != qd =>
+        cd -> byDoc(qd).map { case (_, qv) =>
+          dvs.map { case (_, dv) => dotF(qv, dv) }.max
+        }.sum
+      }.toSeq.sortBy { case (cd, s) => (-s, cd) }.take(5)
+      scores.zipWithIndex.map { case ((cd, s), i) => (qd, i + 1) -> (cd, s) }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("d17 takes exactly min(k, stratum size) per stratum; g11 scores are bounded non-edges") {
+    val sf = "/root/testdata/sf0.001"
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = SparkEntry.queries("d17_stratified_exact_sample")(spark, sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == sizes.keySet)
+    got.foreach { case (lang, n) => assert(n == math.min(30L, sizes(lang)), lang) }
+
+    val g11 = SparkEntry.queries("g11_link_prediction")(spark, sf)
+      .select("u", "v", "jaccard_ppm").as[(Long, Long, Long)].collect()
+    assert(g11.nonEmpty)
+    g11.foreach { case (u, v, j) =>
+      assert(u < v && j > 0 && j <= 1000000L, s"($u,$v,$j)")
+    }
+    val und = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS src",
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 150 AS dst")
+      .filter($"src" =!= $"dst")
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .distinct().as[(Long, Long)].collect().toSet
+    g11.foreach { case (u, v, _) =>
+      assert(!und.contains((u, v)), s"predicted pair ($u,$v) already an edge")
+    }
+  }
 }
