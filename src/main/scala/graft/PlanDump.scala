@@ -70,7 +70,8 @@ object PlanDump {
     "io13_xml_roundtrip",
     "t30_unicode_normalize", "t31_url_domain_stats", "t32_boilerplate_lines",
     "d17_stratified_exact_sample", "g11_link_prediction",
-    "e22_maxsim_late_interaction")
+    "e22_maxsim_late_interaction", "x21_subject_access_export",
+    "e23_semantic_decontamination", "io14_compressed_json_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -648,9 +648,54 @@ object IoQueries {
       .orderBy("doc_id")
   }
 
+  /** IO14 — COMPRESSED JSON-lines round-trip: io02's loss-free gate
+    * through a real compression codec (gzip — web corpora land as
+    * .json.gz/.warc.gz; the scan must decompress transparently and the
+    * sink must produce standard-codec files other tools read). Same
+    * aggregate contract as io02, so codec involvement is the ONLY
+    * difference — any decompression loss or encoding drift breaks the
+    * hash.
+    *
+    * Scale caveat (the honest 100 TB note): gzip is NOT a splittable
+    * codec — one task per file, so read parallelism = file count. The
+    * write side repartitions to a deliberate file count for exactly
+    * this reason (the io06 small-file dial, pointed at compressed
+    * landing data); production pipelines prefer zstd/bzip2 (splittable
+    * via framing) or size-bounded .gz parts, which this layout is.
+    */
+  val io14CompressedJsonRoundtrip: GraftQuery = GraftQuery(
+    "io14_compressed_json_roundtrip", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val out = Dsl.tempStore("io14_json_gz")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8) // deliberate file count: gzip reads are per-file
+      .write.option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt)
+      .option("compression", "gzip")
+      .mode("overwrite").json(out)
+    spark.read.option("timestampFormat", tsFmt)
+      .option("timestampNTZFormat", tsFmt)
+      .schema(eventsCsvSchema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
     io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead,
-    ct01CtPreprocess)
+    io14CompressedJsonRoundtrip, ct01CtPreprocess)
 }

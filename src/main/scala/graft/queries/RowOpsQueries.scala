@@ -658,10 +658,76 @@ object RowOpsQueries {
       .orderBy("lang", "bucket", "doc_id")
   }
 
+  /** X21 — SUBJECT-ACCESS EXPORT (GDPR Art. 15 right-to-access), the
+    * read half of the privacy family (t07 scrubs content, x11 deletes,
+    * x14 flags re-identification risk, x21 REPORTS): for every requested
+    * subject, one receipt row per user-data table with the matched row
+    * count and an id-sum content fingerprint — including explicit ZERO
+    * rows for tables that hold nothing on the subject (an access answer
+    * must say "nothing" per table, not omit the table). The subject set
+    * here derives from a key slice (user_id % 29 = 3), standing in for
+    * the curated request list a DPO ships; subjects resolve to each
+    * table through its own key column (events.user_id,
+    * orders.o_custkey, customer.c_custkey — the cross-table identity
+    * join every access request needs).
+    *
+    * Scale shape: x11's flag-and-scan — the subject list broadcasts as
+    * a LEFT SEMI filter into each table's ONE scan, the per-subject agg
+    * is map-side-combinable to ≤ |subjects| rows per table, and the
+    * zero-fill join runs on |subjects| rows. No row-level shuffle
+    * anywhere; adding a table is one more scan, never a join between
+    * fact tables.
+    */
+  val x21SubjectAccessExport: GraftQuery = GraftQuery(
+    "x21_subject_access_export",
+    """WITH subj AS (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 3),
+      |ev AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS ids
+      |       FROM events GROUP BY 1),
+      |orr AS (SELECT o_custkey AS user_id, COUNT(*) AS n,
+      |               CAST(SUM(o_orderkey) AS BIGINT) AS ids
+      |        FROM orders GROUP BY 1),
+      |cus AS (SELECT c_custkey AS user_id, COUNT(*) AS n,
+      |               CAST(SUM(c_custkey) AS BIGINT) AS ids
+      |        FROM customer GROUP BY 1),
+      |x AS (
+      |  SELECT s.user_id, 'events' AS table_name,
+      |         COALESCE(ev.n, 0) AS n_rows, COALESCE(ev.ids, 0) AS id_sum
+      |  FROM subj s LEFT JOIN ev USING (user_id)
+      |  UNION ALL
+      |  SELECT s.user_id, 'orders', COALESCE(orr.n, 0), COALESCE(orr.ids, 0)
+      |  FROM subj s LEFT JOIN orr USING (user_id)
+      |  UNION ALL
+      |  SELECT s.user_id, 'customer', COALESCE(cus.n, 0), COALESCE(cus.ids, 0)
+      |  FROM subj s LEFT JOIN cus USING (user_id))
+      |SELECT user_id, table_name, CAST(n_rows AS BIGINT) AS n_rows, id_sum
+      |FROM x ORDER BY user_id, table_name""".stripMargin) { (spark, dir) =>
+    val subj = Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(29)) === 3)
+      .select("user_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def receipt(t: DataFrame, name: String): DataFrame = {
+      val agg = t.join(broadcast(subj), Seq("user_id"), "leftsemi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"), sum("rid").as("id_sum"))
+      subj.join(agg, Seq("user_id"), "left")
+        .select(col("user_id"), lit(name).as("table_name"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+    }
+    receipt(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id").as("rid")), "events")
+      .unionAll(receipt(Tables.orders(spark, dir)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey").as("rid")), "orders"))
+      .unionAll(receipt(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_custkey").as("rid")), "customer"))
+      .orderBy("user_id", "table_name")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
-    x14KAnonymity, d16ExactSample, d17StratifiedExactSample)
+    x14KAnonymity, d16ExactSample, d17StratifiedExactSample,
+    x21SubjectAccessExport)
 }

@@ -954,10 +954,68 @@ object SimilarityQueries {
       .orderBy("qd", "rank")
   }
 
+  /** E23 — SEMANTIC (embedding-level) BENCHMARK DECONTAMINATION: flag
+    * every corpus vector whose cosine to ANY held-out benchmark vector
+    * clears a threshold — the embedding companion to t11's n-gram
+    * overlap (paraphrased contamination shares no n-grams but sits next
+    * to the benchmark in embedding space; modern eval hygiene runs BOTH
+    * filters). Benchmark = the e01 query convention (vec_id < 5);
+    * τ = 0.3 on the fixed-point-assembled cosine (both engines build
+    * the identical IEEE double from BIGINT dot/norms, so the threshold
+    * comparison cannot diverge). Output is one row per CONTAMINATED
+    * vector — hit count and worst (max) cosine, the review queue a
+    * curation team actually triages — with the scanned-corpus count as
+    * the audit column.
+    *
+    * Scale shape: t11's broadcast discipline for vectors — the bounded
+    * benchmark side broadcasts into ONE corpus scan (the corpus never
+    * self-joins), per-vector hit-count/max are map-side-combinable
+    * keyed aggs, and everything after runs on |flagged| rows. At e05's
+    * corpus sizes the same flag composes with LSH bucketing upstream
+    * (only bucket-sharing candidates score); here it runs corpus-wide
+    * so the threshold semantics are what's gated.
+    */
+  val e23SemanticDecontamination: GraftQuery = GraftQuery(
+    "e23_semantic_decontamination",
+    s"""WITH v AS ($sqlV),
+       |bench AS (SELECT id AS b_id, emb AS b_emb, norm_f AS b_norm FROM v
+       |          WHERE id < $NumQueries),
+       |corpus AS (SELECT id, emb, norm_f FROM v WHERE id >= $NumQueries),
+       |scored AS (
+       |  SELECT c.id, ${sqlCos("b_emb", "b_norm", "c.emb", "c.norm_f")} AS cosine
+       |  FROM corpus c CROSS JOIN bench),
+       |f AS (SELECT id, COUNT(*) FILTER (WHERE cosine >= 0.3) AS n_hits,
+       |             MAX(cosine) AS max_cosine
+       |      FROM scored GROUP BY id)
+       |SELECT id, CAST(n_hits AS BIGINT) AS n_hits, max_cosine, t.n_scanned
+       |FROM f CROSS JOIN (SELECT COUNT(*) AS n_scanned FROM corpus) t
+       |WHERE n_hits > 0 ORDER BY id""".stripMargin) { (spark, dir) =>
+    val v = Similarity.withNormFixed(
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val bench = v.filter(col("id") < NumQueries)
+      .select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("norm_f").as("b_norm"))
+    val corpus = v.filter(col("id") >= NumQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = corpus.agg(count(lit(1)).as("n_scanned"))
+    corpus.crossJoin(broadcast(bench))
+      .select(col("id"),
+        Similarity.cosineFromFixed(
+          Similarity.dotFixed(col("b_emb"), col("emb")),
+          col("b_norm"), col("norm_f")).as("cosine"))
+      .groupBy("id")
+      .agg(sum(when(col("cosine") >= 0.3, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cosine")).as("max_cosine"))
+      .filter(col("n_hits") > 0)
+      .crossJoin(broadcast(total))
+      .select(col("id"), col("n_hits"), col("max_cosine"), col("n_scanned"))
+      .orderBy("id")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
-    e19IvfPqStored, e22MaxSimLateInteraction,
+    e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

@@ -26,9 +26,11 @@ BNLJ_ALLOWED = {
     "m01_minhash_lsh", "s01_simhash_pairs", "e05_lsh_pairs",
     "e07_knn_quantized", "e08_coarse_rerank",
     "p04_arith_derive", "p09_eq_filter",
-    # g11: 1-row broadcast total attach (topNWithTotal); e22: broadcast
-    # bounded query-token side into the corpus scan (ANN probe shape)
+    # g11: 1-row broadcast total attach (topNWithTotal); e22/e23:
+    # broadcast bounded query/benchmark side into the corpus scan (ANN
+    # probe shape) + 1-row audit total
     "g11_link_prediction", "e22_maxsim_late_interaction",
+    "e23_semantic_decontamination",
 }
 
 
