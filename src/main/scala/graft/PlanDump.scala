@@ -71,7 +71,8 @@ object PlanDump {
     "t30_unicode_normalize", "t31_url_domain_stats", "t32_boilerplate_lines",
     "d17_stratified_exact_sample", "g11_link_prediction",
     "e22_maxsim_late_interaction", "x21_subject_access_export",
-    "e23_semantic_decontamination", "io14_compressed_json_roundtrip")
+    "e23_semantic_decontamination", "io14_compressed_json_roundtrip",
+    "g12_gnn_mean_agg_round")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -610,7 +610,98 @@ object GraphQueries {
     Dsl.topNWithTotal(cand, 20, desc("jaccard_ppm"), asc("u"), asc("v"))
   }
 
+  /** G12 — GNN MEAN-AGGREGATION round (GraphSAGE, Hamilton et al.
+    * 2017): one message-passing step h'(v) = mean_{u ∈ sample(Γ(v))}
+    * feat(u) over node FEATURE VECTORS — the graph family's third
+    * propagated payload (g03 moves scalar rank, g05 labels, g12
+    * feature vectors), and the per-round data-plane of every
+    * distributed GNN trainer. Neighborhoods are SAMPLED to the 16
+    * smallest-id neighbors (GraphSAGE's own fixed-size neighbor
+    * sampling, = g11's cap), node features come from the embeddings
+    * table (vec_id = node mod |embeddings| — the deterministic feature
+    * attachment), and all arithmetic is fixed-point: features quantize
+    * to ⌊f·10⁶⌋ BIGINT, the mean is an exact integer division by the
+    * sampled degree, and the 64-dim result is pinned per node by a
+    * BIT_XOR fingerprint over (dim, value) — engine-identical, no
+    * float-order leak.
+    *
+    * Scale shape: the relational message-passing form — capped
+    * adjacency ⋈ features is a keyed equi-join (the feature table is
+    * corpus-sized; it is NEVER broadcast), the per-(node, dim) sum is
+    * one map-side-combinable agg over the ≤ |edges-capped|×dims
+    * exploded message rows (a hot node's messages pre-aggregate per
+    * partition — the g05 discipline, per dimension), and everything
+    * after runs on |nodes|×dims rows. The cap bounds per-node fan-in
+    * exactly as GraphSAGE prescribes; rounds driver-loop like
+    * g03/g07/e10.
+    */
+  val g12GnnMeanAggRound: GraftQuery = GraftQuery(
+    "g12_gnn_mean_agg_round", {
+      val base =
+        s"""WITH edges AS ($edgesSql),
+           |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           |        FROM edges WHERE src <> dst),
+           |adj AS (SELECT u AS node, v AS nb FROM und
+           |        UNION ALL SELECT v AS node, u AS nb FROM und),
+           |cadj AS (SELECT node, nb FROM adj
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) <= 16),
+           |cnt AS (SELECT COUNT(*) AS c FROM embeddings),
+           |nf AS (SELECT a.node, e.embedding
+           |       FROM cadj a CROSS JOIN cnt
+           |       JOIN embeddings e ON e.vec_id = a.nb % cnt.c),
+           |deg AS (SELECT node, COUNT(*) AS deg FROM nf GROUP BY node),
+           |d0 AS (SELECT node, embedding,
+           |              unnest(range(1, len(embedding) + 1)) AS i FROM nf),
+           |dims AS (SELECT node, i - 1 AS dim,
+           |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           |  FROM d0),
+           |agg AS (SELECT d.node, d.dim,
+           |               CAST(SUM(d.q) AS BIGINT) // MAX(g.deg) AS mean_q,
+           |               MAX(g.deg) AS deg
+           |        FROM dims d JOIN deg g ON g.node = d.node
+           |        GROUP BY d.node, d.dim)
+           |SELECT node, CAST(MAX(deg) AS BIGINT) AS deg,
+           |       MAX(CASE WHEN dim = 0 THEN mean_q END) AS mean_d0,
+           |       BIT_XOR(mean_q * 4099 + dim) AS feat_fp
+           |FROM agg GROUP BY node""".stripMargin
+      s"""WITH res AS ($base)
+         |SELECT node, deg, mean_d0, feat_fp FROM res ORDER BY node""".stripMargin
+    }) { (spark, dir) =>
+    val und = edgesDf(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("nb")
+    val cadj = adj
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= 16).drop("__rn")
+    val emb = Tables.embeddings(spark, dir)
+    val cnt = emb.agg(count(lit(1)).as("c"))
+    val nf = cadj.crossJoin(broadcast(cnt))
+      .select(col("node"), pmod(col("nb"), col("c")).as("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("node"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = nf.groupBy("node").agg(count(lit(1)).as("deg"))
+    val dims = nf
+      .select(col("node"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("node"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
+    dims.groupBy("node", "dim").agg(sum("q").as("s"))
+      .join(deg, "node")
+      .select(col("node"), col("dim"), expr("s div deg").as("mean_q"), col("deg"))
+      .groupBy("node")
+      .agg(max(col("deg")).as("deg"),
+        max(when(col("dim") === 0, col("mean_q"))).as("mean_d0"),
+        expr("bit_xor(mean_q * 4099 + dim)").as("feat_fp"))
+      .orderBy("node")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
-    g09CcStarRound, g10Modularity, g11LinkPrediction)
+    g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound)
 }

@@ -31,6 +31,8 @@ BNLJ_ALLOWED = {
     # probe shape) + 1-row audit total
     "g11_link_prediction", "e22_maxsim_late_interaction",
     "e23_semantic_decontamination",
+    # g12: 1-row broadcast |embeddings| count attach (feature keying)
+    "g12_gnn_mean_agg_round",
 }
 
 
