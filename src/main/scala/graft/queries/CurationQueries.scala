@@ -476,6 +476,100 @@ object CurationQueries {
       .orderBy("id")
   }
 
+  /** C04 — the CLEANING CUT: this round's web-corpus operators composed
+    * into the chain a crawl-to-corpus pipeline actually runs —
+    * normalize (t30: NFC + control scrub + whitespace collapse on a
+    * derived dirty twin) → C4 line filtering (t32: 8-token lines,
+    * derived terminal punctuation, keep punctuated ≥5-token lines,
+    * newline reassembly) → document gate (≥2 surviving lines) →
+    * importance-weighted selection (d18: md5-bucket < text-derived
+    * w_ppm) → deterministic shard assignment (d13's mod-8 on the
+    * portable hash). One oracle across all five stages pins their
+    * INTERACTIONS — e.g. the weight hashes the CLEANED text, so a
+    * normalization drift would cascade into a different kept set and a
+    * different shard fingerprint.
+    *
+    * Plan shape at 100 TB: the ENTIRE chain is one codegen'd per-row
+    * projection over the scan (normalize, line HOFs, weight hash, shard
+    * mod are all per-row) followed by ONE map-side-combinable agg to
+    * |shards| rows — no shuffle of document rows at any stage.
+    */
+  val c04CleaningCut: GraftQuery = GraftQuery(
+    "c04_cleaning_cut", {
+      val dirtyE = "'e\u0301 ' || substr(text, 1, 60) || '\t x\u0308y \u200b'"
+      val cleanE = s"trim(regexp_replace(regexp_replace(regexp_replace(" +
+        s"nfc_normalize($dirtyE), " +
+        "'[\\p{Cc}\\p{Cf}]', '', 'g'), '[^\\x00-\\x7f]', '', 'g'), '\\s+', ' ', 'g'))"
+      val lineE = "array_to_string(list_slice(tk, st + 1, LEAST(st + 8, n)), ' ')"
+      s"""WITH c AS (SELECT doc_id, $cleanE AS clean FROM documents),
+         |tok AS (SELECT doc_id, clean, string_split(clean, ' ') AS tk,
+         |               len(string_split(clean, ' ')) AS n FROM c),
+         |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 8)) AS st
+         |       FROM tok WHERE n > 0),
+         |ln AS (SELECT doc_id, st, $lineE AS line0 FROM st),
+         |pl AS (SELECT doc_id, st,
+         |  CASE WHEN (${sqlRollingHash("line0")}) % 3 != 0
+         |       THEN line0 || '.' ELSE line0 END AS line
+         |  FROM ln),
+         |ag AS (SELECT doc_id,
+         |  COALESCE(string_agg(
+         |    CASE WHEN line LIKE '%.' AND len(string_split(line, ' ')) >= 5
+         |         THEN line END, chr(10) ORDER BY st), '') AS body,
+         |  COUNT(*) FILTER (WHERE line LIKE '%.'
+         |                   AND len(string_split(line, ' ')) >= 5) AS n_kept
+         |  FROM pl GROUP BY doc_id),
+         |gated AS (SELECT doc_id, body FROM ag WHERE n_kept >= 2),
+         |sel AS (SELECT doc_id, body,
+         |  (200000 + (${sqlRollingHash("body")}) % 600001) AS w_ppm,
+         |  ${graft.operators.Sampling.sqlHashBucket("doc_id")} AS bucket
+         |  FROM gated),
+         |kept AS (SELECT doc_id, body,
+         |  ${graft.operators.Sampling.sqlHashBucket("doc_id || '#shard'")} % 8 AS shard
+         |  FROM sel WHERE bucket < w_ppm)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(body, ' '))) AS BIGINT) AS n_tokens,
+         |  BIT_XOR(CAST(concat('0x', substr(md5(body), 1, 12)) AS BIGINT)) AS body_fp,
+         |  BIT_XOR(doc_id) AS id_fp
+         |FROM kept GROUP BY shard ORDER BY shard""".stripMargin
+    }) { (spark, dir) =>
+    val dirty = concat(lit("e\u0301 "), substring(col("text"), 1, 60),
+      lit("\t x\u0308y \u200b"))
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+      graft.plans.DedupExprs.nfcNormalize(dirty),
+      "[\\p{Cc}\\p{Cf}]", ""), "[^\\x00-\\x7f]", ""), "\\s+", " "))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), clean.as("clean"))
+      .select(col("doc_id"), tokens(col("clean")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), col("n") - 1, lit(8)), st => {
+          val line0 = array_join(
+            slice(col("tk"), st + 1, least(lit(8), col("n") - st)), " ")
+          when(pmod(rollingHash(line0), lit(3)) =!= 0,
+            concat(line0, lit("."))).otherwise(line0)
+        }).as("lines"))
+      .select(col("doc_id"),
+        filter(col("lines"), l =>
+          l.endsWith(".") && size(split(l, " ")) >= 5).as("kept"))
+      .filter(size(col("kept")) >= 2)
+      .select(col("doc_id"), array_join(col("kept"), "\n").as("body"))
+      .select(col("doc_id"), col("body"),
+        (lit(200000L) + pmod(rollingHash(col("body")), lit(600001L))).as("w_ppm"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") < col("w_ppm"))
+      .select(col("doc_id"), col("body"),
+        pmod(graft.operators.Sampling.hashBucket(
+          concat(col("doc_id").cast("string"), lit("#shard"))), lit(8)).as("shard"))
+    docs.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("body"), " ")).cast("long")).as("n_tokens"),
+        bit_xor(conv(substring(md5(col("body")), 1, 12), 16, 10)
+          .cast("long")).as("body_fp"),
+        bit_xor(col("doc_id")).as("id_fp"))
+      .orderBy("shard")
+  }
+
   val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply,
-    pl01PipelineE2e, pl02OrchestratorFull)
+    c04CleaningCut, pl01PipelineE2e, pl02OrchestratorFull)
 }

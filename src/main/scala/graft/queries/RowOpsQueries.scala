@@ -723,11 +723,57 @@ object RowOpsQueries {
       .orderBy("user_id", "table_name")
   }
 
+  /** D18 — IMPORTANCE-WEIGHTED deterministic sampling: keep each row
+    * with probability ∝ its own per-row weight — the SELECTION step of
+    * importance resampling (t17 computes DSIR-style importance weights;
+    * d18 is how a pipeline APPLIES such weights to cut a corpus, the
+    * "sample proportional to quality" move in targeted data selection).
+    * Same reproducibility contract as d10/d16/d17: the keep decision is
+    * `md5-bucket(doc_id) < w_ppm` — a pure function of (key, weight),
+    * so the sample is identical across reruns/engines/cluster sizes,
+    * and nudging one document's weight flips only that document, never
+    * reshuffling the rest (per-row thresholding is what seeded RNG
+    * sampling cannot give). The weight here derives deterministically
+    * from the text (ppm in [200000, 800000], standing in for a model
+    * score); the audit rolls up per source: expected kept mass (Σw) vs
+    * realized kept count, plus an order-free XOR fingerprint of the
+    * kept ids.
+    *
+    * Scale shape: one codegen'd projection (hash + compare) and ONE
+    * map-side-combinable agg to |sources| rows — zero data shuffle, a
+    * pure map over the corpus at 100 TB, exactly like d10/d15.
+    */
+  val d18WeightedSample: GraftQuery = GraftQuery(
+    "d18_weighted_sample", {
+      val w = s"(200000 + (${graft.functions.TextFunctions.sqlRollingHash("text")}) % 600001)"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $w AS w_ppm,
+         |         ${graft.operators.Sampling.sqlHashBucket("doc_id")} AS bucket
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(w_ppm) AS BIGINT) AS expected_ppm_mass,
+         |  CAST(SUM(CASE WHEN bucket < w_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  BIT_XOR(CASE WHEN bucket < w_ppm THEN doc_id ELSE 0 END) AS kept_fp
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (lit(200000L) + pmod(graft.functions.TextFunctions.rollingHash(col("text")),
+          lit(600001L))).as("w_ppm"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_ppm")).as("expected_ppm_mass"),
+        sum(when(col("bucket") < col("w_ppm"), 1L).otherwise(0L)).as("n_kept"),
+        expr("bit_xor(CASE WHEN bucket < w_ppm THEN doc_id ELSE 0 END)").as("kept_fp"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
     x14KAnonymity, d16ExactSample, d17StratifiedExactSample,
-    x21SubjectAccessExport)
+    x21SubjectAccessExport, d18WeightedSample)
 }

@@ -1069,6 +1069,59 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("g12 GNN round equals the naive driver computation at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g12_gnn_mean_agg_round")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val edges = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS src",
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 150 AS dst")
+      .as[(Long, Long)].collect()
+    val und = edges.filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val adj = (und.toSeq.map(e => e._1 -> e._2) ++
+      und.toSeq.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(16)).toMap
+    val n = emb.size.toLong
+    val expected = adj.map { case (node, nbs) =>
+      val feats = nbs.map(nb => emb(nb % n))
+      val dims = feats.head.indices
+      val means = dims.map { d =>
+        val s = feats.map(f =>
+          math.floor(f(d).toDouble * 1000000).toLong).sum
+        s / nbs.size // Long division truncates toward zero, like div
+      }
+      val fp = dims.map(d => means(d) * 4099 + d).reduce(_ ^ _)
+      node -> (nbs.size.toLong, means(0), fp)
+    }
+    assert(got == expected)
+  }
+
+  test("e23 flags are threshold-consistent; x21 receipts cover every subject × table") {
+    val sf = "/root/testdata/sf0.001"
+    val e23 = SparkEntry.queries("e23_semantic_decontamination")(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    e23.foreach { case (id, hits, maxCos, _) =>
+      assert(hits > 0 && maxCos >= 0.3, s"vec $id flagged with max $maxCos")
+    }
+    val x21 = SparkEntry.queries("x21_subject_access_export")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val subjects = x21.map(_._1).toSet
+    val byTable = x21.groupBy(_._2)
+    assert(byTable.keySet == Set("events", "orders", "customer"))
+    byTable.values.foreach(rows =>
+      assert(rows.map(_._1).toSet == subjects, "a table misses a subject"))
+    // a subject's events receipt is never zero (the subject set derives
+    // from events), and the zero-rows contract means id_sum is 0 there
+    x21.filter(_._2 == "events").foreach(r => assert(r._3 > 0))
+    x21.foreach { case (_, _, nRows, idSum) =>
+      if (nRows == 0) assert(idSum == 0) }
+  }
+
   test("d17 takes exactly min(k, stratum size) per stratum; g11 scores are bounded non-edges") {
     val sf = "/root/testdata/sf0.001"
     val sizes = spark.read.parquet(s"$sf/documents.parquet")
