@@ -76,7 +76,14 @@ object ScaleBench {
     // stream (∝ corpus tokens) shuffle-joins the bigram counts on the
     // SAME key their agg just partitioned by — the curve to watch is
     // that join staying ∝ token count, never ∝ distinct-bigrams²
-    "t28_vocab_coverage", "t29_lm_doc_score")
+    "t28_vocab_coverage", "t29_lm_doc_score",
+    // r11: t30/t31/d18 are pure per-row codegen'd maps (+ one map-side
+    // agg) — the t14 flat-profile claim; t32 is the per-row HOF line
+    // chunk/filter/reassemble; c04 composes t30→fold→t32→gate→d18→d13
+    // in ONE projection + one agg, so its curve should track the
+    // heaviest of its stages (t32's HOF work), never a join
+    "t30_unicode_normalize", "t31_url_domain_stats",
+    "t32_boilerplate_lines", "d18_weighted_sample", "c04_cleaning_cut")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -124,7 +131,10 @@ object ScaleBench {
     "a33_seasonal_index", "j11_nearest_event", "g10_modularity",
     // x16: three store versions applied then vacuumed — the retention
     // pass itself is O(versions) listing; applyBatch dominates
-    "x16_store_vacuum")
+    "x16_store_vacuum",
+    // r11: g11's 16-neighbor cap bounds wedge fan-out at C(16,2)/node —
+    // the curve to watch is the capped wedge join staying ∝ nodes
+    "g11_link_prediction")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 
@@ -252,6 +262,21 @@ object ScaleBench {
         // × 8 codes × 4 subspaces) — the claim is retrieval ∝ code rows
         "e15_pq_adc_topk" -> (() =>
           graft.Eval.forcedCount(SparkEntry.queries("e15_pq_adc_topk")(spark, dir))),
+        // r11 e22: docMod ∝ n keeps TOKENS PER DOC constant as the
+        // corpus grows (real corpora add docs, not tokens-per-doc) —
+        // the gate's fixed modulus at 100× would inflate every doc and
+        // the query 100×, a mis-shaped corpus, not the operator. The
+        // claim under measurement: one broadcast-side scan ∝ corpus
+        // token rows, aggs map-side — near-linear per 10×.
+        s"e22_maxsim[docmod=${100L * factor}]" -> (() =>
+          graft.Eval.forcedCount(graft.operators.Similarity.maxSimTopK(
+            Tables.embeddings(spark, dir), "vec_id", "embedding",
+            docMod = 100L * factor, numQueryDocs = 2, k = 5))),
+        // r11 g12 verbatim: messages bounded by capped-adjacency × dims;
+        // per-(node, dim) sums map-side — the curve should track |nodes|
+        "g12_gnn_mean_agg_round" -> (() =>
+          graft.Eval.forcedCount(
+            SparkEntry.queries("g12_gnn_mean_agg_round")(spark, dir))),
         s"t21b_retrieval[stored]" -> {
           var bm25Store: String = null
           () => {

@@ -938,6 +938,40 @@ object Similarity {
     * is a limit(cap+1).count() — it stops scanning after cap+1 rows,
     * never a full count.
     */
+  /** E22 — relational MaxSim (ColBERT late interaction, Khattab &
+    * Zaharia 2020): multi-vector docs derive by `id mod docMod`, query
+    * docs are `d < numQueryDocs`, and score(q, d) = Σ_{qv∈q}
+    * max_{dv∈d} dotFixed(qv, dv) — exact fixed-point BIGINT end to end.
+    *
+    * Scale shape: the bounded query token-vectors BROADCAST into one
+    * scan of corpus token rows (never a corpus self-join); the
+    * per-(q-token, doc) max and per-(q, doc) sum are both
+    * map-side-combinable keyed aggs; the top-k window runs on
+    * |queries|×|docs| score rows. `docMod` is the deployment knob: docs
+    * per corpus grow with the corpus (constant tokens/doc), so a scale
+    * sweep raises docMod ∝ n — running the gate's fixed modulus at
+    * 100× would grow VECTORS PER DOC 100×, a mis-shaped corpus, not
+    * the operator (the e05/e06 knob rationale).
+    */
+  def maxSimTopK(vectors: DataFrame, idCol: String, embCol: String,
+                 docMod: Long, numQueryDocs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col(idCol).as("vid"),
+      pmod(col(idCol), lit(docMod)).as("d"), col(embCol).as("emb"))
+    val q = v.filter(col("d") < numQueryDocs)
+      .select(col("vid").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
+    val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
+    v.crossJoin(broadcast(q))
+      .filter(col("d") =!= col("qd"))
+      .select(col("qd"), col("qv"), col("d").as("cd"),
+        dotFixed(col("q_emb"), col("emb")).as("dp"))
+      .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
+      .groupBy("qd", "cd").agg(sum("m").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qd", "rank", "cd", "score")
+  }
+
   def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,
                       maxVectors: Int = 1000000,
                       maxBroadcastBytes: Long = 128L << 20): DataFrame = {

@@ -496,7 +496,7 @@ object CurationQueries {
     */
   val c04CleaningCut: GraftQuery = GraftQuery(
     "c04_cleaning_cut", {
-      val dirtyE = "'e\u0301 ' || substr(text, 1, 60) || '\t x\u0308y \u200b'"
+      val dirtyE = "'e\u0301 ' || text || '\t x\u0308y \u200b'"
       val cleanE = s"trim(regexp_replace(regexp_replace(regexp_replace(" +
         s"nfc_normalize($dirtyE), " +
         "'[\\p{Cc}\\p{Cf}]', '', 'g'), '[^\\x00-\\x7f]', '', 'g'), '\\s+', ' ', 'g'))"
@@ -532,7 +532,7 @@ object CurationQueries {
          |  BIT_XOR(doc_id) AS id_fp
          |FROM kept GROUP BY shard ORDER BY shard""".stripMargin
     }) { (spark, dir) =>
-    val dirty = concat(lit("e\u0301 "), substring(col("text"), 1, 60),
+    val dirty = concat(lit("e\u0301 "), col("text"),
       lit("\t x\u0308y \u200b"))
     val clean = trim(regexp_replace(regexp_replace(regexp_replace(
       graft.plans.DedupExprs.nfcNormalize(dirty),

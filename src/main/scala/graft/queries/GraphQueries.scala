@@ -547,15 +547,21 @@ object GraphQueries {
     * curation. Exact integer ppm (the a30/a35 convention), top-20 by
     * score with the full candidate count as the audit column.
     *
-    * Scale shape: the wedge join is the quadratic temptation — a hub
-    * with degree d fans out C(d,2) candidate pairs — so the adjacency is
-    * CAPPED at each node's 16 smallest-id neighbors first (g08's
-    * bounded-contributor move; the cap is part of the gated semantics,
-    * and deg/jaccard are computed ON the capped graph so the score
-    * family stays internally consistent). Per node the fan-out is then
-    * ≤ C(16,2); everything after the wedge agg runs on candidate-pair
-    * rows. The existing-edge exclusion is one LEFT ANTI join; top-20
-    * plans as TakeOrderedAndProject per-partition heaps.
+    * Scale shape: the wedge join is the quadratic temptation, and it
+    * has TWO fan-out axes, each needing its own cap. Capping each
+    * node's neighbor list (16 smallest ids) bounds degrees but NOT the
+    * join: a popular shared neighbor still collects thousands of
+    * capped lists and fans out C(count, 2) wedges through its key —
+    * measured 3.3 s → 149 s across one 10× tier step before the second
+    * cap. So the CONTRIBUTOR side is capped too: each shared neighbor
+    * keeps its 16 smallest-id member nodes (g08's per-item cap, on the
+    * axis where the quadratic actually lives), bounding the join at
+    * C(16,2) wedges per neighbor — Σ ≤ 120·|nodes| total. Both caps
+    * are part of the gated semantics; deg and jaccard are computed ON
+    * the double-capped adjacency so the score family stays internally
+    * consistent (neighborhood sampling, the GraphSAGE/g08 discipline).
+    * The existing-edge exclusion is one LEFT ANTI join; top-20 plans
+    * as TakeOrderedAndProject per-partition heaps.
     */
   val g11LinkPrediction: GraftQuery = GraftQuery(
     "g11_link_prediction", {
@@ -565,8 +571,10 @@ object GraphQueries {
            |        FROM edges WHERE src <> dst),
            |adj AS (SELECT u AS node, v AS nb FROM und
            |        UNION ALL SELECT v AS node, u AS nb FROM und),
-           |cadj AS (SELECT node, nb FROM adj
-           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) <= 16),
+           |cadj0 AS (SELECT node, nb FROM adj
+           |          QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) <= 16),
+           |cadj AS (SELECT node, nb FROM cadj0
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY nb ORDER BY node) <= 16),
            |deg AS (SELECT node, COUNT(*) AS deg FROM cadj GROUP BY node),
            |cn AS (SELECT a.node AS u, b.node AS v, COUNT(*) AS cn
            |       FROM cadj a JOIN cadj b ON a.nb = b.nb AND a.node < b.node
@@ -591,11 +599,15 @@ object GraphQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = und.select(col("u").as("node"), col("v").as("nb"))
       .union(und.select(col("v").as("node"), col("u").as("nb")))
-    val wCap = org.apache.spark.sql.expressions.Window
+    val wNode = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy("nb")
+    val wNb = org.apache.spark.sql.expressions.Window
+      .partitionBy("nb").orderBy("node")
     val cadj = adj
-      .withColumn("__rn", row_number().over(wCap))
+      .withColumn("__rn", row_number().over(wNode))
       .filter(col("__rn") <= 16).drop("__rn")
+      .withColumn("__rc", row_number().over(wNb))
+      .filter(col("__rc") <= 16).drop("__rc")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = cadj.groupBy("node").agg(count(lit(1)).as("deg"))
     val cn = cadj.select(col("node").as("u"), col("nb"))

@@ -936,21 +936,8 @@ object SimilarityQueries {
          |SELECT qd, rank, cd, score FROM r WHERE rank <= 5
          |ORDER BY qd, rank""".stripMargin
     }) { (spark, dir) =>
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), (col("vec_id") % 100).as("d"),
-        col("embedding").as("emb"))
-    val q = v.filter(col("d") < 2)
-      .select(col("vec_id").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
-    val scores = v.crossJoin(broadcast(q))
-      .filter(col("d") =!= col("qd"))
-      .select(col("qd"), col("qv"), col("d").as("cd"),
-        Similarity.dotFixed(col("q_emb"), col("emb")).as("dp"))
-      .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
-      .groupBy("qd", "cd").agg(sum("m").as("score"))
-    val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
-    scores.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("qd", "rank", "cd", "score")
+    Similarity.maxSimTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        docMod = 100, numQueryDocs = 2, k = 5)
       .orderBy("qd", "rank")
   }
 
