@@ -40,9 +40,12 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     // Canary only matters for cross-round comparability of the full
     // suite; a BENCH_ONLY debugging session skips its several seconds and
-    // records null so consumers can tell "not measured" from "fast".
+    // records null so consumers can tell "not measured" from "fast" —
+    // UNLESS SPARK_GRAFT_BENCH_CANARY=1 forces it, which an adjudication
+    // run needs (a mover re-measure is only believable with an in-band
+    // canary proving the machine was quiet).
     val canary: Option[Double] =
-      if (only.isDefined) None
+      if (only.isDefined && sys.env.get("SPARK_GRAFT_BENCH_CANARY").isEmpty) None
       else Some((1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // modulo keeps the sum far from long overflow under ANSI mode

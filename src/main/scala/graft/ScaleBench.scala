@@ -272,11 +272,26 @@ object ScaleBench {
           graft.Eval.forcedCount(graft.operators.Similarity.maxSimTopK(
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             docMod = 100L * factor, numQueryDocs = 2, k = 5))),
-        // r11 g12 verbatim: messages bounded by capped-adjacency × dims;
-        // per-(node, dim) sums map-side — the curve should track |nodes|
-        "g12_gnn_mean_agg_round" -> (() =>
-          graft.Eval.forcedCount(
-            SparkEntry.queries("g12_gnn_mean_agg_round")(spark, dir))),
+        // r12 g12: VERDICT r11 hypothesized the 14.1× 100×-step was the
+        // m01 partition floor on the 153M-row message shuffle. The
+        // partition sweep FALSIFIED that (old form at the 100× tier,
+        // best-of-2: 20.3 s @100 parts, 23.5 @256, 24.2 @512 — more
+        // partitions strictly worse): the cost was the 9.6M-KEY
+        // (node,dim) aggregate over the exploded messages, whose
+        // map-side hash agg fell back to sort+spill. The operator was
+        // rewritten instead (messages stay ARRAYS; one 150k-key agg
+        // folds deg + per-dim sums; only |nodes|×dims explodes) —
+        // 6.4 s @32 parts / 10.1 @100 at the 100× tier. Partitions
+        // pinned to the cpu count: every remaining shuffle is ≤ 2.4M
+        // array rows / 150k keys, where extra partitions are pure
+        // overhead (measured above).
+        "g12_gnn_mean_agg_round" -> (() => {
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+          try graft.Eval.forcedCount(
+            SparkEntry.queries("g12_gnn_mean_agg_round")(spark, dir))
+          finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }),
         s"t21b_retrieval[stored]" -> {
           var bm25Store: String = null
           () => {
@@ -309,6 +324,37 @@ object ScaleBench {
             graft.operators.Similarity.ivfPqStoredTopK(spark, pqStore,
               Tables.embeddings(spark, dir).filter(col("vec_id") < 5),
               "vec_id", "embedding", 10, 2).count()
+          }
+        },
+        // r12 e24: the PRODUCTION MaxSim (stored shortlist → exact
+        // re-rank), docMod ∝ n as e22 (tokens-per-doc constant, ~40
+        // query tokens regardless of tier). The claim: stage 1 I/O ∝
+        // probed clusters (e19's curve), stage 2 ∝ candidate-doc token
+        // rows — the full-corpus e22 scan never runs, so the composed
+        // curve must sit far below e22_maxsim's at the 100× tier
+        s"e24_maxsim[stored,docmod=${100L * factor}]" -> {
+          var e24Store: String = null
+          () => {
+            val emb = Tables.embeddings(spark, dir)
+            if (e24Store == null) {
+              e24Store = java.nio.file.Files
+                .createTempDirectory("e24-scale").toString + "/store"
+              graft.operators.Similarity.buildIvfPqStore(
+                emb, "vec_id", "embedding",
+                col("id") >= 8 && col("id") < lit(8 + centroids),
+                col("id") < 8, e24Store)
+            }
+            val dm = 100L * factor
+            val short = graft.operators.Similarity.ivfPqStoredTopK(
+              spark, e24Store, emb.filter(pmod(col("vec_id"), lit(dm)) < 2),
+              "vec_id", "embedding", 10, 2)
+            val cand = short.select(
+                pmod(col("q_id"), lit(dm)).as("qd"),
+                pmod(col("n_id"), lit(dm)).as("cd"))
+              .filter(col("cd") =!= col("qd")).distinct()
+            graft.Eval.forcedCount(
+              graft.operators.Similarity.maxSimTopKShortlist(
+                emb, "vec_id", "embedding", dm, 2, cand, 5))
           }
         },
         // io11's ONLINE leg: the lake is written range-clustered once

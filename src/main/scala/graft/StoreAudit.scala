@@ -28,6 +28,15 @@ object StoreAudit {
     * store root, found `levelsUp` directories above any scanned file.
     */
   final case class FilePruned(levelsUp: Int) extends Evidence
+  /** Retention evidence for stores whose reads MERGE the whole store
+    * (nothing to prune — the bound is the layout itself): after the gate
+    * runs, the store scan's files must span at most `maxDirs` partition
+    * directories, one of them `baseDir` — i.e. compaction actually
+    * folded the committed tail into the base slice instead of the store
+    * growing one directory per micro-batch forever (the io06 small-file
+    * failure, in streaming form).
+    */
+  final case class CompactedDirs(maxDirs: Int, baseDir: String) extends Evidence
 
   /** gate name → the pruning its plan must show. Add every new store
     * read here; the PlanSpec sweep enumerates THIS list.
@@ -38,5 +47,7 @@ object StoreAudit {
     "io07_partitioned_lake" -> PartitionPruned("lang"),// directory lake
     "io11_zonemap_skip" -> FilePruned(levelsUp = 1),   // zone-map manifest
     "io12_incremental_read" -> FilePruned(levelsUp = 2), // manifest increment
-    "x17_time_travel" -> FilePruned(levelsUp = 2))     // one version dir
+    "x17_time_travel" -> FilePruned(levelsUp = 2),     // one version dir
+    // streaming CMS store: 3 batches compacted at frontier 2 → base + 1
+    "sm09_stream_sketch" -> CompactedDirs(maxDirs = 2, baseDir = "batch=-1"))
 }

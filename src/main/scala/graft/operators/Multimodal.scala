@@ -32,6 +32,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream wrappers default to DISK-backed caches — every
+  // in-memory encode/decode otherwise creates and deletes a temp FILE,
+  // so per-row codec cost rides the state of the scratch filesystem
+  // (the unexplained i02 round-over-round movement: unchanged code,
+  // tmpfs-state-dependent constant). All our codec work is byte-array
+  // in/out; keep it in memory. Runs once per executor JVM at class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Read an image directory through the binaryFile source. */
   def readImages(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)

@@ -972,6 +972,42 @@ object Similarity {
       .select("qd", "rank", "cd", "score")
   }
 
+  /** [[maxSimTopK]] gated by a CANDIDATE SHORTLIST — the production
+    * late-interaction split (the ColBERT serving shape): stage 1 (an ANN
+    * index, e.g. [[ivfPqStoredTopK]] over the store) proposes (query-doc,
+    * candidate-doc) pairs; stage 2 re-ranks ONLY those pairs with the
+    * exact MaxSim sum. A document none of whose token vectors fell in a
+    * probed cluster NEVER scores — that gating is the point (and what
+    * the e24 gate + PropertySpec pin): corpus-wide MaxSim is a full
+    * scan per query batch, the composed form touches candidate docs
+    * only.
+    *
+    * Scale shape: `candidates` is |queries|×shortlist-sized — broadcast
+    * twice into ONE scan of corpus token rows (semi-join on the doc key,
+    * then the query tokens); both aggs stay map-side-combinable;
+    * fixed-point BIGINT scores end to end (no float-order leak).
+    */
+  def maxSimTopKShortlist(vectors: DataFrame, idCol: String, embCol: String,
+                          docMod: Long, numQueryDocs: Long,
+                          candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col(idCol).as("vid"),
+      pmod(col(idCol), lit(docMod)).as("d"), col(embCol).as("emb"))
+    val q = v.filter(col("d") < numQueryDocs)
+      .select(col("vid").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
+    val cand = candidates.select(col("qd").as("c_qd"), col("cd"))
+    val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
+    v.join(broadcast(cand), col("d") === col("cd"))
+      .join(broadcast(q), col("c_qd") === col("qd"))
+      .select(col("qd"), col("qv"), col("cd"),
+        dotFixed(col("q_emb"), col("emb")).as("dp"))
+      .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
+      .groupBy("qd", "cd").agg(sum("m").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qd", "rank", "cd", "score")
+  }
+
   def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,
                       maxVectors: Int = 1000000,
                       maxBroadcastBytes: Long = 128L << 20): DataFrame = {

@@ -145,4 +145,6 @@ object DedupExprs {
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(c)))
   def nfcNormalize(c: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(c)))
+  def cleanText(c: Column, asciiFold: Boolean): Column =
+    ColumnBridge.column(CleanTextExpr(ColumnBridge.expression(c), asciiFold))
 }

@@ -33,5 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_clean"),
+      new ExpressionInfo(classOf[CleanTextExpr].getName, "graft_clean"),
+      (children: Seq[Expression]) => CleanTextExpr(
+        children.head,
+        children.length > 1 &&
+          children(1).eval().asInstanceOf[Boolean])))
   }
 }

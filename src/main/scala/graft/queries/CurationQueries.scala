@@ -534,9 +534,11 @@ object CurationQueries {
     }) { (spark, dir) =>
     val dirty = concat(lit("e\u0301 "), col("text"),
       lit("\t x\u0308y \u200b"))
-    val clean = trim(regexp_replace(regexp_replace(regexp_replace(
-      graft.plans.DedupExprs.nfcNormalize(dirty),
-      "[\\p{Cc}\\p{Cf}]", ""), "[^\\x00-\\x7f]", ""), "\\s+", " "))
+    // ONE native scan replacing the four chained regexp rewrites (NFC \u2192
+    // Cc/Cf strip \u2192 ASCII fold \u2192 whitespace collapse) \u2014 the per-row
+    // constant that dominated this gate; the oracle still pins the
+    // chained form, so the fold must stay byte-identical (CleanSpec).
+    val clean = graft.plans.DedupExprs.cleanText(dirty, asciiFold = true)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), clean.as("clean"))
       .select(col("doc_id"), tokens(col("clean")).as("tk"))

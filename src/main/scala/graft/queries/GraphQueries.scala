@@ -693,19 +693,34 @@ object GraphQueries {
       .filter(col("__rn") <= 16).drop("__rn")
     val emb = Tables.embeddings(spark, dir)
     val cnt = emb.agg(count(lit(1)).as("c"))
-    val nf = cadj.crossJoin(broadcast(cnt))
+    // Messages stay ARRAYS end to end: the r11 form exploded every
+    // message to (node, dim) rows — |capped-edges|×dims rows (153M at
+    // the 100× tier) into a 9.6M-KEY aggregate whose map-side hash map
+    // fell back to sort+spill, then joined deg back in. Measured at the
+    // 100× tier: partitioning was NOT the lever (20.3 s at 100 parts,
+    // 23.5 at 256, 24.2 at 512 — the r11 14.1× step was the agg's key
+    // cardinality, not a partition floor). This form aggregates the
+    // 2.4M message arrays per NODE (150k keys, deg folded into the same
+    // agg — the join disappears), then sums dims in ONE codegen'd HOF
+    // pass per node; the only exploded frame is |nodes|×dims going into
+    // a map-side-combinable 150k-key fingerprint agg. Per-group state
+    // is bounded by the cap: ≤ 16 arrays × dims.
+    val agg = cadj.crossJoin(broadcast(cnt))
       .select(col("node"), pmod(col("nb"), col("c")).as("vec_id"))
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("node"), col("embedding"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = nf.groupBy("node").agg(count(lit(1)).as("deg"))
-    val dims = nf
-      .select(col("node"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("node"), col("dim").cast("long").as("dim"),
-        floor(col("x").cast("double") * 1000000).cast("long").as("q"))
-    dims.groupBy("node", "dim").agg(sum("q").as("s"))
-      .join(deg, "node")
-      .select(col("node"), col("dim"), expr("s div deg").as("mean_q"), col("deg"))
+      .select(col("node"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long")).as("qa"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"), collect_list(col("qa")).as("msgs"))
+      .select(col("node"), col("deg"),
+        transform(sequence(lit(1), size(element_at(col("msgs"), 1))), i =>
+          aggregate(col("msgs"), lit(0L),
+            (acc, a) => acc + element_at(a, i))).as("sums"))
+    agg.select(col("node"), col("deg"),
+        posexplode(col("sums")).as(Seq("dim", "s")))
+      .select(col("node"), col("deg"), col("dim").cast("long").as("dim"),
+        expr("s div deg").as("mean_q"))
       .groupBy("node")
       .agg(max(col("deg")).as("deg"),
         max(when(col("dim") === 0, col("mean_q"))).as("mean_d0"),

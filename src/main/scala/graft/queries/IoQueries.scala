@@ -453,14 +453,13 @@ object IoQueries {
     val restatedDays = Seq("2024-01-05", "2024-01-06", "2024-01-07")
     val batch = base.filter(col("day").isin(restatedDays: _*))
       .withColumn("cents", col("cents") + 1000)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.repartition(col("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(lake)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Writer-scoped option (not a session-conf flip): under a shared
+    // session, a concurrent writer racing the set/restore window could
+    // run in STATIC mode and wipe every untouched partition — the exact
+    // trap this gate exists to document. The per-writer form cannot race.
+    batch.repartition(col("day"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(lake)
     spark.read.parquet(lake)
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum("cents").cast("bigint").as("sum_cents"))
@@ -693,9 +692,57 @@ object IoQueries {
       .orderBy("event_type")
   }
 
+  /** IO15 — the PRODUCTION LANDING FORMAT io14's unsplittable-gzip note
+    * names (ref analog: the landing-format contract,
+    * `Scraper/common/util.py:3-5`): the same loss-free aggregate
+    * contract, landed as ZSTD PARQUET with SIZE-BOUNDED parts.
+    *
+    * Read-parallelism contrast (the reason this twin exists): a
+    * .json.gz landing zone decompresses one-task-per-FILE — read
+    * parallelism is frozen at write time by the file count, and a fat
+    * file serializes its whole band (io14 mitigates by repartitioning
+    * to a deliberate count). Parquet+zstd splits at ROW-GROUP grain
+    * regardless of file size, prunes columns at the footer, and
+    * `maxRecordsPerFile` bounds part size at the WRITER without
+    * guessing a repartition count — at 100 TB the scan parallelism is
+    * data-sized, not landing-layout-sized. zstd here is the in-JVM
+    * zstd-jni path every Spark 4 ships (the Hadoop TEXT codec for
+    * .json.zst needs native libhadoop, absent in this sandbox — codec
+    * availability is itself part of the landing-format decision).
+    *
+    * The oracle is io14's byte-level contract (count, 6dp-sum,
+    * epoch-µs XOR, props-hash XOR per type) recomputed from the raw
+    * table, so codec+layout involvement is the only variable.
+    */
+  val io15ZstdLanding: GraftQuery = GraftQuery(
+    "io15_zstd_landing", {
+      val propsHash = graft.functions.TextFunctions.sqlRollingHash("props")
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${Det.sqlSum("value", 6)} AS sum_value,
+         |  BIT_XOR(epoch_us(ts)) AS xor_ts_us,
+         |  BIT_XOR($propsHash) AS xor_props_hash
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    }) { (spark, dir) =>
+    val out = Dsl.tempStore("io15_parq_zstd")
+    Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4)
+      .write.option("compression", "zstd")
+      .option("maxRecordsPerFile", "2500") // size-bounded parts, writer-side
+      .mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("value"), 6).as("sum_value"),
+        bit_xor(unix_micros(col("ts"))).as("xor_ts_us"),
+        bit_xor(graft.functions.TextFunctions.rollingHash(col("props")))
+          .as("xor_props_hash"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
     io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead,
-    io14CompressedJsonRoundtrip, ct01CtPreprocess)
+    io14CompressedJsonRoundtrip, io15ZstdLanding, ct01CtPreprocess)
 }

@@ -772,12 +772,15 @@ object SimilarityQueries {
   // initialization order would otherwise interpolate null into the SQL
   private lazy val ivfPqCtes: String = ivfPqCtesP("", NProbe)
 
-  /** The IVF-PQ CTE chain with every CTE name prefixed `$x` and the
-    * probe width as a parameter — lets one WITH clause instantiate the
-    * whole reference computation several times (e21's nprobe sweep)
-    * without name collisions.
+  /** The IVF-PQ CTE chain with every CTE name prefixed `$x`, the probe
+    * width as a parameter (e21's nprobe sweep), and the query-set
+    * predicate as a parameter (e24 probes with the MULTI-vector query
+    * docs' token set instead of the e16/e19 singleton queries) — lets
+    * one WITH clause instantiate the whole reference computation
+    * several times without name collisions.
     */
-  private def ivfPqCtesP(x: String, nprobe: Int): String =
+  private def ivfPqCtesP(x: String, nprobe: Int,
+                         qPred: String = s"id < $NumQueries"): String =
     s"""${x}v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
        |${x}g AS (SELECT id AS g_id, q AS gq FROM ${x}v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
        |${x}aff AS (
@@ -786,7 +789,7 @@ object SimilarityQueries {
        |  FROM ${x}v CROSS JOIN ${x}g),
        |${x}ra AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY gdist, g_id) AS rn FROM ${x}aff),
        |${x}assigned AS (SELECT id, g_id AS cluster FROM ${x}ra WHERE rn = 1),
-       |${x}probes AS (SELECT id AS q_id, g_id AS cluster FROM ${x}ra WHERE id < $NumQueries AND rn <= $nprobe),
+       |${x}probes AS (SELECT id AS q_id, g_id AS cluster FROM ${x}ra WHERE ($qPred) AND rn <= $nprobe),
        |${x}cb AS (SELECT id AS c_id, q AS cq FROM ${x}v WHERE id < $NumCentroids),
        |${x}sub AS (SELECT id, s, q[s*16+1 : s*16+16] AS qs FROM ${x}v, range(0, 4) t(s)),
        |${x}csub AS (SELECT c_id, s, cq[s*16+1 : s*16+16] AS cqs FROM ${x}cb, range(0, 4) t(s)),
@@ -796,7 +799,7 @@ object SimilarityQueries {
        |${x}codes AS (SELECT id, s, c_id AS code FROM
        |            (SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dist, c_id) AS rn FROM ${x}d)
        |          WHERE rn = 1),
-       |${x}tab AS (SELECT id AS q_id, s, c_id, dist FROM ${x}d WHERE id < $NumQueries),
+       |${x}tab AS (SELECT id AS q_id, s, c_id, dist FROM ${x}d WHERE ($qPred)),
        |${x}scored AS (
        |  SELECT p.q_id, c.id AS n_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
        |  FROM ${x}codes c
@@ -941,6 +944,63 @@ object SimilarityQueries {
       .orderBy("qd", "rank")
   }
 
+  /** E24 — the PRODUCTION MaxSim: e19's STORED-index shortlist re-ranked
+    * by e22's late interaction ([[Similarity.ivfPqStoredTopK]] →
+    * [[Similarity.maxSimTopKShortlist]]) — the ColBERT serving split
+    * (candidate generation from an ANN index, exact multi-vector
+    * re-rank over candidates only). What the gate pins is the
+    * INTERACTION, the way e16 gates routing×scoring: every query-doc
+    * TOKEN probes the stored IVF-PQ index (nprobe clusters each), the
+    * union of retrieved vectors' docs is the candidate set, and MaxSim
+    * scores candidates ONLY — a doc none of whose tokens surfaced from
+    * a probed cluster must not score, no matter how close it is (the
+    * PropertySpec pin plants exactly such a doc and proves it absent
+    * while corpus-wide e22 scores it). The oracle chains the e19
+    * reference CTEs — re-instantiated with the token-set query
+    * predicate — into the e22 scoring rule, so index fidelity,
+    * shortlist membership, and re-rank arithmetic are all one hash.
+    *
+    * Scale shape: stage 1 is e19's (probed-partition-pruned codes scan,
+    * I/O ∝ probed clusters); stage 2 touches candidate docs only —
+    * corpus token rows are scanned ONCE and semi-joined against the
+    * broadcast candidate pairs; at 100 TB the full-corpus MaxSim of e22
+    * never runs in production, THIS does.
+    */
+  val e24MaxSimStored: GraftQuery = GraftQuery(
+    "e24_maxsim_stored", {
+      s"""WITH ${ivfPqCtesP("m", NProbe, "id % 100 < 2")},
+         |short AS (SELECT q_id, n_id FROM mranked WHERE rank <= $K),
+         |cand AS (SELECT DISTINCT q_id % 100 AS qd, n_id % 100 AS cd
+         |         FROM short WHERE n_id % 100 != q_id % 100),
+         |vv AS (SELECT vec_id, vec_id % 100 AS d, embedding AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qv, d AS qd, emb AS q_emb FROM vv WHERE d < 2),
+         |p AS (SELECT c.qd, q.qv, c.cd,
+         |             MAX(${Similarity.sqlDotFixed("q_emb", "vv.emb")}) AS m
+         |      FROM cand c JOIN q ON q.qd = c.qd JOIN vv ON vv.d = c.cd
+         |      GROUP BY c.qd, q.qv, c.cd),
+         |sc AS (SELECT qd, cd, CAST(SUM(m) AS BIGINT) AS score
+         |       FROM p GROUP BY qd, cd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qd ORDER BY score DESC, cd) AS rank
+         |      FROM sc)
+         |SELECT qd, rank, cd, score FROM r WHERE rank <= 5
+         |ORDER BY qd, rank""".stripMargin
+    }) { (spark, dir) =>
+    val store = Dsl.tempStore("e24_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    val qTokens = emb.filter(pmod(col("vec_id"), lit(100)) < 2)
+    val short = Similarity.ivfPqStoredTopK(spark, store, qTokens,
+      "vec_id", "embedding", K, NProbe)
+    val cand = short.select(pmod(col("q_id"), lit(100)).as("qd"),
+        pmod(col("n_id"), lit(100)).as("cd"))
+      .filter(col("cd") =!= col("qd")).distinct()
+    Similarity.maxSimTopKShortlist(emb, "vec_id", "embedding",
+        docMod = 100, numQueryDocs = 2, candidates = cand, k = 5)
+      .orderBy("qd", "rank")
+  }
+
   /** E23 — SEMANTIC (embedding-level) BENCHMARK DECONTAMINATION: flag
     * every corpus vector whose cosine to ANY held-out benchmark vector
     * clears a threshold — the embedding companion to t11's n-gram
@@ -1004,5 +1064,6 @@ object SimilarityQueries {
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
+    e24MaxSimStored,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

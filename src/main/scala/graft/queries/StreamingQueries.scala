@@ -634,7 +634,14 @@ object StreamingQueries {
         graft.streaming.StreamSketch.mergeBatch(b, id, "item", store)
       }
       .start()
-    try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
+    try thirds.zipWithIndex.foreach { case (t, i) =>
+      mem.addData(t); q.processAllAvailable()
+      // retention runs MID-STREAM: after batch 1 commits, fold batches
+      // 0-1 into the base slice (frontier rule: only ids strictly behind
+      // the committed frontier); batch 2 then lands beside the base, so
+      // the oracle equality below gates merge ∘ compaction, not just merge
+      if (i == 1) graft.streaming.StreamSketch.compact(spark, store, 2L)
+    }
     finally q.stop()
     val cells = graft.streaming.StreamSketch.readMerged(spark, store)
     val salted = items.groupBy("item").agg(count(lit(1)).as("n_exact"))

@@ -1454,9 +1454,10 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), dirty.as("dirty"))
       .select(col("doc_id"), col("dirty"),
-        trim(regexp_replace(regexp_replace(
-          graft.plans.DedupExprs.nfcNormalize(col("dirty")),
-          "[\\p{Cc}\\p{Cf}]", ""), "\\s+", " ")).as("clean"))
+        // single-scan native form of: trim(collapse(strip_cc_cf(nfc(x))))
+        // — CleanSpec pins byte-parity vs the literal regexp chain
+        graft.plans.DedupExprs.cleanText(col("dirty"), asciiFold = false)
+          .as("clean"))
       .select(col("doc_id"), col("clean"),
         length(col("dirty")).cast("long").as("raw_chars"),
         length(col("clean")).cast("long").as("clean_chars"))
@@ -1487,8 +1488,8 @@ object TextQueries {
         "'/' || lang || '/p/' || CAST(doc_id AS VARCHAR) || '?ref=' || source"
       s"""WITH u AS (SELECT doc_id, lang, source, $urlE AS url FROM documents),
          |p AS (SELECT doc_id, lang,
-         |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
-         |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+         |  regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+         |  regexp_extract(url, 'https://[^/?#]+(/[^?#]*)', 1) AS path,
          |  regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
          |  FROM u),
          |s AS (SELECT regexp_extract(host, '^[^.]+\\.(.+)$$', 1) AS site,

@@ -39,18 +39,14 @@ object StreamNearDup {
                  textCol: String, table: String, outDir: String,
                  shingleK: Int = 2, numPerms: Int = 16, bands: Int = 8,
                  buckets: Int = 16): Unit = {
-    val spark = batch.sparkSession
     val admitted = IncrementalNearDup.dedupeBatchBucketed(
       batch, idCol, textCol, table, shingleK, numPerms, bands, buckets,
       batchId = Some(batchId))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try admitted.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    // Writer-scoped dynamic overwrite — race-free when another query on
+    // the same session writes concurrently (a session-conf set/restore
+    // window is not).
+    admitted.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
   }
 }

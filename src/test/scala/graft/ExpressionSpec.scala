@@ -101,4 +101,64 @@ class ExpressionSpec extends SparkSpec {
       .selectExpr("graft_nfc(s)").collect()
     assert(nulls(0).isNullAt(0) && nulls(1).getString(0) == "a")
   }
+
+  /** graft_clean must be BYTE-IDENTICAL to the four chained rewrites the
+    * t30/c04 oracles pin (NFC → strip [\p{Cc}\p{Cf}] → optional
+    * [^\x00-\x7f] fold → \s+ collapse + trim): the gates' hashes depend
+    * on it. Property-checked on adversarial random strings mixing
+    * combining marks, controls, format chars (ZWSP/BOM/SHY), non-ASCII
+    * whitespace (NBSP/IDEOGRAPHIC SPACE), supplementary code points, and
+    * doubled/leading/trailing spaces — both fold modes.
+    */
+  test("graft_clean equals the chained regexp form on adversarial strings, both fold modes") {
+    val rnd = new Random(44)
+    val atoms = Seq(
+      "a", "b", "Z", "9", " ", "  ", "\t", "\n", "\r",
+      "\u000b", "\u000c", "\u007f", // ASCII controls (Cc)
+      "e\u0301", "x\u0308", "\u00e9", "\u00df", // combining marks + precomposed
+      "\u200b", "\ufeff", "\u00ad", // ZWSP / BOM / SOFT HYPHEN (Cf)
+      "\u00a0", "\u3000", "\u4e2d", // non-ASCII whitespace + CJK
+      "\ud83d\ude00", // supplementary (emoji): fold drops, keep otherwise
+      ".", ",", "?")
+    val strings = Seq("", " ", "  ", "\t\n", "a", " a ", "a  b",
+      "\u200b", "a\u200b b", "e\u0301\u000b x") ++
+      (1 to 400).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      }
+    val df = strings.toDF("s")
+    def chained(c: org.apache.spark.sql.Column, fold: Boolean) = {
+      val stripped = regexp_replace(regexp_replace(
+        graft.plans.DedupExprs.nfcNormalize(c), "[\\p{Cc}\\p{Cf}]", ""),
+        if (fold) "[^\\x00-\\x7f]" else "[\\x00&&[^\\x00]]", "")
+      trim(regexp_replace(stripped, "\\s+", " "))
+    }
+    Seq(false, true).foreach { fold =>
+      val out = df.select(
+        chained(col("s"), fold).as("chain"),
+        graft.plans.DedupExprs.cleanText(col("s"), fold).as("native"))
+      val bad = out.filter(col("chain") =!= col("native")).collect()
+      assert(bad.isEmpty,
+        s"fold=$fold first mismatch: ${bad.headOption.map(_.toString)}")
+    }
+  }
+
+  test("graft_clean stays inside whole-stage codegen, is null-safe, and fast-paths clean ASCII") {
+    val plan = spark.range(10)
+      .select(graft.plans.DedupExprs.cleanText(
+        concat(lit("w "), col("id").cast("string")), asciiFold = true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_clean"))
+    val nulls = Seq[String](null, "a b", " a b  c ").toDF("s")
+      .select(graft.plans.DedupExprs.cleanText(col("s"), asciiFold = false))
+      .collect()
+    assert(nulls(0).isNullAt(0))
+    assert(nulls(1).getString(0) == "a b")
+    assert(nulls(2).getString(0) == "a b c")
+    // already-clean ASCII returns the input object uncopied
+    import org.apache.spark.unsafe.types.UTF8String
+    val in = UTF8String.fromString("already clean ascii")
+    assert(graft.plans.CleanTextExpr.clean(in, asciiFold = true) eq in)
+    assert(graft.plans.CleanTextExpr.clean(
+      UTF8String.fromString(" pad"), asciiFold = false).toString == "pad")
+  }
 }

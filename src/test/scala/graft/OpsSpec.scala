@@ -589,4 +589,29 @@ class OpsSpec extends SparkSpec {
     assert(q.name == "tmp_probe" && q.oracle.isEmpty && q.bench.isEmpty)
     assert(q.run(spark, "unused").count() == 3)
   }
+
+  /** io15's landing-format mechanics, pinned at the filesystem level:
+    * the writer bounds part size via maxRecordsPerFile (no repartition
+    * guessing) and the parts really carry the zstd codec — the two
+    * properties the gate's aggregate hash cannot see.
+    */
+  test("io15: zstd parquet landing bounds part size at the writer and names the codec") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("io15_spec").toString + "/land"
+    val src = graft.Tables.events(spark, dir).select("event_id", "event_type")
+    val n = src.count()
+    src.repartition(1)
+      .write.option("compression", "zstd").option("maxRecordsPerFile", "100")
+      .mode("overwrite").parquet(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.getName.endsWith(".zstd.parquet")),
+      s"codec missing from part names: ${parts.map(_.getName).mkString(",")}")
+    // one writer task + a 100-row bound → exactly ceil(n/100) parts
+    assert(parts.length == math.ceil(n / 100.0).toInt,
+      s"expected ${math.ceil(n / 100.0).toInt} parts for $n rows, got ${parts.length}")
+    // loss-free: the landing zone reads back row-identical
+    assert(spark.read.parquet(out).count() == n)
+  }
 }

@@ -363,6 +363,16 @@ class PlanSpec extends SparkSpec {
   test("store reads prune: every registered store shows partition- or file-level pruning") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def leavesOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => leavesOf(a.executedPlan)
+        // AQE hides materialized stage subtrees behind leaf wrappers
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leavesOf(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          leavesOf(r.child)
+      }.flatten
     for ((gate, evidence) <- StoreAudit.storeGates) evidence match {
       case StoreAudit.PartitionPruned(key) =>
         val plan = planOf(gate)
@@ -373,17 +383,7 @@ class PlanSpec extends SparkSpec {
       case StoreAudit.FilePruned(levelsUp) =>
         val df = SparkEntry.queries(gate)(spark, sf)
         df.collect() // finalize AQE; the store is built as a side effect
-        def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-          p.collect {
-            case f: FileSourceScanExec => Seq(f)
-            case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-            // AQE hides materialized stage subtrees behind leaf wrappers
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              leaves(q.plan)
-            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-              leaves(r.child)
-          }.flatten
-        val scans = leaves(df.queryExecution.executedPlan)
+        val scans = leavesOf(df.queryExecution.executedPlan)
         assert(scans.nonEmpty, s"$gate: no file scans in executed plan")
         // the STORE scan: walk up from a scanned file to the store root
         // and compare against everything physically there
@@ -402,6 +402,22 @@ class PlanSpec extends SparkSpec {
         assert(pruned,
           s"$gate: no store scan reads a strict subset of its store's files " +
             s"(scans: ${scans.map(_.relation.location.inputFiles.length).mkString(",")})")
+      case StoreAudit.CompactedDirs(maxDirs, baseDir) =>
+        // retention evidence: the gate's store read must span at most
+        // maxDirs partition directories, one of them the base slice —
+        // i.e. compaction folded the committed tail instead of the store
+        // keeping one directory per micro-batch
+        val df = SparkEntry.queries(gate)(spark, sf)
+        df.collect() // runs the stream + mid-stream compaction
+        val scans = leavesOf(df.queryExecution.executedPlan)
+        val partDirs = scans.flatMap(_.relation.location.inputFiles)
+          .filter(_.contains(baseDir.takeWhile(_ != '=') + "="))
+          .map(f => new java.io.File(new java.net.URI(f)).getParentFile.getName)
+          .toSet
+        assert(partDirs.nonEmpty, s"$gate: no store scan over partition dirs")
+        assert(partDirs.size <= maxDirs && partDirs.contains(baseDir),
+          s"$gate: store not compacted — scanned dirs $partDirs " +
+            s"(want <= $maxDirs including $baseDir)")
     }
   }
 

@@ -797,6 +797,33 @@ class PropertySpec extends SparkSpec {
     assert(writeLake("static") == 3L)
   }
 
+  /** The production sinks (StreamSketch / StreamNearDup / io10) use the
+    * WRITER-scoped `.option("partitionOverwriteMode", "dynamic")` instead
+    * of a session-conf set/restore window, because two writers sharing a
+    * session can race the window and one lands in STATIC mode. This pins
+    * the precedence that makes that safe: the writer option wins even
+    * when the session conf says static.
+    */
+  test("io10: writer-scoped dynamic option overrides a static session conf") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_id"))
+    val allDays = base.select("day").distinct().count()
+    val lake = java.nio.file.Files.createTempDirectory("io10_opt").toString + "/lake"
+    base.repartition(col("day")).write.mode("overwrite").partitionBy("day").parquet(lake)
+    val batch = base.filter(col("day") === "2024-01-05")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try batch.repartition(col("day"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(lake)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.read.parquet(lake).select("day").distinct().count() == allDays)
+  }
+
   /** j11's window-pass pick must equal the brute-force nearest click:
     * for every purchase, argmin |Δt| over ALL the user's clicks within
     * ±1h, ties to the earlier click — recomputed on the driver.
@@ -1045,6 +1072,168 @@ class PropertySpec extends SparkSpec {
     // merged sketch is unchanged (exactly-once under foreachBatch retry)
     StreamSketch.mergeBatch(slices(1).toDF("item"), 1L, "item", streamed)
     assert(cells(streamed) == cells(onepass))
+  }
+
+  /** sm09's retention story: without compaction the store grows one
+    * `batch=<id>` directory per micro-batch forever (the io06 small-file
+    * failure, ~500k dirs at a year of minutely batches). Compaction
+    * folds ids strictly behind the committed frontier into a `batch=-1`
+    * base slice — the additive merge the gate already proves — while the
+    * frontier batch stays live so a foreachBatch redelivery still lands
+    * in its own partition.
+    */
+  test("sm09 compaction folds committed batches into the base slice; merge and redelivery unchanged") {
+    import graft.streaming.StreamSketch
+    val root = java.nio.file.Files.createTempDirectory("cms_compact")
+    val store = root.resolve("store").toString
+    val all = (1 to 900).map(i => s"k${(i * 7) % 41}")
+    val slices = all.grouped(300).toSeq // batches 0, 1, 2
+    slices.zipWithIndex.foreach { case (sl, id) =>
+      StreamSketch.mergeBatch(sl.toDF("item"), id.toLong, "item", store)
+    }
+    def cells() = StreamSketch.readMerged(spark, store)
+      .as[(Int, Long, Long)].collect().toSet
+    def dirs() = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = cells()
+    // frontier = 2: batch 2 is the one a crash could redeliver; fold 0+1
+    StreamSketch.compact(spark, store, 2L)
+    assert(cells() == before, "compaction must not change the merged sketch")
+    assert(dirs() == Set("batch=-1", "batch=2"), s"got ${dirs()}")
+    // a redelivered frontier batch still overwrites its own partition
+    StreamSketch.mergeBatch(slices(2).toDF("item"), 2L, "item", store)
+    assert(cells() == before)
+    // frontier advances past a new batch: everything folds into the base
+    StreamSketch.mergeBatch(slices(0).toDF("item"), 3L, "item", store)
+    StreamSketch.compact(spark, store, 4L)
+    assert(dirs() == Set("batch=-1"), s"got ${dirs()}")
+    val onepass = root.resolve("one").toString
+    StreamSketch.mergeBatch((all ++ slices(0)).toDF("item"), 0L, "item", onepass)
+    assert(cells() == StreamSketch.readMerged(spark, onepass)
+      .as[(Int, Long, Long)].collect().toSet)
+    // compacting with no tail behind the frontier is a no-op
+    StreamSketch.compact(spark, store, 10L)
+    assert(dirs() == Set("batch=-1") && cells() != Set.empty)
+  }
+
+  /** Crash-state convergence for sm09 compaction (single compactor, the
+    * IncrementalNearDup recovery discipline): before the marker commits
+    * the pending merge is garbage and the live store is intact; after,
+    * the pending/base slice is authoritative and the install replays.
+    * Readers run recovery first, so neither state is ever visible.
+    */
+  test("sm09 compaction recovery converges from both crash states without dropping cells") {
+    import graft.streaming.StreamSketch
+    def build(): (String, Set[(Int, Long, Long)]) = {
+      val store = java.nio.file.Files.createTempDirectory("cms_crash")
+        .resolve("store").toString
+      (0 to 2).foreach { id =>
+        StreamSketch.mergeBatch(
+          (1 to 200).map(i => s"k${(i * (id + 3)) % 37}").toDF("item"),
+          id.toLong, "item", store)
+      }
+      (store, StreamSketch.readMerged(spark, store)
+        .as[(Int, Long, Long)].collect().toSet)
+    }
+    def dirs(store: String) = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+
+    // crash BEFORE the marker: pending exists, no marker → discarded,
+    // every live partition intact
+    val (s1, m1) = build()
+    spark.read.parquet(s1).filter(col("batch") < 2)
+      .groupBy("r", "bucket").agg(sum("bsum").as("bsum"))
+      .coalesce(1).write.parquet(s"$s1/_compact_pending")
+    assert(StreamSketch.readMerged(spark, s1)
+      .as[(Int, Long, Long)].collect().toSet == m1)
+    assert(!new java.io.File(s"$s1/_compact_pending").exists())
+    assert(dirs(s1) == Set("batch=0", "batch=1", "batch=2"))
+
+    // crash AFTER the marker, before the install: pending + marker →
+    // recovery completes the swap; merge unchanged, tail collapsed
+    val (s2, m2) = build()
+    spark.read.parquet(s2).filter(col("batch") < 2)
+      .groupBy("r", "bucket").agg(sum("bsum").as("bsum"))
+      .coalesce(1).write.parquet(s"$s2/_compact_pending")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s2, "_compact_upto"), "2".getBytes)
+    assert(StreamSketch.readMerged(spark, s2)
+      .as[(Int, Long, Long)].collect().toSet == m2)
+    assert(dirs(s2) == Set("batch=-1", "batch=2"))
+    assert(!new java.io.File(s"$s2/_compact_upto").exists())
+  }
+
+  /** e24's composed MaxSim (stored-ANN shortlist → exact re-rank) on a
+    * cluster-SEPARATED fixture: four orthogonal 16-dim blocks, every
+    * doc's tokens in one block, ≥5 docs per block — so the probe set
+    * provably covers every top-5 doc and the composed form must equal
+    * corpus-wide e22 exactly. Plus the gating half: a planted doc whose
+    * tokens carry a real query-block component (positive corpus-wide
+    * MaxSim) but ROUTE to an unprobed cluster (their dominant block) —
+    * the composed form must never score it. That asymmetry (dot-near,
+    * L2-routed-away) is precisely what "a near doc outside the probe
+    * set must not score" means.
+    */
+  test("e24 composed MaxSim == corpus-wide e22 on separated clusters; out-of-probe near doc never scores") {
+    import graft.operators.Similarity
+    val dims = 64
+    def block(j: Int, v: Float, extra: Map[Int, Float] = Map.empty): Array[Float] = {
+      val a = Array.fill(dims)(0.0f)
+      (16 * j until 16 * j + 16).foreach(i => a(i) = v)
+      extra.foreach { case (jj, vv) =>
+        (16 * jj until 16 * jj + 16).foreach(i => a(i) = vv) }
+      a
+    }
+    val docMod = 25L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    // PQ codebook ids 0..7 (small magnitudes; quality is irrelevant —
+    // the shortlist k covers every probed vector)
+    (0 to 7).foreach(i => rows += ((i.toLong, block(i % 4, 0.1f + 0.02f * i))))
+    // coarse centroids ids 8..11, one per block
+    (0 to 3).foreach(j => rows += ((8L + j, block(j, 0.8f))))
+    // corpus docs 2..21 (5 per cluster), 3 strong tokens each
+    for (d <- 2 to 21; t <- 1 to 3) {
+      val id = d + 25 * t
+      rows += ((id.toLong, block(d % 4, 0.8f + 0.003f * (id % 5))))
+    }
+    // query docs 0 (cluster 0) and 1 (cluster 1)
+    for (d <- 0 to 1; t <- 1 to 3) {
+      val id = d + 25 * t
+      rows += ((id.toLong, block(d, 0.8f + 0.003f * (id % 5))))
+    }
+    // the planted near doc 22: a real B0 component (positive MaxSim vs
+    // query doc 0) dominated by B3 → every token L2-routes to c11,
+    // which query-doc-0 tokens (probes = c8, then tie→c9) never probe
+    for (t <- 1 to 3)
+      rows += ((22L + 25 * t, block(0, 0.4f, Map(3 -> 0.7f))))
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("e24_fix")
+      .toString + "/index"
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val qTokens = emb.filter(pmod(col("vec_id"), lit(docMod)) < 2)
+    val short = Similarity.ivfPqStoredTopK(spark, store, qTokens,
+      "vec_id", "embedding", k = 1000, nprobe = 2)
+    val cand = short.select(pmod(col("q_id"), lit(docMod)).as("qd"),
+        pmod(col("n_id"), lit(docMod)).as("cd"))
+      .filter(col("cd") =!= col("qd")).distinct()
+    val candSet = cand.as[(Long, Long)].collect().toSet
+    val composed = Similarity.maxSimTopKShortlist(emb, "vec_id", "embedding",
+        docMod, 2, cand, 5)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val corpusWide = Similarity.maxSimTopK(emb, "vec_id", "embedding",
+        docMod, 2, 25)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // separation ⇒ the shortlist covers every top-5 doc: exact equality
+    assert(composed == corpusWide.filter(_._2 <= 5).sortBy(r => (r._1, r._2)),
+      s"composed=$composed corpusTop5=${corpusWide.filter(_._2 <= 5)}")
+    // the planted doc scores corpus-wide (it IS MaxSim-near)...
+    val planted = corpusWide.find(r => r._1 == 0L && r._3 == 22L)
+    assert(planted.exists(_._4 > 0L), s"planted doc missing: $corpusWide")
+    // ...but its cluster is never probed, so the composed form cannot
+    // score it — the candidate set and the output both exclude it
+    assert(!candSet.contains((0L, 22L)), s"candidates leaked doc 22: $candSet")
+    assert(!composed.exists(r => r._3 == 22L))
   }
 
   test("e22 relational MaxSim equals the naive driver computation at sf0.001") {
