@@ -828,6 +828,83 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** X22 — LEAKAGE-FREE TRAIN/EVAL SPLIT: d15's hash split applied at
+    * near-dup CLUSTER grain instead of doc grain — the decontamination
+    * rule every eval-set construction needs (Lee et al. 2022 §5: if two
+    * near-duplicates land on opposite sides of the split, the eval half
+    * is contaminated by construction; t11/e23 DETECT leakage after the
+    * fact, x22 makes it impossible). Every document is keyed by its
+    * near-dup component (g02's clusters; singletons key by their own
+    * id), and the split is a pure function of that CLUSTER key — so a
+    * whole cluster moves together, and the straddle audit (number of
+    * clusters seen in >1 split) is structurally zero, which the gate
+    * ships as a column the oracle recomputes.
+    *
+    * Scale shape: candidate edges + components are exactly g02's
+    * machinery (per-bucket stars, the three-regime CC loop); after the
+    * labels everything is one corpus-scan projection (the cluster key
+    * is a coalesce over a broadcast-class left join — labels exist only
+    * for clustered docs) and two map-side-combinable aggs. The split
+    * hash is salted ('#csplit') so it decorrelates from every other
+    * hash-keyed decision on the same ids (d15's salt rationale).
+    */
+  val x22LeakageFreeSplit: GraftQuery = GraftQuery(
+    "x22_leakage_free_split", {
+      val bucket = graft.operators.Sampling.sqlHashBucket("ckey || '#csplit'")
+      s"""WITH RECURSIVE $sqlCandCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION ALL SELECT id_b, id_a FROM cand),
+         |verts AS (SELECT DISTINCT a AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |keyed AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS ckey
+         |          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |sp AS (SELECT doc_id, ckey,
+         |         CASE WHEN $bucket < 800000 THEN 'train' ELSE 'eval' END AS split
+         |       FROM keyed),
+         |str AS (SELECT COUNT(*) AS n_straddling FROM
+         |        (SELECT ckey FROM sp GROUP BY ckey
+         |         HAVING COUNT(DISTINCT split) > 1) t)
+         |SELECT split, COUNT(*) AS n_docs,
+         |       CAST(COUNT(DISTINCT ckey) AS BIGINT) AS n_clusters,
+         |       BIT_XOR(doc_id) AS id_fp,
+         |       MAX(s.n_straddling) AS n_straddling
+         |FROM sp CROSS JOIN str s
+         |GROUP BY split ORDER BY split""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.lshComponentEdges(docs, "doc_id", "text", ShingleK, NumPerms, Bands)
+    // same shuffle sizing as g02: candidate generation ∝ corpus
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val ccParts = math.min(prevParts.toLong, math.max(4L, docs.count() / 5000L))
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts.toString)
+    val comps = try Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val keyed = docs.select(col("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("ckey"))
+    val bucket = graft.operators.Sampling.hashBucket(
+      concat(col("ckey").cast("string"), lit("#csplit")))
+    // consumed twice (stats + straddle audit) — don't recompute the CC
+    val sp = keyed.select(col("doc_id"), col("ckey"),
+        when(bucket < 800000L, "train").otherwise("eval").as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val straddle = sp.groupBy("ckey")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_straddling"))
+    sp.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("ckey").cast("long").as("n_clusters"),
+        bit_xor(col("doc_id")).as("id_fp"))
+      .crossJoin(broadcast(straddle))
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("id_fp"),
+        col("n_straddling"))
+      .orderBy("split")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
@@ -835,5 +912,6 @@ object DedupQueries {
     x18IncrementalNearDupBucketed, sm08StreamNearDup,
     m01MinHashLsh, m02MinHashEstimate, m03NearDupEstimated, m04ThresholdCurve,
     s01SimHash,
-    s01bSimHash64, g01NgramJaccard, g02DedupGroups, x20CanonicalSelection)
+    s01bSimHash64, g01NgramJaccard, g02DedupGroups, x20CanonicalSelection,
+    x22LeakageFreeSplit)
 }

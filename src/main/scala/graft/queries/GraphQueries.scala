@@ -728,7 +728,93 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** G13 — DETERMINISTIC RANDOM WALKS (DeepWalk/node2vec corpus
+    * generation, GraphSAGE's neighbor expansion): from every sampled
+    * start node, a T=3-step walk over the capped adjacency where the
+    * step-t transition out of node u is the neighbor minimizing
+    * rollingHash(start#t#nb) — the d15/d18 salted-hash discipline
+    * applied to TRANSITION sampling, so the "random" walk is a pure
+    * function of (start, step, neighbor): rerun/engine/cluster-stable,
+    * no RNG state to checkpoint, and two engines produce bit-identical
+    * corpora. Output per walk: endpoint + a path fingerprint folding
+    * every visited node with its step index.
+    *
+    * Scale shape: the walk frame stays ONE ROW PER WALK for the whole
+    * traversal — each step is a keyed equi-join against the (capped,
+    * reused) adjacency followed by a map-side-combinable
+    * min(struct(hash, nb)) per walk; fan-out is bounded by the cap (≤16
+    * candidate rows per walk per step) and collapses before any
+    * shuffle. T steps = T joins; at 100 TB this is the walk-table
+    * pattern every distributed DeepWalk implementation uses, with the
+    * adjacency co-partitioned once and reused across steps.
+    */
+  val g13RandomWalks: GraftQuery = GraftQuery(
+    "g13_random_walks", {
+      def hE(t: Int) = graft.functions.TextFunctions.sqlRollingHash(
+        s"CAST(start AS VARCHAR) || '#$t#' || CAST(nb AS VARCHAR)")
+      s"""WITH edges AS ($edgesSql),
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |        FROM edges WHERE src <> dst),
+         |adj AS (SELECT u AS node, v AS nb FROM und
+         |        UNION ALL SELECT v AS node, u AS nb FROM und),
+         |cadj AS (SELECT node, nb FROM adj
+         |         QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY nb) <= 16),
+         |starts AS (SELECT DISTINCT node AS start FROM cadj WHERE node % 20 = 0),
+         |s1 AS (SELECT start, nb AS c1 FROM (
+         |         SELECT s.start, c.nb,
+         |                ROW_NUMBER() OVER (PARTITION BY s.start
+         |                  ORDER BY (${hE(1)}), c.nb) AS rn
+         |         FROM starts s JOIN cadj c ON c.node = s.start) WHERE rn = 1),
+         |s2 AS (SELECT start, c1, nb AS c2 FROM (
+         |         SELECT w.start, w.c1, c.nb,
+         |                ROW_NUMBER() OVER (PARTITION BY w.start
+         |                  ORDER BY (${hE(2)}), c.nb) AS rn
+         |         FROM s1 w JOIN cadj c ON c.node = w.c1) WHERE rn = 1),
+         |s3 AS (SELECT start, c1, c2, nb AS c3 FROM (
+         |         SELECT w.start, w.c1, w.c2, c.nb,
+         |                ROW_NUMBER() OVER (PARTITION BY w.start
+         |                  ORDER BY (${hE(3)}), c.nb) AS rn
+         |         FROM s2 w JOIN cadj c ON c.node = w.c2) WHERE rn = 1)
+         |SELECT start, c3 AS end_node,
+         |       CAST(xor(xor(c1 * 4099 + 1, c2 * 4099 + 2), c3 * 4099 + 3)
+         |            AS BIGINT) AS path_fp
+         |FROM s3 ORDER BY start""".stripMargin
+    }) { (spark, dir) =>
+    val und = edgesDf(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("nb")
+    val cadj = adj
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= 16).drop("__rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var walk = cadj.select(col("node").as("start")).distinct()
+      .filter(col("start") % 20 === 0)
+      .select(col("start"), col("start").as("cur"), lit(0L).as("fp"))
+    for (t <- 1 to 3) {
+      val h = graft.functions.TextFunctions.rollingHash(
+        concat(col("start").cast("string"), lit(s"#$t#"),
+          col("nb").cast("string")))
+      walk = walk.join(cadj, col("cur") === col("node"))
+        .select(col("start"), col("fp"), h.as("h"), col("nb"))
+        .groupBy("start", "fp")
+        .agg(min(struct(col("h"), col("nb"))).as("b"))
+        .select(col("start"),
+          col("fp").bitwiseXOR(col("b.nb") * 4099 + t).as("fp"),
+          col("b.nb").as("cur"))
+    }
+    walk.select(col("start"), col("cur").as("end_node"),
+        col("fp").as("path_fp"))
+      .orderBy("start")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
-    g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound)
+    g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound,
+    g13RandomWalks)
 }

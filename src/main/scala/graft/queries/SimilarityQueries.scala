@@ -1059,11 +1059,98 @@ object SimilarityQueries {
       .orderBy("id")
   }
 
+  /** E25 — GREEDY K-CENTER CORESET (farthest-point sampling, the
+    * Gonzalez 2-approximation): select k maximally-spread vectors —
+    * seed = smallest id, then k−1 rounds of "the point farthest from
+    * every chosen center" — and report each center's selection
+    * distance, assignment count, and coverage radius. This is the
+    * data-SELECTION primitive diversity-driven curation runs (coreset /
+    * active-learning seeding / dedup-aware eval sampling): d10–d18
+    * sample by key or weight, e06 drops near-duplicates, e25 picks the
+    * subset that COVERS the embedding space. All distances are squared
+    * L2 on the quantized BIGINT grid (ties by id), so selection,
+    * assignment, and radii are exact and engine-identical.
+    *
+    * Scale shape: k corpus scans, each one codegen'd projection against
+    * the k×dims BIGINT centers literal (driver-held — the e19
+    * probe-collect convention, bounded by k); the farthest point per
+    * round is a TakeOrderedAndProject, never a full sort; the final
+    * assignment is one scan against the broadcast centers frame with a
+    * map-side min(struct(dist, center)) — no shuffle wider than
+    * |centers| × the agg. At 100 TB this is exactly how FPS runs: k
+    * passes, O(k·dims) driver state, no pairwise matrix ever forms.
+    */
+  val e25KcenterCoreset: GraftQuery = GraftQuery(
+    "e25_kcenter_coreset", {
+      def d(aE: String, bE: String) =
+        s"CAST(list_sum([($aE[i]-$bE[i])*($aE[i]-$bE[i]) for i in range(1, len($aE)+1)]) AS BIGINT)"
+      s"""WITH v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
+         |seed AS (SELECT id, q FROM v ORDER BY id LIMIT 1),
+         |d0 AS (SELECT v.id, v.q, ${d("v.q", "s.q")} AS dist FROM v CROSS JOIN seed s),
+         |p1 AS (SELECT id, q, dist FROM d0 ORDER BY dist DESC, id LIMIT 1),
+         |d1 AS (SELECT d0.id, d0.q, LEAST(d0.dist, ${d("d0.q", "c.q")}) AS dist
+         |       FROM d0 CROSS JOIN p1 c),
+         |p2 AS (SELECT id, q, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+         |d2 AS (SELECT d1.id, d1.q, LEAST(d1.dist, ${d("d1.q", "c.q")}) AS dist
+         |       FROM d1 CROSS JOIN p2 c),
+         |p3 AS (SELECT id, q, dist FROM d2 ORDER BY dist DESC, id LIMIT 1),
+         |centers AS (
+         |  SELECT 0 AS r, id, q, CAST(0 AS BIGINT) AS sel_dist FROM seed
+         |  UNION ALL SELECT 1, id, q, dist FROM p1
+         |  UNION ALL SELECT 2, id, q, dist FROM p2
+         |  UNION ALL SELECT 3, id, q, dist FROM p3),
+         |asgn AS (SELECT v.id, c.id AS center_id, ${d("v.q", "c.q")} AS dd
+         |         FROM v CROSS JOIN centers c),
+         |best AS (SELECT id, center_id, dd FROM
+         |         (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dd, center_id) AS rn
+         |          FROM asgn) WHERE rn = 1)
+         |SELECT CAST(c.r AS BIGINT) AS round, c.id AS center_id,
+         |       CAST(c.sel_dist AS BIGINT) AS sel_dist,
+         |       COUNT(*) AS n_assigned, CAST(MAX(b.dd) AS BIGINT) AS radius
+         |FROM centers c JOIN best b ON b.center_id = c.id
+         |GROUP BY c.r, c.id, c.sel_dist ORDER BY round""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    def qLit(qs: Seq[Long]): Column = array(qs.map(lit): _*)
+    // k×dims BIGINTs of driver state — the e19 probe-collect convention
+    val seed = v.orderBy("id").limit(1)
+      .select(col("id"), col("q")).as[(Long, Seq[Long])].head()
+    var centers = Vector((0L, seed._1, seed._2, 0L))
+    var cur = v.select(col("id"), col("q"),
+      sqDist(col("q"), qLit(seed._2)).as("dist"))
+    for (r <- 1 to 3) {
+      val next = cur.orderBy(desc("dist"), asc("id")).limit(1)
+        .select(col("id"), col("q"), col("dist"))
+        .as[(Long, Seq[Long], Long)].head()
+      centers :+= ((r.toLong, next._1, next._2, next._3))
+      cur = cur.select(col("id"), col("q"),
+        least(col("dist"), sqDist(col("q"), qLit(next._2))).as("dist"))
+    }
+    val centersDf = centers.toDF("round", "center_id", "cq", "sel_dist")
+    val best = v.crossJoin(broadcast(centersDf))
+      .select(col("id"), col("center_id"), sqDist(col("q"), col("cq")).as("dd"))
+      .groupBy("id").agg(min(struct(col("dd"), col("center_id"))).as("b"))
+      .select(col("b.center_id").as("center_id"), col("b.dd").as("dd"))
+    best.groupBy("center_id")
+      .agg(count(lit(1)).as("n_assigned"), max(col("dd")).as("radius"))
+      .join(broadcast(centersDf.select("round", "center_id", "sel_dist")),
+        "center_id")
+      .select(col("round"), col("center_id"), col("sel_dist"),
+        col("n_assigned"), col("radius"))
+      .orderBy("round")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
-    e24MaxSimStored,
+    e24MaxSimStored, e25KcenterCoreset,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

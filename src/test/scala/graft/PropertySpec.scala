@@ -1163,6 +1163,37 @@ class PropertySpec extends SparkSpec {
     assert(!new java.io.File(s"$s2/_compact_upto").exists())
   }
 
+  /** x22's reason to exist, shown both ways on a corpus of 40 exact
+    * near-dup pairs: the doc-grain hash split (d15 applied naively)
+    * separates SOME pair across train/eval — eval contamination by
+    * construction — while the cluster-grain split straddles zero
+    * clusters, because membership is a pure function of the cluster
+    * key.
+    */
+  test("x22: cluster-grain split straddles zero near-dup clusters; doc-grain split leaks") {
+    import graft.operators.{Dedup, Sampling}
+    val docs = (0 until 40).flatMap { p =>
+      val text = (0 until 6).map(t => s"w${p}x$t").mkString(" ")
+      Seq((2L * p, text), (2L * p + 1, text))
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.lshComponentEdges(docs, "doc_id", "text", 2, 16, 8)
+    val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    // every pair clustered (identical text shares all bands)
+    assert(comps.select(countDistinct("comp")).as[Long].head() == 40L)
+    val keyed = docs.select("doc_id")
+      .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("ckey"))
+    def straddling(grain: org.apache.spark.sql.Column): Long = keyed
+      .select(col("ckey"),
+        when(Sampling.hashBucket(concat(grain.cast("string"), lit("#csplit")))
+          < 800000L, "train").otherwise("eval").as("split"))
+      .groupBy("ckey").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling(col("ckey")) == 0L, "cluster-grain split must never straddle")
+    assert(straddling(col("doc_id")) > 0L,
+      "doc-grain split should separate at least one of 40 near-dup pairs")
+  }
+
   /** e24's composed MaxSim (stored-ANN shortlist → exact re-rank) on a
     * cluster-SEPARATED fixture: four orthogonal 16-dim blocks, every
     * doc's tokens in one block, ≥5 docs per block — so the probe set
@@ -1234,6 +1265,39 @@ class PropertySpec extends SparkSpec {
     // score it — the candidate set and the output both exclude it
     assert(!candSet.contains((0L, 22L)), s"candidates leaked doc 22: $candSet")
     assert(!composed.exists(r => r._3 == 22L))
+  }
+
+  /** e25's distributed farthest-point sampling vs a from-scratch driver
+    * implementation of the same greedy (seed = min id, argmax of
+    * min-distance with id tie-break, exact integer grid) — selection
+    * order, selection distances, assignment counts, and radii all pin.
+    */
+  test("e25 greedy k-center equals the naive driver computation at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("e25_kcenter_coreset")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 127).toLong) }
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var centers = Vector((0L, vecs.head._1, vecs.head._2, 0L))
+    var dist = vecs.map { case (id, q) => (id, q, d2(q, vecs.head._2)) }
+    for (r <- 1 to 3) {
+      val next = dist.minBy { case (id, _, dd) => (-dd, id) }
+      centers :+= ((r.toLong, next._1, next._2, next._3))
+      dist = dist.map { case (id, q, dd) => (id, q, math.min(dd, d2(q, next._2))) }
+    }
+    val expected = centers.map { case (r, cid, _, sel) =>
+      // assignment tie-break is (distance, center id) — c._2 is the id
+      val assigned = vecs.map { case (_, q) =>
+        centers.map(c => (d2(q, c._3), c._2)).min }
+        .filter(_._2 == cid)
+      (r, cid, sel, assigned.size.toLong, assigned.map(_._1).max)
+    }
+    assert(got == expected, s"got $got expected $expected")
   }
 
   test("e22 relational MaxSim equals the naive driver computation at sf0.001") {
