@@ -1602,11 +1602,78 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T33 — MIXTURE REWEIGHTING round (the DoReMi update, Xie et al.
+    * 2023): one multiplicative-weights step over the per-source mixture
+    * — w'ᵢ ∝ wᵢ · (1 + η · excessᵢ), renormalized — where excess is the
+    * source's per-doc statistic relative to the corpus mean. Completes
+    * the mixture family: t15 MEASURES the realized mixture, t17 computes
+    * per-example DSIR weights, c03 APPLIES a target mixture, t33 is the
+    * optimization step that produces the next round's target. The
+    * per-source statistic here is mean tokens/doc (a deterministic
+    * stand-in for the per-domain excess-loss signal a training loop
+    * would feed in — the UPDATE RULE is the operator); the update runs
+    * in exact ppm BIGINT arithmetic ((1+η·excess) instead of exp(η·e) —
+    * the standard MW form — with a [0.1, 2.0] per-step trust region),
+    * so weights are engine-identical with no float/exp divergence.
+    *
+    * Scale shape: ONE map-side-combinable agg to |sources| rows is the
+    * only corpus-sized work; the global mean, the update, and the
+    * normalization all run on the collapsed |sources|-row frame
+    * (persisted — it is consumed by both the update and the
+    * normalizer), with the 1-row global broadcast back.
+    */
+  val t33MixtureReweight: GraftQuery = GraftQuery(
+    "t33_mixture_reweight", {
+      s"""WITH d AS (SELECT source, len(${sqlTokens("text")}) AS n_tok FROM documents),
+         |per AS (SELECT source, COUNT(*) AS n_docs,
+         |               CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+         |        FROM d GROUP BY source),
+         |g AS (SELECT CAST(CAST(SUM(sum_tok) AS HUGEINT) // SUM(n_docs) AS BIGINT) AS gavg,
+         |             COUNT(*) AS nsrc FROM per),
+         |u AS (SELECT p.source, p.n_docs,
+         |        CAST(CAST(p.sum_tok AS HUGEINT) // p.n_docs AS BIGINT) AS avg_tok,
+         |        CAST(1000000 AS BIGINT) // g.nsrc AS w0_ppm, g.gavg
+         |      FROM per p CROSS JOIN g),
+         |r AS (SELECT source, n_docs, avg_tok, avg_tok - gavg AS excess, w0_ppm,
+         |        w0_ppm * GREATEST(CAST(100000 AS BIGINT),
+         |          LEAST(CAST(2000000 AS BIGINT),
+         |                1000000 + 10000 * (avg_tok - gavg))) AS w1_raw
+         |      FROM u),
+         |t AS (SELECT CAST(SUM(w1_raw) AS HUGEINT) AS tot FROM r)
+         |SELECT r.source, r.n_docs, r.avg_tok, r.excess, r.w0_ppm,
+         |       CAST(CAST(r.w1_raw AS HUGEINT) * 1000000 // t.tot AS BIGINT) AS w1_ppm
+         |FROM r CROSS JOIN t ORDER BY r.source""".stripMargin
+    }) { (spark, dir) =>
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = per.agg(expr("sum(sum_tok) div sum(n_docs)").as("gavg"),
+      count(lit(1)).as("nsrc"))
+    val r = per.crossJoin(broadcast(g))
+      .select(col("source"), col("n_docs"),
+        expr("sum_tok div n_docs").as("avg_tok"),
+        (expr("sum_tok div n_docs") - col("gavg")).as("excess"),
+        expr("1000000 div nsrc").as("w0_ppm"))
+      .select(col("source"), col("n_docs"), col("avg_tok"), col("excess"),
+        col("w0_ppm"),
+        (col("w0_ppm") * greatest(lit(100000L),
+          least(lit(2000000L), lit(1000000L) + lit(10000L) * col("excess"))))
+          .as("w1_raw"))
+    val tot = r.agg(sum("w1_raw").as("tot"))
+    r.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("avg_tok"), col("excess"),
+        col("w0_ppm"), expr("(w1_raw * 1000000) div tot").as("w1_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
     t16BpeMergeRound, t17DsirWeights, t18BlocklistFilter, t19InvertedIndex,
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
-    t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines)
+    t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
+    t33MixtureReweight)
 }

@@ -211,6 +211,18 @@ class MultimodalSpec extends SparkSpec {
       .select("embedding").as[Seq[Float]].collect()
     assert(emb.length == 7 && emb.forall(_ == Seq(0.25f, 0.25f, 0.25f, 0.25f)))
   }
+
+  /** The r12 i02-variance fix, pinned: ImageIO defaults to DISK-backed
+    * stream caches (a temp file created+deleted per in-memory
+    * encode/decode), which made codec-heavy queries ride the scratch
+    * filesystem's state — the r11 unchanged-code 3× mover. Multimodal's
+    * class initializer turns it off; if this regresses, per-row codec
+    * cost becomes machine-state-dependent again.
+    */
+  test("ImageIO stream caches stay in memory (the i02 variance fix)") {
+    Multimodal.syntheticImage(1L) // force the object initializer
+    assert(!javax.imageio.ImageIO.getUseCache)
+  }
 }
 
 /** Batch-observation probe for the VisionModel seam spec (static: local
