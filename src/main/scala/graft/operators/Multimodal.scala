@@ -40,6 +40,94 @@ object Multimodal {
   // in/out; keep it in memory. Runs once per executor JVM at class load.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // ---- PNG chunk surgery: the metadata-privacy primitive ------------
+  //
+  // Training-data image pipelines strip embedded metadata (EXIF GPS,
+  // camera serials, XMP author tags) before anything else touches the
+  // bytes — the i02 face-pixelation step's sibling on the CONTAINER
+  // rather than the pixels. PNG metadata lives in ancillary chunks
+  // (tEXt/zTXt/iTXt/tIME/...); the critical chunks (IHDR/PLTE/IDAT/
+  // IEND) carry the image itself, so the strip is a pure byte-level
+  // chunk walk: no decode, no re-encode, pixels bit-identical — which
+  // is what lets the i10 gate pin "pixels survive the scrub" against
+  // the pixel-formula oracle while a spec pins the chunk-level removal.
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val CriticalChunks = Set("IHDR", "PLTE", "IDAT", "IEND")
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > PngSig.length &&
+      PngSig.indices.forall(i => bytes(i) == PngSig(i))
+
+  /** (offset, whole-chunk length, type) for each well-formed chunk;
+    * stops at the first truncated chunk.
+    */
+  private def pngChunks(bytes: Array[Byte]): Seq[(Int, Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    var o = PngSig.length
+    var ok = true
+    while (ok && o + 8 <= bytes.length) {
+      val len = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      val total = 12 + len
+      if (len < 0 || o + total > bytes.length) ok = false
+      else {
+        out += ((o, total, new String(bytes, o + 4, 4, "ISO-8859-1")))
+        o += total
+      }
+    }
+    out.toSeq
+  }
+
+  /** Chunk-type walk (empty for non-PNG bytes) — the audit view. */
+  def pngChunkTypes(bytes: Array[Byte]): Seq[String] =
+    if (!isPng(bytes)) Seq.empty else pngChunks(bytes).map(_._3)
+
+  /** Drop every ancillary chunk; critical chunks pass through
+    * byte-identical (pixels untouched — no decode happens). Non-PNG
+    * input passes through unchanged (the strip composes with mixed
+    * binary columns without a decode gate in front).
+    */
+  def stripPngMetadata(bytes: Array[Byte]): Array[Byte] =
+    if (!isPng(bytes)) bytes
+    else {
+      val keep = pngChunks(bytes).filter(c => CriticalChunks(c._3))
+      val bos = new java.io.ByteArrayOutputStream(bytes.length)
+      bos.write(PngSig, 0, PngSig.length)
+      keep.foreach { case (o, n, _) => bos.write(bytes, o, n) }
+      bos.toByteArray
+    }
+
+  /** Insert a `tEXt` keyword/value chunk right after IHDR — the fixture
+    * injector that stands in for camera-written EXIF/XMP (javax's PNG
+    * encoder writes none, so the strip needs something real to remove).
+    */
+  def pngWithText(bytes: Array[Byte], keyword: String, value: String): Array[Byte] =
+    if (!isPng(bytes)) bytes
+    else {
+      val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        value.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32
+      crc.update(typ)
+      crc.update(data)
+      val c = crc.getValue
+      val ihdrEnd = pngChunks(bytes).find(_._3 == "IHDR")
+        .map(ch => ch._1 + ch._2).getOrElse(PngSig.length)
+      val bos = new java.io.ByteArrayOutputStream(bytes.length + data.length + 12)
+      bos.write(bytes, 0, ihdrEnd)
+      val len = data.length
+      bos.write((len >>> 24) & 0xff); bos.write((len >>> 16) & 0xff)
+      bos.write((len >>> 8) & 0xff); bos.write(len & 0xff)
+      bos.write(typ, 0, typ.length)
+      bos.write(data, 0, data.length)
+      bos.write(((c >>> 24) & 0xff).toInt); bos.write(((c >>> 16) & 0xff).toInt)
+      bos.write(((c >>> 8) & 0xff).toInt); bos.write((c & 0xff).toInt)
+      bos.write(bytes, ihdrEnd, bytes.length - ihdrEnd)
+      bos.toByteArray
+    }
+
   /** Read an image directory through the binaryFile source. */
   def readImages(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)

@@ -578,7 +578,64 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** I10 — IMAGE METADATA STRIP (the EXIF/XMP scrub, privacy's
+    * container-level half — i02/U5 scrubs PIXELS, i10 scrubs what the
+    * camera wrote AROUND them: GPS, serials, author tags; every
+    * training-data image pipeline runs this before anything else
+    * touches the bytes). The Spark side renders the PNG, INJECTS a
+    * real `tEXt` chunk (standing in for camera metadata — javax's
+    * encoder writes none), strips every ancillary chunk with the pure
+    * byte-level walk ([[Multimodal.stripPngMetadata]] — no decode, no
+    * re-encode), then decodes the RESULT and emits whole-image channel
+    * sums. The oracle recomputes the sums from the pixel formula, so
+    * the gate pins "pixels survive the scrub" — and the strip itself
+    * is asserted in-flight (the injected chunk must be gone) plus
+    * chunk-level in MultimodalSpec.
+    *
+    * Scale shape: i01's profile — one narrow mapPartitions projection,
+    * no shuffle before the tiny ordered output; the strip is O(bytes)
+    * with zero codec work, so at 100 TB it runs at I/O speed on the
+    * binary column (decode here exists only to PROVE pixel survival).
+    */
+  val i10MetadataStrip: GraftQuery = GraftQuery(
+    "i10_metadata_strip",
+    s"""WITH d AS (
+       |  SELECT doc_id, 16 + doc_id % 13 AS w, 12 + doc_id % 11 AS h
+       |  FROM documents WHERE doc_id % 10 = 7)
+       |SELECT doc_id, w, h,
+       |  ${sqlChCell("r", "0", "w", "0", "h")} AS r_sum,
+       |  ${sqlChCell("g", "0", "w", "0", "h")} AS g_sum,
+       |  ${sqlChCell("b", "0", "w", "0", "h")} AS b_sum
+       |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.ImageIoVisionModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("r_sum", LongType), StructField("g_sum", LongType),
+      StructField("b_sum", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val tagged = Multimodal.pngWithText(
+            Multimodal.syntheticImage(id), "Comment", s"secret-$id")
+          val stripped = Multimodal.stripPngMetadata(tagged)
+          // the oracle sees pixels only; fail loudly here if the scrub
+          // didn't actually remove the injected metadata
+          require(!Multimodal.pngChunkTypes(stripped).contains("tEXt"),
+            s"metadata survived the strip for doc $id")
+          val (w, h, rs, gs, bs) = m.channelSums(stripped).get
+          Row(id, w.toLong, h.toLong, rs, gs, bs)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
     i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup,
-    i08ResizeNN, i09AudioFpDedup)
+    i08ResizeNN, i09AudioFpDedup, i10MetadataStrip)
 }

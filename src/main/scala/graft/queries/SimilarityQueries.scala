@@ -1059,6 +1059,104 @@ object SimilarityQueries {
       .orderBy("id")
   }
 
+  /** T34 — CONTAMINATION REPORT, lexical ∪ semantic: the composition
+    * e23's own note promises ("modern eval hygiene runs BOTH filters")
+    * — t11's exact 4-shingle overlap catches VERBATIM leakage, the
+    * embedding-cosine flag catches PARAPHRASED leakage that shares no
+    * n-grams, and the report attributes every flagged document to its
+    * detection method (1 = semantic only, 2 = lexical only, 3 = both —
+    * the Venn a decontamination review actually triages). Benchmark =
+    * t11's held-out convention (doc_id % 97 = 0); document vectors
+    * attach from the embeddings table by key (g12's deterministic
+    * feature attachment); the cosine is the fixed-point-assembled
+    * double (identical IEEE values both engines, so the τ = 0.35
+    * threshold cannot diverge). One hash pins BOTH detectors AND their
+    * interaction — a drift in either flag moves documents between Venn
+    * cells.
+    *
+    * Scale shape: the lexical leg is t11's plan (distinct bench
+    * shingles broadcast into one exploded-train join); the semantic leg
+    * broadcasts the ≤|bench| distinct vectors into ONE train scan with
+    * a map-side max; the Venn rollup runs on |flagged| rows. Neither
+    * leg self-joins the corpus.
+    */
+  val t34ContaminationReport: GraftQuery = GraftQuery(
+    "t34_contamination_report", {
+      import graft.functions.TextFunctions.{sqlShingles, sqlTokens}
+      s"""WITH cnt AS (SELECT COUNT(*) AS c FROM embeddings),
+         |v AS ($sqlV),
+         |dd AS (SELECT d.doc_id, d.text, v.emb, v.norm_f
+         |       FROM documents d CROSS JOIN cnt
+         |       JOIN v ON v.id = d.doc_id % cnt.c),
+         |bench AS (SELECT * FROM dd WHERE doc_id % 97 = 0),
+         |train AS (SELECT * FROM dd WHERE doc_id % 97 != 0),
+         |sh_t AS (SELECT doc_id,
+         |           unnest(list_distinct(${sqlShingles(sqlTokens("text"), 4)})) AS s
+         |         FROM train),
+         |sh_b AS (SELECT DISTINCT
+         |           unnest(list_distinct(${sqlShingles(sqlTokens("text"), 4)})) AS s
+         |         FROM bench),
+         |lex AS (SELECT doc_id, COUNT(*) AS n_overlap
+         |        FROM sh_t JOIN sh_b USING (s) GROUP BY doc_id),
+         |bvec AS (SELECT DISTINCT emb, norm_f FROM bench),
+         |sem AS (SELECT t.doc_id,
+         |          MAX(${sqlCos("t.emb", "t.norm_f", "b.emb", "b.norm_f")}) AS max_cos
+         |        FROM train t CROSS JOIN bvec b GROUP BY t.doc_id),
+         |flags AS (SELECT t.doc_id,
+         |            COALESCE(l.n_overlap, 0) AS n_overlap, s.max_cos,
+         |            (CASE WHEN l.doc_id IS NOT NULL THEN 2 ELSE 0 END +
+         |             CASE WHEN s.max_cos >= 0.35 THEN 1 ELSE 0 END) AS method
+         |          FROM train t LEFT JOIN lex l USING (doc_id)
+         |          JOIN sem s USING (doc_id))
+         |SELECT method, COUNT(*) AS n_docs, BIT_XOR(doc_id) AS id_fp,
+         |       MAX(max_cos) AS worst_cosine,
+         |       CAST(MAX(n_overlap) AS BIGINT) AS worst_overlap
+         |FROM flags WHERE method > 0
+         |GROUP BY method ORDER BY method""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val emb = Tables.embeddings(spark, dir)
+    val v = Similarity.withNormFixed(emb, "vec_id", "embedding")
+    val cnt = emb.agg(count(lit(1)).as("c"))
+    val dd = Tables.documents(spark, dir).select("doc_id", "text")
+      .crossJoin(broadcast(cnt))
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), col("c")).as("id"))
+      .join(v, "id")
+      .select(col("doc_id"), col("text"), col("emb"), col("norm_f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = dd.filter(col("doc_id") % 97 === 0)
+    val train = dd.filter(col("doc_id") % 97 =!= 0)
+    // lexical leg (t11's plan): bind the token array before the HOF
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), 4))).as("s"))
+    val lex = sh(train)
+      .join(broadcast(sh(bench).select("s").distinct()), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val bvec = bench.select("emb", "norm_f").distinct()
+    val sem = train.crossJoin(broadcast(bvec.select(
+        col("emb").as("b_emb"), col("norm_f").as("b_norm"))))
+      .select(col("doc_id"),
+        Similarity.cosineFromFixed(
+          Similarity.dotFixed(col("emb"), col("b_emb")),
+          col("norm_f"), col("b_norm")).as("cos"))
+      .groupBy("doc_id").agg(max("cos").as("max_cos"))
+    train.select("doc_id")
+      .join(lex.withColumnRenamed("doc_id", "l_id"),
+        col("doc_id") === col("l_id"), "left")
+      .join(sem, "doc_id")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"), col("max_cos"),
+        (when(col("l_id").isNotNull, 2).otherwise(0) +
+          when(col("max_cos") >= 0.35, 1).otherwise(0)).as("method"))
+      .filter(col("method") > 0)
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_docs"), bit_xor(col("doc_id")).as("id_fp"),
+        max("max_cos").as("worst_cosine"),
+        max("n_overlap").cast("long").as("worst_overlap"))
+      .orderBy("method")
+  }
+
   /** E25 — GREEDY K-CENTER CORESET (farthest-point sampling, the
     * Gonzalez 2-approximation): select k maximally-spread vectors —
     * seed = smallest id, then k−1 rounds of "the point farthest from
@@ -1151,6 +1249,6 @@ object SimilarityQueries {
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
-    e24MaxSimStored, e25KcenterCoreset,
+    e24MaxSimStored, e25KcenterCoreset, t34ContaminationReport,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

@@ -1258,7 +1258,19 @@ object TextQueries {
     */
   val t29LmDocScore: GraftQuery = GraftQuery(
     "t29_lm_doc_score",
-    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+    s"""WITH $sqlLmCtes
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    lmDocScore(Tables.documents(spark, dir))
+  }
+
+  /** t29's reference computation as a reusable CTE chain (t35 extends
+    * it with the bucketing step) — text identical to the original t29
+    * oracle, so its hash is unchanged.
+    */
+  private def sqlLmCtes: String =
+    s"""tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |uni AS (SELECT unnest(tk) AS w FROM tok),
        |c1 AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
        |v AS (SELECT COUNT(*) AS vocab FROM c1),
@@ -1270,12 +1282,7 @@ object TextQueries {
        |p AS (
        |  SELECT bi.doc_id,
        |         CAST((1000000 * (n_12 + 1)) // (c1.n + v.vocab) AS BIGINT) AS p_ppm
-       |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON c1.w = bi.w1, v)
-       |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |       CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
-       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    lmDocScore(Tables.documents(spark, dir))
-  }
+       |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 ON c1.w = bi.w1, v)""".stripMargin
 
   /** t29's operator body over any (doc_id, text) frame — factored so the
     * property spec can brute-force tiny adversarial corpora (0/1/2-token
@@ -1668,6 +1675,65 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T35 — PERPLEXITY-BUCKET FILTERING (the CCNet cut, Wenzek et al.
+    * 2020 §3: score every document with a language-model signal, rank
+    * WITHIN ITS LANGUAGE, and keep the head/middle of the distribution
+    * — the single most-used quality cut in web-corpus construction).
+    * Composes t29's bigram-LM document score (the identical CTE chain —
+    * a score drift would cascade into different buckets) with a24's
+    * exact-rank bucketing discipline: per-language rank by (score,
+    * doc_id), bucket = ⌊(rank−1)·4 / n⌋, drop the worst quartile
+    * (bucket 0 = lowest-probability tail). Output per (lang, bucket):
+    * doc count, token mass, score bounds, the keep flag, and the id
+    * fingerprint — the mixture-shift report a curation run reviews
+    * before applying the cut.
+    *
+    * Scale shape: scoring is t29's plan verbatim (keyed bigram joins,
+    * map-side aggs); the rank window partitions by LANGUAGE (bounded
+    * cardinality — never a global sort), and everything after runs on
+    * \|langs\|×4 rows. Exact-rank is the GATE form per the a17/a24
+    * convention; a production run swaps approx_percentile boundaries
+    * for the window at petabyte scale.
+    */
+  val t35PerplexityBuckets: GraftQuery = GraftQuery(
+    "t35_perplexity_buckets",
+    s"""WITH $sqlLmCtes,
+       |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |              CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+       |       FROM p GROUP BY doc_id),
+       |ld AS (SELECT d.doc_id, d.lang, s.n_bigrams, s.score_ppm
+       |       FROM documents d JOIN sc s USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |                  ORDER BY score_ppm, doc_id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY lang) AS n FROM ld),
+       |b AS (SELECT lang, ((rn - 1) * 4) // n AS bucket, doc_id,
+       |             n_bigrams, score_ppm FROM r)
+       |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_bigrams) AS BIGINT) AS token_mass,
+       |       MIN(score_ppm) AS score_lo, MAX(score_ppm) AS score_hi,
+       |       CASE WHEN bucket >= 1 THEN 1 ELSE 0 END AS kept,
+       |       BIT_XOR(doc_id) AS id_fp
+       |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) {
+    (spark, dir) =>
+    val sc = lmDocScore(Tables.documents(spark, dir))
+    val ld = Tables.documents(spark, dir).select("doc_id", "lang").join(sc, "doc_id")
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    ld.select(col("lang"), col("doc_id"), col("n_bigrams"), col("score_ppm"),
+        row_number().over(byLang.orderBy("score_ppm", "doc_id")).as("rn"),
+        count(lit(1)).over(byLang).as("n"))
+      .select(col("lang"), expr("((rn - 1) * 4) div n").as("bucket"),
+        col("doc_id"), col("n_bigrams"), col("score_ppm"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").cast("long").as("token_mass"),
+        min("score_ppm").as("score_lo"), max("score_ppm").as("score_hi"),
+        bit_xor(col("doc_id")).as("id_fp"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("token_mass"),
+        col("score_lo"), col("score_hi"),
+        when(col("bucket") >= 1, 1).otherwise(0).as("kept"), col("id_fp"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
@@ -1675,5 +1741,5 @@ object TextQueries {
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
     t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
-    t33MixtureReweight)
+    t33MixtureReweight, t35PerplexityBuckets)
 }

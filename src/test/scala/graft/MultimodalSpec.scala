@@ -223,6 +223,34 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.syntheticImage(1L) // force the object initializer
     assert(!javax.imageio.ImageIO.getUseCache)
   }
+
+  /** i10's chunk-level contract, which the gate's pixel oracle cannot
+    * see: the injected metadata really is present before and really is
+    * gone after; critical chunks pass through byte-identical; non-PNG
+    * bytes pass through untouched.
+    */
+  test("PNG metadata strip removes ancillary chunks, keeps critical bytes and pixels (i10)") {
+    val png = Multimodal.syntheticImage(7L)
+    val tagged = Multimodal.pngWithText(png, "Comment", "gps-or-serial")
+    assert(Multimodal.pngChunkTypes(tagged).contains("tEXt"))
+    assert(new String(tagged, "ISO-8859-1").contains("gps-or-serial"))
+    // the tagged file is still a valid PNG (decoders tolerate tEXt)
+    val m = Multimodal.ImageIoVisionModel()
+    assert(m.channelSums(tagged) == m.channelSums(png))
+    val stripped = Multimodal.stripPngMetadata(tagged)
+    assert(!Multimodal.pngChunkTypes(stripped).contains("tEXt"))
+    assert(!new String(stripped, "ISO-8859-1").contains("gps-or-serial"))
+    // pixels bit-identical through the scrub (no decode/re-encode)
+    assert(m.channelSums(stripped) == m.channelSums(png))
+    // critical chunk sequence preserved
+    val crit = Set("IHDR", "PLTE", "IDAT", "IEND")
+    assert(Multimodal.pngChunkTypes(stripped).filter(crit) ==
+      Multimodal.pngChunkTypes(png).filter(crit))
+    // the strip composes over mixed binary columns: non-PNG is identity
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.stripPngMetadata(junk).toSeq == junk.toSeq)
+    assert(Multimodal.pngChunkTypes(junk).isEmpty)
+  }
 }
 
 /** Batch-observation probe for the VisionModel seam spec (static: local
