@@ -1157,6 +1157,81 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  /** E26 — RECALL@5 of the COMPOSED MaxSim (e24) against corpus-wide
+    * truth (e22) — the e14/e20 discipline applied to the
+    * late-interaction pipeline: candidate generation from the stored
+    * IVF-PQ index is approximate (a doc whose tokens never surface
+    * from a probed cluster can't be re-ranked), and this gate MEASURES
+    * exactly how much ranking quality the probe set gives up, per
+    * query doc, as a pinned number — the overlap of the composed top-5
+    * with the exhaustive top-5. The oracle instantiates BOTH reference
+    * chains (the e19 CTEs with the token-set predicate feeding the
+    * candidate-restricted scoring, and the unrestricted e22 scoring)
+    * and intersects them, so retrieval, both rankings, and the recall
+    * arithmetic are one hash.
+    *
+    * Scale shape: the truth side is e22's one-scan relational MaxSim —
+    * affordable at gate scale because recall needs ground truth (e14's
+    * note verbatim); production monitors recall on a SAMPLED query set
+    * exactly this shape while serving runs e24 alone.
+    */
+  val e26MaxSimRecall: GraftQuery = GraftQuery(
+    "e26_maxsim_recall", {
+      s"""WITH ${ivfPqCtesP("m", NProbe, "id % 100 < 2")},
+         |short AS (SELECT q_id, n_id FROM mranked WHERE rank <= $K),
+         |cand AS (SELECT DISTINCT q_id % 100 AS qd, n_id % 100 AS cd
+         |         FROM short WHERE n_id % 100 != q_id % 100),
+         |vv AS (SELECT vec_id, vec_id % 100 AS d, embedding AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qv, d AS qd, emb AS q_emb FROM vv WHERE d < 2),
+         |cp AS (SELECT c.qd, q.qv, c.cd,
+         |             MAX(${Similarity.sqlDotFixed("q_emb", "vv.emb")}) AS m
+         |      FROM cand c JOIN q ON q.qd = c.qd JOIN vv ON vv.d = c.cd
+         |      GROUP BY c.qd, q.qv, c.cd),
+         |csc AS (SELECT qd, cd, CAST(SUM(m) AS BIGINT) AS score
+         |        FROM cp GROUP BY qd, cd),
+         |got AS (SELECT qd, cd FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY qd
+         |           ORDER BY score DESC, cd) AS rank FROM csc) WHERE rank <= 5),
+         |wp AS (SELECT q.qd, q.qv, vv.d AS cd,
+         |             MAX(${Similarity.sqlDotFixed("q_emb", "vv.emb")}) AS m
+         |      FROM q CROSS JOIN vv WHERE vv.d != q.qd
+         |      GROUP BY q.qd, q.qv, vv.d),
+         |wsc AS (SELECT qd, cd, CAST(SUM(m) AS BIGINT) AS score
+         |        FROM wp GROUP BY qd, cd),
+         |truth AS (SELECT qd, cd FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY qd
+         |           ORDER BY score DESC, cd) AS rank FROM wsc) WHERE rank <= 5)
+         |SELECT t.qd, CAST(5 AS BIGINT) AS k,
+         |       CAST(COUNT(g.qd) AS BIGINT) AS n_hit,
+         |       CAST(COUNT(g.qd) AS DOUBLE) / 5.0 AS recall
+         |FROM truth t LEFT JOIN got g ON g.qd = t.qd AND g.cd = t.cd
+         |GROUP BY t.qd ORDER BY t.qd""".stripMargin
+    }) { (spark, dir) =>
+    val store = Dsl.tempStore("e26_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    val qTokens = emb.filter(pmod(col("vec_id"), lit(100)) < 2)
+    val short = Similarity.ivfPqStoredTopK(spark, store, qTokens,
+      "vec_id", "embedding", K, NProbe)
+    val cand = short.select(pmod(col("q_id"), lit(100)).as("qd"),
+        pmod(col("n_id"), lit(100)).as("cd"))
+      .filter(col("cd") =!= col("qd")).distinct()
+    val got = Similarity.maxSimTopKShortlist(emb, "vec_id", "embedding",
+        docMod = 100, numQueryDocs = 2, candidates = cand, k = 5)
+      .select(col("qd"), col("cd"), lit(1).as("hit"))
+    val truth = Similarity.maxSimTopK(emb, "vec_id", "embedding",
+        docMod = 100, numQueryDocs = 2, k = 5)
+      .select("qd", "cd")
+    truth.join(got, Seq("qd", "cd"), "left")
+      .groupBy("qd")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("qd"), lit(5L).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(5.0)).as("recall"))
+      .orderBy("qd")
+  }
+
   /** E25 — GREEDY K-CENTER CORESET (farthest-point sampling, the
     * Gonzalez 2-approximation): select k maximally-spread vectors —
     * seed = smallest id, then k−1 rounds of "the point farthest from
@@ -1249,6 +1324,7 @@ object SimilarityQueries {
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
-    e24MaxSimStored, e25KcenterCoreset, t34ContaminationReport,
+    e24MaxSimStored, e25KcenterCoreset, e26MaxSimRecall,
+    t34ContaminationReport,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

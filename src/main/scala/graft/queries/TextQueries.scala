@@ -1734,6 +1734,55 @@ object TextQueries {
       .orderBy("lang", "bucket")
   }
 
+  /** T36 — EVAL-SET NOVELTY PROBE (the verbatim-memorization metric):
+    * for every held-out document, the fraction of its distinct
+    * 4-shingles that appear NOWHERE in the training split — the
+    * "novel n-gram rate" an eval-hygiene report quotes next to t11's
+    * contamination flags (t11 asks "which TRAIN docs leak the
+    * benchmark", t36 asks the converse grading question: "how much of
+    * this EVAL doc could be answered by copying training text"). Exact
+    * set arithmetic in ppm — no sampling, no sketch.
+    *
+    * Scale shape: the train side collapses to its DISTINCT shingle set
+    * (one map-side-combinable distinct — d09's profile on the shingle
+    * stream); the tiny eval shingle frame broadcasts into ONE pass over
+    * it; per-doc totals and the novelty division run on \|eval\| rows.
+    * The corpus is never self-joined and eval×train never materializes.
+    */
+  val t36NoveltyProbe: GraftQuery = GraftQuery(
+    "t36_novelty_probe",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlShingles(sqlTokens("text"), 4)})) AS s
+       |  FROM documents),
+       |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+       |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 != 0),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY doc_id),
+       |seen AS (SELECT ev.doc_id, COUNT(*) AS n_seen
+       |         FROM ev JOIN tr USING (s) GROUP BY ev.doc_id)
+       |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_shingles,
+       |       CAST(COALESCE(se.n_seen, 0) AS BIGINT) AS n_seen,
+       |       CAST(((t.n_sh - COALESCE(se.n_seen, 0)) * 1000000) // t.n_sh
+       |            AS BIGINT) AS novelty_ppm
+       |FROM tot t LEFT JOIN seen se USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("tk"), 4))).as("s"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tr = sh.filter(col("doc_id") % 97 =!= 0).select("s").distinct()
+    val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val seen = tr.join(broadcast(ev), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    tot.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh").as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        expr("((n_sh - coalesce(n_seen, 0)) * 1000000) div n_sh")
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
@@ -1741,5 +1790,5 @@ object TextQueries {
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
     t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
-    t33MixtureReweight, t35PerplexityBuckets)
+    t33MixtureReweight, t35PerplexityBuckets, t36NoveltyProbe)
 }
