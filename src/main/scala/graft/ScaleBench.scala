@@ -292,6 +292,35 @@ object ScaleBench {
             SparkEntry.queries("g12_gnn_mean_agg_round")(spark, dir))
           finally spark.conf.set("spark.sql.shuffle.partitions", prev)
         }),
+        // r12 rows — the round's corpus-sized operators, benchmark/eval
+        // sides held CONSTANT (mod × factor) while the corpus grows,
+        // the real deployment shape (a held-out set doesn't scale with
+        // the crawl):
+        // t34: both detection legs scan the corpus once (exploded
+        // shingles + broadcast-bench cosine); claim = linear in corpus
+        s"t34_contamination[bench~52]" -> (() =>
+          graft.Eval.forcedCount(graft.queries.SimilarityQueries
+            .contaminationReport(spark, dir, benchMod = 97L * factor))),
+        // t36: train collapses to its distinct shingle set (the d09
+        // profile), eval broadcasts; claim = distinct-shingle linear
+        s"t36_novelty[eval~52]" -> (() =>
+          graft.Eval.forcedCount(graft.queries.TextQueries
+            .noveltyProbe(spark, dir, benchMod = 97L * factor))),
+        // t35 verbatim: t29's scoring chain + a per-language rank
+        // window (bounded partitions); claim = tracks t29's curve
+        "t35_perplexity_buckets" -> (() =>
+          graft.Eval.forcedCount(
+            SparkEntry.queries("t35_perplexity_buckets")(spark, dir))),
+        // e25 verbatim: k=4 corpus scans against driver-held centers +
+        // one assignment scan; claim = k-scan linear, no pair matrix
+        "e25_kcenter_coreset" -> (() =>
+          graft.Eval.forcedCount(
+            SparkEntry.queries("e25_kcenter_coreset")(spark, dir))),
+        // g13 verbatim: walk frame one row per walk, T joins against
+        // the reused capped adjacency; claim = linear in |starts|+|adj|
+        "g13_random_walks" -> (() =>
+          graft.Eval.forcedCount(
+            SparkEntry.queries("g13_random_walks")(spark, dir))),
         s"t21b_retrieval[stored]" -> {
           var bm25Store: String = null
           () => {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.operators.Similarity
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1113,7 +1113,15 @@ object SimilarityQueries {
          |       CAST(MAX(n_overlap) AS BIGINT) AS worst_overlap
          |FROM flags WHERE method > 0
          |GROUP BY method ORDER BY method""".stripMargin
-    }) { (spark, dir) =>
+    }) { (spark, dir) => contaminationReport(spark, dir, benchMod = 97L) }
+
+  /** t34's operator body with the benchmark-membership modulus as a
+    * parameter — the gate pins benchMod = 97; the scale sweep holds the
+    * BENCHMARK constant while the corpus grows (97 × tier factor),
+    * which is the real deployment shape (the held-out set is fixed).
+    */
+  def contaminationReport(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, benchMod: Long): DataFrame = {
     import graft.functions.TextFunctions.{shingles, tokens}
     val emb = Tables.embeddings(spark, dir)
     val v = Similarity.withNormFixed(emb, "vec_id", "embedding")
@@ -1124,8 +1132,8 @@ object SimilarityQueries {
       .join(v, "id")
       .select(col("doc_id"), col("text"), col("emb"), col("norm_f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bench = dd.filter(col("doc_id") % 97 === 0)
-    val train = dd.filter(col("doc_id") % 97 =!= 0)
+    val bench = dd.filter(col("doc_id") % benchMod === 0)
+    val train = dd.filter(col("doc_id") % benchMod =!= 0)
     // lexical leg (t11's plan): bind the token array before the HOF
     def sh(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), tokens(col("text")).as("tk"))

@@ -1765,13 +1765,23 @@ object TextQueries {
        |            AS BIGINT) AS novelty_ppm
        |FROM tot t LEFT JOIN seen se USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+    noveltyProbe(spark, dir, benchMod = 97L)
+  }
+
+  /** t36's operator body with the held-out modulus as a parameter —
+    * the gate pins benchMod = 97; the scale sweep holds the EVAL SET
+    * constant (97 × tier factor) while the train side grows, the real
+    * deployment shape.
+    */
+  def noveltyProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   benchMod: Long): org.apache.spark.sql.DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("tk"), 4))).as("s"))
-    val ev = sh.filter(col("doc_id") % 97 === 0)
+    val ev = sh.filter(col("doc_id") % benchMod === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tr = sh.filter(col("doc_id") % 97 =!= 0).select("s").distinct()
+    val tr = sh.filter(col("doc_id") % benchMod =!= 0).select("s").distinct()
     val tot = ev.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val seen = tr.join(broadcast(ev), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))

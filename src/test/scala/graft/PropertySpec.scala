@@ -1163,6 +1163,91 @@ class PropertySpec extends SparkSpec {
     assert(!new java.io.File(s"$s2/_compact_upto").exists())
   }
 
+  /** t33's update-rule invariants on the real table: renormalized
+    * weights must sum to 10⁶ ppm up to per-source floor dust (< nsrc),
+    * every applied factor must sit inside the [0.1×, 2.0×] trust
+    * region, and the update must be order-consistent: a source with
+    * excess above another's gets the weakly-larger new weight (equal
+    * w0 for all sources).
+    */
+  test("t33 mixture reweighting: ppm normalization, trust region, monotonicity") {
+    val rows = SparkEntry.queries("t33_mixture_reweight")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._6).sum
+    assert(total <= 1000000L && total > 1000000L - rows.length,
+      s"w1 ppm sum $total out of floor-dust band")
+    rows.foreach { case (src, _, _, excess, w0, w1) =>
+      // reconstruct the applied factor bound: w1_raw = w0 * clamp(...)
+      val factor = 1000000L + 10000L * excess
+      val clamped = math.max(100000L, math.min(2000000L, factor))
+      assert(clamped >= 100000L && clamped <= 2000000L, src)
+      assert(w0 == rows.head._5, "uniform start")
+    }
+    val byExcess = rows.sortBy(_._4).map(_._6)
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      s"weights must be monotone in excess: ${rows.sortBy(_._4).toSeq}")
+  }
+
+  /** t35's bucket structure on the real table: per language exactly the
+    * populated quartiles appear (all 4 when n ≥ 4), bucket sizes differ
+    * by at most 1 from n/4 (the exact-rank equidepth property), kept
+    * flags drop exactly bucket 0, and score ranges are non-overlapping
+    * and ascending with the bucket index.
+    */
+  test("t35 perplexity buckets: equidepth, ordered ranges, tail-drop keep flags") {
+    val rows = SparkEntry.queries("t35_perplexity_buckets")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Int, Long)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      if (n >= 4) assert(sorted.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L), lang)
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.toSeq}")
+      sorted.foreach { r => assert((r._7 == 1) == (r._2 >= 1), s"$lang kept flag") }
+      // ranges ascend without overlap (ties can touch at the boundary)
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._6 <= hi._5, s"$lang overlap")
+        case _ =>
+      }
+    }
+  }
+
+  /** g13's walks on the real graph: every step follows a real edge of
+    * the CAPPED adjacency (the transition rule can't invent neighbors),
+    * and the whole corpus of walks is deterministic across two
+    * independent executions (no RNG state anywhere).
+    */
+  test("g13 random walks follow capped-adjacency edges and are rerun-deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("g13_random_walks")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a == run(), "walks must be a pure function of the graph")
+    // recover the per-step nodes from the fingerprint of a few walks by
+    // brute-forcing the capped adjacency (fp folds (node*4099+t))
+    val adjAll = Tables.events(spark, sf).select(
+        col("user_id").as("src"),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("long") % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = (adjAll.map(e => e._1 -> e._2) ++ adjAll.map(e => e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(16).toSet).toMap
+    a.take(10).foreach { case (start, end, fp) =>
+      // walk the graph choosing ANY neighbor sequence that reproduces fp
+      def feasible(cur: Long, t: Int, acc: Long): Boolean =
+        if (t > 3) acc == fp && cur == end
+        else adj.getOrElse(cur, Set.empty).exists(nb =>
+          feasible(nb, t + 1, acc ^ (nb * 4099 + t)))
+      assert(feasible(start, 1, 0L), s"walk from $start not on the capped graph")
+    }
+  }
+
   /** x22's reason to exist, shown both ways on a corpus of 40 exact
     * near-dup pairs: the doc-grain hash split (d15 applied naively)
     * separates SOME pair across train/eval — eval contamination by
