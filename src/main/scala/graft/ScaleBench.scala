@@ -83,7 +83,16 @@ object ScaleBench {
     // in ONE projection + one agg, so its curve should track the
     // heaviest of its stages (t32's HOF work), never a join
     "t30_unicode_normalize", "t31_url_domain_stats",
-    "t32_boilerplate_lines", "d18_weighted_sample", "c04_cleaning_cut")
+    "t32_boilerplate_lines", "d18_weighted_sample", "c04_cleaning_cut",
+    // r12 second wave: t37 is ONE corpus-shingle scan + idempotent
+    // bit_or mask agg (no distinct pass), then |masks|×|pairs| tiny
+    // arithmetic — the claim is the corpus is touched once for ALL
+    // O(|S|²) pairs; d19 measures its PRODUCTION twin (broadcast
+    // thresholds + hash shard — benchQueries, pure map, the flattest
+    // profile); io16 is one landing write + one verification agg pass
+    // (the io08 write shape plus a map-side agg read)
+    "t37_cross_source_overlap", "d19_curriculum_shards",
+    "io16_manifest_verify")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -134,7 +143,10 @@ object ScaleBench {
     "x16_store_vacuum",
     // r11: g11's 16-neighbor cap bounds wedge fan-out at C(16,2)/node —
     // the curve to watch is the capped wedge join staying ∝ nodes
-    "g11_link_prediction")
+    "g11_link_prediction",
+    // r12: w12 is one map-side day agg + rank windows on the |days|
+    // frame — the a27/a34 flat-monitor profile, now with exact medians
+    "w12_mad_outliers")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 
@@ -417,6 +429,39 @@ object ScaleBench {
             Tables.embeddings(spark, dir), "vec_id", "embedding",
             col("id") >= 8 && col("id") < lit(8 + centroids),
             col("id") < 8, col("id") < 5, 10, 2).count()),
+        // r12 e27: prefix-dim brute search — same |q|×n scan as full
+        // brute but 16/64 of the vector arithmetic per row; the claim
+        // is the linear curve with a ~4× smaller constant (in
+        // production the prefix is its own stored column, so the
+        // saving is scan BYTES too, not just ALU)
+        "e27_prefix16_brute" -> (() =>
+          graft.operators.Similarity.knnBrute(
+            Tables.embeddings(spark, dir)
+              .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+            "vec_id", "embedding", col("id") < 5, 10).count()),
+        // r12 e28: the e19 stored retrieval under a metadata allow-list
+        // (label % 2) — claim: the filter is one broadcast LEFT SEMI on
+        // the probed codes scan, so the curve tracks e19's (probed
+        // clusters), never the corpus; store built lazily (t21b
+        // convention), timed leg = pure filtered search
+        s"e28_retrieval[stored,filtered,coarse=$centroids]" -> {
+          var e28Store: String = null
+          () => {
+            val emb = Tables.embeddings(spark, dir)
+            if (e28Store == null) {
+              e28Store = java.nio.file.Files
+                .createTempDirectory("e28-scale").toString + "/store"
+              graft.operators.Similarity.buildIvfPqStore(
+                emb, "vec_id", "embedding",
+                col("id") >= 8 && col("id") < lit(8 + centroids),
+                col("id") < 8, e28Store)
+            }
+            graft.operators.Similarity.ivfPqStoredTopK(spark, e28Store,
+              emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 2,
+              allowed = Some(emb.filter(col("label") % 2 === 0).select("vec_id"))
+            ).count()
+          }
+        },
         // e17 verbatim: pack is a per-row fold, scoring scans 2 longs/row
         // against a broadcast 5-query side — the flattest ANN profile
         "e17_hamming_topk" -> (() =>
@@ -578,6 +623,55 @@ object ScaleBench {
         stSec, stAdmitted)
     }
 
+    // vector-store lifecycle experiment (r12): a FIXED 500-vector batch
+    // admitted into, then forgotten from, each tier's IVF-PQ store —
+    // the e29/x23 operators measured where their claims live: admit is
+    // O(batch) against broadcast model params (near-flat across a 100×
+    // store), forget rewrites only the clusters the batch routed to
+    // (∝ affected-partition bytes, sublinear in store size — cluster
+    // size grows √n under the k ∝ √n provisioning). Two disjoint
+    // batches make both legs measurable best-of-2 (the admit ledger and
+    // forget idempotence would otherwise no-op the repeat), and the
+    // round-trip invariant — admit ∘ forget restores the exact store
+    // row count — is require()d in-sweep, the incremental experiment's
+    // evidence discipline.
+    val vecLifecycle = (if (only.forall(_.exists(tok =>
+        "vecstore".startsWith(tok)))) tiers
+      else Seq.empty).map { t =>
+      val dir = s"$scaleRoot/$t"
+      val factor = t.stripSuffix("x").toInt
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = math.round(8.0 * math.sqrt(factor.toDouble))
+      val store = queries.Dsl.tempStore(s"scale_vec_$t")
+      graft.operators.Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+        col("id") >= 8 && col("id") < lit(8 + centroids), col("id") < 8, store)
+      val base = spark.read.parquet(s"$store/codes").count()
+      val batchBase = Tables.embeddings(spark, s"$scaleRoot/1x")
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      def mkBatch(off: Long) = batchBase
+        .withColumn("vec_id", col("vec_id") + lit(990000000000L + off))
+        .localCheckpoint()
+      val batches = Seq(mkBatch(0L), mkBatch(10000000L))
+      val admitSec = batches.zipWithIndex.map { case (b, i) =>
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.admitIvfPqBatch(
+          spark, store, b, "vec_id", "embedding", i.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val forgetSec = batches.map { b =>
+        val ids = b.select("vec_id")
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.forgetFromIvfPqStore(spark, store, ids)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val after = spark.read.parquet(s"$store/codes").count()
+      require(after == base,
+        s"$t: vector-store admit∘forget did not round-trip: $base → $after")
+      println(f"[scalebench] $t vecstore: admit $admitSec%.2fs, " +
+        f"forget $forgetSec%.2fs (codes $base)")
+      t -> (admitSec, forgetSec, base)
+    }
+
     def j(d: Double): String = f"$d%.3f"
     val tierJson = tierResults.map { case (t, (dr, er, cn, timed)) =>
       val qjson = timed.map { case (q, (sec, rows)) =>
@@ -610,9 +704,13 @@ object ScaleBench {
         s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":${jArr(ba)},""" +
         s""""stream_batch_sec":${j(ss)},"stream_admitted":${jArr(sa)}}"""
     }.mkString(",")
+    val vecJson = vecLifecycle.map { case (t, (as, fs, n)) =>
+      s""""$t":{"admit_batch_sec":${j(as)},"forget_batch_sec":${j(fs)},"codes_rows":$n}"""
+    }.mkString(",")
     val out = s"""{"metric":"scale_tiers","unit":"sec","cpus":$cpus,""" +
       s""""tiers":{$tierJson},"growth":{$growthJson},""" +
-      s""""incremental_fixed_batch":{$incJson}}"""
+      s""""incremental_fixed_batch":{$incJson},""" +
+      s""""vector_store_lifecycle":{$vecJson}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), out)
     println(out)
     spark.stop()

@@ -49,5 +49,11 @@ object StoreAudit {
     "io12_incremental_read" -> FilePruned(levelsUp = 2), // manifest increment
     "x17_time_travel" -> FilePruned(levelsUp = 2),     // one version dir
     // streaming CMS store: 3 batches compacted at frontier 2 → base + 1
-    "sm09_stream_sketch" -> CompactedDirs(maxDirs = 2, baseDir = "batch=-1"))
+    "sm09_stream_sketch" -> CompactedDirs(maxDirs = 2, baseDir = "batch=-1"),
+    // the stored-index lifecycle gates all end in the e19 probed read —
+    // each must keep its static cluster IN-list through its own store
+    // mutation (filter semi-join / forget rewrite / admission append)
+    "e28_filtered_ann" -> PartitionPruned("cluster"),
+    "x23_vector_store_forget" -> PartitionPruned("cluster"),
+    "e29_ivfpq_admit" -> PartitionPruned("cluster"))
 }

@@ -361,7 +361,8 @@ object Similarity {
   def ivfPqStoredTopK(spark: org.apache.spark.sql.SparkSession, store: String,
                       queries: DataFrame, idCol: String, embCol: String,
                       k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16,
-                      maxProbeRows: Int = 1000000): DataFrame = {
+                      maxProbeRows: Int = 1000000,
+                      allowed: Option[DataFrame] = None): DataFrame = {
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
@@ -403,8 +404,22 @@ object Similarity {
       .select(col("tq_id"), col("s"), col("c_id"),
         aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
           lit(0L), _ + _).as("tdist"))
-    val scored = codes
-      .filter(col("cluster").isin(probedClusters: _*))
+    // FILTERED search (the FAISS IDSelector / vector-DB metadata-filter
+    // shape): the allow-list is applied to the codes scan BEFORE any
+    // ADC work — pre-filtering, so top-k is computed among ELIGIBLE
+    // candidates only (post-filtering k results and discarding would
+    // under-fill). The allow-list here broadcasts (request-sized or
+    // dimension-table-sized filters); a corpus-scale predicate belongs
+    // in the store itself as a partition/stored column, and a large
+    // mid-size set degrades to x07's bloom semi-join.
+    val codesEligible = allowed match {
+      case Some(a) =>
+        val ids = a.select(col(a.columns.head).as("__allowed_id")).distinct()
+        codes.filter(col("cluster").isin(probedClusters: _*))
+          .join(broadcast(ids), col("vec_id") === col("__allowed_id"), "left_semi")
+      case None => codes.filter(col("cluster").isin(probedClusters: _*))
+    }
+    val scored = codesEligible
       .join(broadcast(probesLocal), Seq("cluster"))
       .join(broadcast(tab),
         col("tq_id") === col("q_id") && col("subspace") === tab("s") &&
@@ -415,6 +430,121 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "adc_dist")
+  }
+
+  /** Right-to-be-forgotten applied to a [[buildIvfPqStore]] store —
+    * x11's delete propagation reaching the DERIVED vector index (a
+    * GDPR erasure that purges the raw corpus but leaves the ANN index
+    * serving the deleted vectors' codes has not erased anything).
+    * Removes every code row of the given ids, rewriting ONLY the
+    * cluster partitions that actually contain a deleted vector —
+    * dynamic partition overwrite (the io10 primitive, per-writer
+    * option so no session-conf race), so erase I/O is ∝ affected
+    * clusters, not store size. A cluster emptied ENTIRELY by the
+    * delete gets no row in the rewrite frame — dynamic overwrite
+    * would silently leave its old partition in place — so emptied
+    * cluster dirs are dropped explicitly afterwards (idempotent, like
+    * the rewrite itself: re-running the same forget is a no-op).
+    *
+    * The coarse centroids and PQ codebook are NOT touched: they are
+    * trained model parameters (aggregates over many vectors), not
+    * per-subject rows — the same boundary x14's k-anonymity audit
+    * draws. Retrieval code is unchanged by design: the x23 gate runs
+    * the unmodified [[ivfPqStoredTopK]] against the purged store.
+    */
+  def forgetFromIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+                           store: String, deleteIds: DataFrame): Unit = {
+    val codes = spark.read.parquet(s"$store/codes")
+    val del = deleteIds.select(col(deleteIds.columns.head).as("__del_id")).distinct()
+    // affected clusters: bounded by |clusters| (the IVF provisioning
+    // invariant k ∝ √n), so the collect is broadcast-class
+    val affected = codes.join(broadcast(del),
+        col("vec_id") === col("__del_id"), "left_semi")
+      .select("cluster").distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val survivors = codes.filter(col("cluster").isin(affected.toIndexedSeq: _*))
+      .join(broadcast(del), col("vec_id") === col("__del_id"), "left_anti")
+      .repartition(col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptClusters = survivors.select("cluster").distinct().collect().map(_.get(0)).toSet
+    if (keptClusters.nonEmpty)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster").parquet(s"$store/codes")
+    survivors.unpersist()
+    // emptied clusters second: both steps are idempotent, so a crash
+    // between them re-runs clean; until the drop lands the store is
+    // merely stale for those ids, never corrupt
+    affected.filterNot(keptClusters.contains).foreach { c =>
+      val dir = new java.io.File(s"$store/codes/cluster=$c")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
+  }
+
+  /** Incremental ADMISSION into a [[buildIvfPqStore]] store — the
+    * insert half of the vector store's lifecycle (x23's forget is the
+    * delete): a new batch of vectors is routed and encoded using the
+    * STORED model parameters (coarse centroids for cluster assignment,
+    * codebook for PQ codes — nothing is retrained), and its code rows
+    * are APPENDED to the cluster partitions they route to. Admission
+    * fidelity is the whole contract: the e29 gate builds the store
+    * WITHOUT the batch, admits it, and gates retrieval against the
+    * from-scratch full-corpus oracle — any drift in routing or encoding
+    * through the store round-trip breaks the hash.
+    *
+    * Idempotence: a per-batch ledger marker (`_admitted/batch=<id>`)
+    * is checked before the append and written after it, so re-running
+    * a completed admission is a no-op. A crash BETWEEN append and
+    * marker can duplicate the batch on redelivery — the streaming
+    * admission path (sm08's per-batch dynamic-partition overwrite,
+    * StreamNearDup's discipline) is the exactly-once variant; this
+    * batch API trades that for plain appends and documents the window.
+    *
+    * Scale shape: O(batch) work end to end — the batch meets the
+    * broadcast centroids/codebook, and the append touches only the
+    * partitions the batch routes to; the existing corpus is never
+    * read or rewritten (contrast x04's incremental-dedup admission,
+    * same O(batch) discipline).
+    */
+  def admitIvfPqBatch(spark: org.apache.spark.sql.SparkSession, store: String,
+                      batch: DataFrame, idCol: String, embCol: String,
+                      batchId: Long, m: Int = 4, dsub: Int = 16): Unit = {
+    val marker = new java.io.File(s"$store/_admitted/batch=$batchId")
+    if (marker.exists()) return
+    val coarse = spark.read.parquet(s"$store/coarse")
+    val csub = spark.read.parquet(s"$store/codebook")
+    val v = batch.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+      .groupBy("id")
+      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
+      .select(col("id"), col("b.g_id").as("cluster"))
+    val sub = v.select(col("id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.cast("long").as("s"),
+            slice(col("q"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    val codes = sub.join(broadcast(csub), "s")
+      .select(col("id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("dist"))
+      .groupBy("id", "s")
+      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
+      .select(col("id").as("vec_id"), col("s").as("subspace"),
+        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
+    codes.join(assigned, col("vec_id") === assigned("id")).drop("id")
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$store/codes")
+    v.unpersist()
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
   }
 
   /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]

@@ -2405,6 +2405,68 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** W12 — ROBUST (MAD) OUTLIER FLAGS on the daily revenue series:
+    * |x − median| > 3 · 1.4826 · MAD, the robust twin of a27's
+    * mean/stddev spike rule — a27's z-score is itself dragged by the
+    * outliers it hunts (one 10× day inflates σ and masks a 5× day);
+    * median/MAD have a 50% breakdown point, which is why production
+    * monitors prefer them on revenue-shaped (heavy-tailed) series.
+    * Everything is exact: revenue sums in DECIMAL, medians by exact
+    * rank (the a17 convention), and the 3·1.4826 consistency factor
+    * applied as the integer cross-multiplication `10000·dev > 44478·mad`
+    * — no float division or sqrt anywhere, so the flag bit is
+    * bit-deterministic across engines.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the corpus
+    * (events → |days| rows); the rank windows and median picks run on
+    * the |days| frame, whose size is ∝ elapsed time, not data volume —
+    * the same post-aggregate-window shape as a27/a34.
+    */
+  val w12MadOutliers: GraftQuery = GraftQuery(
+    "w12_mad_outliers",
+    """WITH day_rev AS (
+      |  SELECT date_trunc('day', ts) AS day, SUM(CAST(value AS DECIMAL(28,6))) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rev, day) AS rn,
+      |             COUNT(*) OVER () AS n
+      |      FROM day_rev),
+      |med AS (SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN rev END) AS m FROM r),
+      |d AS (SELECT day, rev, abs(rev - m) AS dev FROM day_rev CROSS JOIN med),
+      |r2 AS (SELECT *, row_number() OVER (ORDER BY dev, day) AS rn,
+      |              COUNT(*) OVER () AS n
+      |       FROM d),
+      |mad AS (SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS md FROM r2)
+      |SELECT day, CAST(rev AS DOUBLE) AS revenue, CAST(dev AS DOUBLE) AS abs_dev,
+      |       CAST(md AS DOUBLE) AS mad,
+      |       CASE WHEN dev * 10000 > md * 44478 THEN 1 ELSE 0 END AS is_outlier
+      |FROM d CROSS JOIN mad
+      |ORDER BY day""".stripMargin) { (spark, dir) =>
+    val dayRev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(28,6)")).as("rev"))
+    // global windows run on the |days| frame (30 rows here, ∝ elapsed
+    // time at any corpus size), never the event corpus
+    val wAll = Window.partitionBy(lit(1))
+    def medianOf(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame =
+      df.select(col(c),
+          row_number().over(wAll.orderBy(col(c), col("day"))).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
+        .select(col(c))
+    val med = medianOf(dayRev, "rev").select(col("rev").as("m"))
+    val d = dayRev.crossJoin(broadcast(med))
+      .select(col("day"), col("rev"), abs(col("rev") - col("m")).as("dev"))
+    val mad = medianOf(d.select(col("day"), col("dev")), "dev")
+      .select(col("dev").as("md"))
+    d.crossJoin(broadcast(mad))
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        col("dev").cast("double").as("abs_dev"),
+        col("md").cast("double").as("mad"),
+        when(col("dev") * 10000 > col("md") * 44478, 1).otherwise(0).as("is_outlier"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -2419,5 +2481,5 @@ object AnalyticsQueries {
     j02TimeAlign, j11NearestEvent,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
-    w09TrailingDau, w10EwmaRevenue, w11TrendingItems)
+    w09TrailingDau, w10EwmaRevenue, w11TrendingItems, w12MadOutliers)
 }

@@ -740,9 +740,88 @@ object IoQueries {
       .orderBy("event_type")
   }
 
+  /** IO16 — LANDING INTEGRITY VERIFICATION: the read half of io08's
+    * manifest contract — a landing is only trustworthy if the reader
+    * can PROVE the files it sees are the files the writer manifested.
+    * The landing writes shard-partitioned parquet plus a manifest of
+    * per-shard row counts and content fingerprints (bit_xor of the
+    * rolling hash — order-free, overflow-free); the verifier re-reads
+    * the LANDED files, recomputes both, and reports per-shard status.
+    * The gate is load-bearing: one shard is corrupted in place after
+    * the manifest commits (its highest-id row dropped — the
+    * partial-loss/bit-rot case object stores actually exhibit), and
+    * exactly that shard must report `mismatch` while the rest stay
+    * `ok`. The oracle replays the shard split, both fingerprint sets,
+    * and the injected loss.
+    *
+    * Scale shape: verification is one map-side-combinable aggregate
+    * over the landing scan (the same pass a consumer's first read
+    * makes anyway) joined to the |shards|-row manifest — no second
+    * corpus pass, no driver-side file walking.
+    */
+  val io16ManifestVerify: GraftQuery = GraftQuery(
+    "io16_manifest_verify", {
+      val fpE = graft.functions.TextFunctions
+        .sqlRollingHash("CAST(doc_id AS VARCHAR) || ':' || text")
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 4 AS shard FROM documents),
+         |h AS (SELECT shard, doc_id, ($fpE) AS fp FROM d),
+         |manifest AS (SELECT shard, COUNT(*) AS manifest_rows, bit_xor(fp) AS manifest_fp
+         |             FROM h GROUP BY 1),
+         |dropped AS (SELECT MAX(doc_id) AS did FROM d WHERE shard = 2),
+         |landed AS (SELECT shard, COUNT(*) AS landed_rows, bit_xor(fp) AS landed_fp
+         |           FROM h WHERE doc_id != (SELECT did FROM dropped) GROUP BY 1)
+         |SELECT m.shard, manifest_rows, landed_rows, manifest_fp, landed_fp,
+         |       CASE WHEN manifest_rows = landed_rows AND manifest_fp = landed_fp
+         |            THEN 'ok' ELSE 'mismatch' END AS status
+         |FROM manifest m JOIN landed l ON m.shard = l.shard
+         |ORDER BY m.shard""".stripMargin
+    }) { (spark, dir) =>
+    import graft.functions.TextFunctions.rollingHash
+    val root = graft.queries.Dsl.tempStore("io16_landing")
+    val data = s"$root/data"
+    def fp = rollingHash(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(4)).as("shard"))
+    // land the shards, then commit the manifest (io08's publish order)
+    d.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(data)
+    d.select(col("shard"), col("doc_id"), fp.as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("manifest_rows"),
+        expr("bit_xor(fp)").as("manifest_fp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    // corrupt shard 2 in place AFTER the manifest commits: stage the
+    // partition minus its highest-id row, then swap the directory
+    val maxDid = spark.read.parquet(s"$data/shard=2")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val staged = s"$root/_stage_shard2"
+    spark.read.parquet(s"$data/shard=2").filter(col("doc_id") =!= maxDid)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val shardDir = new java.io.File(s"$data/shard=2")
+    shardDir.listFiles().foreach(_.delete())
+    new java.io.File(staged).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        new java.io.File(shardDir, f.getName).toPath))
+    // verify: recompute from the LANDED files, join the manifest
+    val landed = spark.read.parquet(data)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"), fp.as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("landed_rows"), expr("bit_xor(fp)").as("landed_fp"))
+    spark.read.parquet(s"$root/manifest")
+      .join(landed, "shard")
+      .select(col("shard"), col("manifest_rows"), col("landed_rows"),
+        col("manifest_fp"), col("landed_fp"),
+        when(col("manifest_rows") === col("landed_rows") &&
+          col("manifest_fp") === col("landed_fp"), "ok")
+          .otherwise("mismatch").as("status"))
+      .orderBy("shard")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
     io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead,
-    io14CompressedJsonRoundtrip, io15ZstdLanding, ct01CtPreprocess)
+    io14CompressedJsonRoundtrip, io15ZstdLanding, io16ManifestVerify,
+    ct01CtPreprocess)
 }

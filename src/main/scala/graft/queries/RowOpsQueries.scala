@@ -769,11 +769,75 @@ object RowOpsQueries {
       .orderBy("source")
   }
 
+  /** D19 — CURRICULUM-BALANCED SHARD ASSIGNMENT: order documents by a
+    * difficulty proxy (token count — the classic length curriculum),
+    * cut the ordering into exact deciles, and deal each decile
+    * round-robin across 8 output shards — so every shard spans the
+    * full difficulty spectrum (a dataloader reading any one shard sees
+    * the whole curriculum, and shard-sequential training never sees a
+    * difficulty cliff). The gate emits the (shard × decile) manifest
+    * with counts and score bounds; balance is structural: within a
+    * decile the global ranks are contiguous, so `rank % 8` deals
+    * ±1-even hands — PropertySpec pins that invariant.
+    *
+    * Scale shape: the GATE form is exact-rank (one global sort — the
+    * a17/a24 exact-rank convention); the production twin (`benchAs`)
+    * assigns deciles from broadcast approx-percentile thresholds and
+    * shards by portable hash — zero global sort, pure map — the same
+    * gate-vs-production split a05b/a24 document.
+    */
+  val d19CurriculumShards: GraftQuery = GraftQuery(
+    "d19_curriculum_shards",
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS score FROM documents),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rn,
+       |             COUNT(*) OVER () AS n
+       |      FROM t),
+       |cell AS (SELECT ((rn - 1) * 10) // n AS decile, (rn - 1) % 8 AS shard, score
+       |         FROM r)
+       |SELECT shard, decile, COUNT(*) AS n_docs,
+       |       MIN(score) AS min_score, MAX(score) AS max_score
+       |FROM cell GROUP BY shard, decile
+       |ORDER BY shard, decile""".stripMargin) { (spark, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val wAll = Window.partitionBy(lit(1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("score"))
+      .select(col("score"),
+        row_number().over(wAll.orderBy(col("score"), col("doc_id"))).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .select(expr("((rn - 1) * 10) div n").as("decile"),
+        expr("(rn - 1) % 8").as("shard"), col("score"))
+      .groupBy("shard", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("shard", "decile")
+  }.benchAs { (spark, dir) =>
+    // production form: deciles from broadcast approx thresholds, shard
+    // by portable hash — no global sort anywhere
+    import graft.functions.TextFunctions.tokens
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("score"))
+    val thresholds = scored.agg(
+      expr("approx_percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("t")).collect()(0).getSeq[Long](0)
+    val decile = thresholds.zipWithIndex.foldLeft(lit(0)) { case (acc, (t, _)) =>
+      acc + when(col("score") > t, 1).otherwise(0)
+    }
+    scored
+      .select(decile.cast("long").as("decile"),
+        pmod(xxhash64(col("doc_id")), lit(8)).as("shard"), col("score"))
+      .groupBy("shard", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy("shard", "decile")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
     x14KAnonymity, d16ExactSample, d17StratifiedExactSample,
-    x21SubjectAccessExport, d18WeightedSample)
+    x21SubjectAccessExport, d18WeightedSample, d19CurriculumShards)
 }

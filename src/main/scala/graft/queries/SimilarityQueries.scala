@@ -780,7 +780,8 @@ object SimilarityQueries {
     * several times without name collisions.
     */
   private def ivfPqCtesP(x: String, nprobe: Int,
-                         qPred: String = s"id < $NumQueries"): String =
+                         qPred: String = s"id < $NumQueries",
+                         candPred: String = "TRUE"): String =
     s"""${x}v AS (SELECT vec_id AS id, ${Similarity.sqlQuantize("embedding")} AS q FROM embeddings),
        |${x}g AS (SELECT id AS g_id, q AS gq FROM ${x}v WHERE id >= $NumCentroids AND id < ${NumCentroids + 4}),
        |${x}aff AS (
@@ -806,7 +807,7 @@ object SimilarityQueries {
        |  JOIN ${x}assigned a ON a.id = c.id
        |  JOIN ${x}probes p ON p.cluster = a.cluster
        |  JOIN ${x}tab t ON t.q_id = p.q_id AND t.s = c.s AND t.c_id = c.code
-       |  WHERE c.id != p.q_id
+       |  WHERE c.id != p.q_id AND ($candPred)
        |  GROUP BY 1, 2),
        |${x}ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank
        |           FROM ${x}scored)""".stripMargin
@@ -1327,12 +1328,189 @@ object SimilarityQueries {
       .orderBy("round")
   }
 
+  /** E27 — MATRYOSHKA (prefix-dimension) recall curve (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): exact top-k computed
+    * on only the FIRST d dimensions of every embedding, measured
+    * against full-dimension brute-force truth at d ∈ {16, 32} — the
+    * modern coarse-search dial where one stored vector serves every
+    * cheaper width by prefix truncation (no re-embedding, no second
+    * index). The whole evaluation — both prefix searches, the truth,
+    * the recall arithmetic — is one hash-gated table, e14/e20/e21's
+    * discipline applied to the width dial.
+    *
+    * Scale shape: a prefix scan reads d/D of the vector bytes — in
+    * production the first-d slice is stored as its OWN column so
+    * parquet column pruning (not post-read slicing) delivers the
+    * saving; truth runs on the |sample| query set only; each curve
+    * point is an independent brute pass over sliced vectors (16/64 and
+    * 32/64 of the full-scan bytes).
+    */
+  val e27MatryoshkaRecall: GraftQuery = GraftQuery(
+    "e27_matryoshka_recall", {
+      def pfx(d: Int): String =
+        s"""p${d}v AS (SELECT vec_id AS id, embedding[1:$d] AS emb,
+           |  ${Similarity.sqlDotFixed(s"embedding[1:$d]", s"embedding[1:$d]")} AS norm_f FROM embeddings),
+           |p${d}q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM p${d}v WHERE id < $NumQueries),
+           |p${d}s AS (SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+           |           FROM p${d}q q CROSS JOIN p${d}v v WHERE v.id != q.q_id),
+           |p${d}r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+           |           FROM p${d}s),
+           |r$d AS (SELECT CAST($d AS BIGINT) AS prefix_dims, t.q_id,
+           |               CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit
+           |        FROM truth t LEFT JOIN
+           |          (SELECT q_id, n_id, 1 AS hit FROM p${d}r WHERE rank <= $K) c
+           |          ON t.q_id = c.q_id AND t.n_id = c.n_id
+           |        GROUP BY 2)""".stripMargin
+      s"""WITH v AS ($sqlV),
+         |q AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM v WHERE id < $NumQueries),
+         |scored_b AS (
+         |  SELECT q_id, v.id AS n_id, ${sqlCos("q_emb", "q_norm", "v.emb", "v.norm_f")} AS cosine
+         |  FROM q CROSS JOIN v WHERE v.id != q.q_id),
+         |ranked_b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         |             FROM scored_b),
+         |truth AS (SELECT q_id, n_id FROM ranked_b WHERE rank <= $K),
+         |${pfx(16)},
+         |${pfx(32)}
+         |SELECT prefix_dims, q_id, CAST($K AS BIGINT) AS k, n_hit,
+         |       CAST(n_hit AS DOUBLE) / $K.0 AS recall
+         |FROM (SELECT * FROM r16 UNION ALL SELECT * FROM r32)
+         |ORDER BY prefix_dims, q_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.knnBrute(emb, "vec_id", "embedding",
+        col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+    Seq(16, 32).map { d =>
+      val pref = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val cand = Similarity.knnBrute(pref, "vec_id", "embedding",
+          col("id") < NumQueries, K)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      truth.join(cand, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(d.toLong).as("prefix_dims"), col("q_id"),
+          lit(K.toLong).as("k"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(K.toDouble)).as("recall"))
+    }.reduce(_ unionByName _).orderBy("prefix_dims", "q_id")
+  }
+
+  /** E28 — FILTERED ANN over the stored IVF-PQ index (the FAISS
+    * `IDSelector` / vector-DB metadata-filter shape): retrieval under a
+    * predicate on corpus metadata (`label % 2 = 0`) — the "only docs in
+    * this language / this license / this date range" query every
+    * production vector store serves. PRE-filtering semantics: the
+    * allow-list lands on the probed codes scan BEFORE any ADC scoring,
+    * so the top-k is computed among eligible candidates (post-filtering
+    * an unfiltered top-k under-fills — a strict-filter query could
+    * return zero rows with matches present). The oracle replays the
+    * full IVF-PQ chain with the candidate restriction inside the
+    * scoring CTE, so one hash pins index fidelity AND filter placement:
+    * an odd-label vector scoring well must not appear.
+    *
+    * Scale shape: identical to e19 (statically-pruned probed-partition
+    * codes scan) plus one broadcast LEFT SEMI on the scan; the filter
+    * side here is metadata-derived and request-sized — corpus-scale
+    * predicates belong in the store as partition/stored columns, and a
+    * mid-size set degrades to x07's bloom semi-join.
+    */
+  val e28FilteredAnn: GraftQuery = GraftQuery(
+    "e28_filtered_ann",
+    s"""WITH ${ivfPqCtesP("", NProbe, s"id < $NumQueries",
+        "c.id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}
+       |SELECT q_id, rank, n_id, adc_dist FROM ranked WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val store = Dsl.tempStore("e28_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+    Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding",
+        K, NProbe, allowed = Some(allowed))
+      .orderBy("q_id", "rank")
+  }
+
+  /** X23 — VECTOR-STORE FORGET (right-to-be-forgotten reaching the ANN
+    * index): x11 purges raw tables and derived rollups — this purges
+    * the DERIVED VECTOR INDEX, the store a GDPR audit most easily
+    * misses (an index still serving deleted vectors' codes has erased
+    * nothing). [[Similarity.forgetFromIvfPqStore]] rewrites only the
+    * cluster partitions containing deleted ids (dynamic partition
+    * overwrite, per-writer option), then the gate runs the UNMODIFIED
+    * stored retrieval against the purged store: deleted ids must be
+    * unretrievable and ranks must close up over survivors. The oracle
+    * replays the IVF-PQ chain with the tombstone exclusion in the
+    * scoring CTE plus the erasure receipt (n_forgotten), so one hash
+    * pins the purge, the receipt, and post-purge ranking.
+    *
+    * Scale shape: erase I/O ∝ affected clusters (the delete set routes
+    * to a handful of partitions), never store size; retrieval is e19's
+    * pruned probe unchanged. Centroids/codebook are trained parameters,
+    * not per-subject rows — the x14 boundary, documented at the
+    * operator.
+    */
+  val x23VectorStoreForget: GraftQuery = GraftQuery(
+    "x23_vector_store_forget",
+    s"""WITH ${ivfPqCtesP("", NProbe, s"id < $NumQueries", "c.id % 10 <> 7")},
+       |receipt AS (SELECT COUNT(*) AS n_forgotten FROM embeddings WHERE vec_id % 10 = 7)
+       |SELECT q_id, rank, n_id, adc_dist, n_forgotten
+       |FROM ranked CROSS JOIN receipt WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+    val store = Dsl.tempStore("x23_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    val del = emb.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    Similarity.forgetFromIvfPqStore(spark, store, del)
+    Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", K, NProbe)
+      .crossJoin(broadcast(del.agg(count(lit(1)).as("n_forgotten"))))
+      .orderBy("q_id", "rank")
+  }
+
+  /** E29 — INCREMENTAL ADMISSION into the stored IVF-PQ index
+    * ([[Similarity.admitIvfPqBatch]]): the insert half of the vector
+    * store's lifecycle — x23 forgets, e29 admits, e19 serves — so the
+    * index stays fresh without a rebuild as the corpus grows (the x04/
+    * x08 incremental-admission discipline applied to the ANN store).
+    * The gate builds the store WITHOUT the batch (`vec_id ≥ 12 AND
+    * vec_id % 7 = 3` held out), admits the batch using only STORED
+    * model parameters, then runs the unmodified stored retrieval — and
+    * gates it against the FROM-SCRATCH full-corpus oracle (e16/e19's
+    * SQL verbatim): routing or encoding drift through the store
+    * round-trip breaks the hash, which is exactly the "does the
+    * incrementally-maintained index equal the rebuilt one" invariant
+    * (x08 pins the same equality for the near-dup index).
+    *
+    * Scale shape: admission is O(batch) — batch × broadcast params,
+    * appends touch only routed partitions, the resident corpus is
+    * never read; retrieval unchanged from e19.
+    */
+  val e29IvfPqAdmit: GraftQuery = GraftQuery(
+    "e29_ivfpq_admit", ivfPqOracleSql) { (spark, dir) =>
+    val store = Dsl.tempStore("e29_index")
+    val emb = Tables.embeddings(spark, dir)
+    val isBatch = col("vec_id") >= 12 && col("vec_id") % 7 === 3
+    Similarity.buildIvfPqStore(emb.filter(!isBatch), "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    Similarity.admitIvfPqBatch(spark, store, emb.filter(isBatch),
+      "vec_id", "embedding", batchId = 1L)
+    Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", K, NProbe)
+      .orderBy("q_id", "rank")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
     e15PqAdcTopK, e16IvfPqSearch, e17HammingTopK, e18MultiProbeLsh,
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
     e24MaxSimStored, e25KcenterCoreset, e26MaxSimRecall,
+    e27MatryoshkaRecall, e28FilteredAnn, x23VectorStoreForget, e29IvfPqAdmit,
     t34ContaminationReport,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

@@ -658,9 +658,64 @@ object StreamingQueries {
       .orderBy(desc("n_exact"), asc("item")).limit(10)
   }
 
+  /** SM10 — STREAMING MIXTURE MONITOR ([[graft.streaming.StreamMixture]]):
+    * per-micro-batch event-type counts land as exactly-once `batch=<id>`
+    * slices (sm08/sm09's dynamic-overwrite discipline), and the drift
+    * report — each batch's total-variation distance from the pooled
+    * mixture, exact integer ppm — runs on the store without re-scanning
+    * history. The "is a source going rogue mid-ingest" page a 100 TB
+    * crawl pipeline runs continuously; TV is the same metric t33's
+    * mixture optimizer moves, so monitor and controller share units.
+    * Batch assignment is deterministic (event_id % 3), so the oracle
+    * replays batching, per-slice counts, ppm shares, and the TV fold —
+    * one hash pins the streaming store contents AND the report
+    * arithmetic.
+    *
+    * Scale shape: per batch O(|batch| + |keys|); the report is
+    * |batches| × |keys| grid arithmetic on count partials, never raw
+    * events. (Gate fixture collects driver-side ONLY for MemoryStream's
+    * deterministic batch boundaries — the sm08/sm09 note; production is
+    * a file/queue readStream.)
+    */
+  val sm10StreamMixture: GraftQuery = GraftQuery(
+    "sm10_stream_mixture",
+    """WITH e AS (SELECT event_id % 3 AS batch, event_type AS k FROM events),
+      |bc AS (SELECT batch, k, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |bt AS (SELECT batch, SUM(c) AS bt FROM bc GROUP BY 1),
+      |pc AS (SELECT k, SUM(c) AS pc FROM bc GROUP BY 1),
+      |pt AS (SELECT SUM(pc) AS pt FROM pc),
+      |grid AS (
+      |  SELECT bt.batch, bt.bt,
+      |         COALESCE(bc.c, 0) * 1000000 // bt.bt AS sb,
+      |         pc.pc * 1000000 // pt.pt AS sp
+      |  FROM bt CROSS JOIN pc CROSS JOIN pt
+      |  LEFT JOIN bc ON bc.batch = bt.batch AND bc.k = pc.k)
+      |SELECT batch, CAST(MAX(bt) AS BIGINT) AS n_events,
+      |       CAST(SUM(abs(sb - sp)) // 2 AS BIGINT) AS tv_ppm
+      |FROM grid GROUP BY batch ORDER BY batch""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Dsl.tempStore("sm10_mixture")
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"))
+    val thirds = (0 to 2).map(i =>
+      ev.filter(col("event_id") % 3 === i).select("event_type").as[String]
+        .collect().toSeq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().toDF("k").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.StreamMixture.mergeBatch(b, id, "k", store)
+      }
+      .start()
+    try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
+    finally q.stop()
+    graft.streaming.StreamMixture.tvReport(spark, store)
+      .select(col("batch").cast("long").as("batch"), col("n_events"), col("tv_ppm"))
+      .orderBy("batch")
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     st04LateProfile,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
     sm05StreamStaticJoin, sm06StreamOuterJoin, sm07StreamUpsert,
-    sm09StreamSketch)
+    sm09StreamSketch, sm10StreamMixture)
 }

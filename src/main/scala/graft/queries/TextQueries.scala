@@ -1793,6 +1793,80 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T37 — CROSS-SOURCE OVERLAP MATRIX: pairwise 4-shingle Jaccard
+    * between every pair of mixture sources — the redundancy audit run
+    * BEFORE setting mixture weights (t15 measures the mixture, t33
+    * optimizes it; both assume sources are distinct material — two
+    * near-identical crawls double-counted at full weight is the classic
+    * mixture bug this table catches, and near-dup rates between dumps
+    * is exactly what the CCNet/RefinedWeb pipelines report).
+    *
+    * Scale shape: each distinct shingle aggregates its source-membership
+    * BITMASK (`bit_or(1 << source_index)` — idempotent, so map-side
+    * combinable with NO distinct pass), then mask frequencies collapse
+    * to ≤ 2^|sources| rows and every pairwise intersection/union is
+    * arithmetic on that tiny frame against the |S|²/2 pair grid — the
+    * corpus is touched ONCE for all pairs, vs the naive per-pair
+    * semi-join that rescans it O(|S|²) times. Mask width bounds
+    * |sources| ≤ 64; beyond that the same rollup runs on (shingle,
+    * source-block) with one mask column per 64-source block. Jaccard in
+    * exact integer ppm (the m02/g01 convention).
+    */
+  val t37CrossSourceOverlap: GraftQuery = GraftQuery(
+    "t37_cross_source_overlap",
+    s"""WITH srcs AS (
+       |  SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |sh AS (
+       |  SELECT source, unnest(list_distinct(${sqlShingles(sqlTokens("text"), 4)})) AS s
+       |  FROM documents),
+       |m AS (
+       |  SELECT s, bit_or(CAST(1 AS BIGINT) << sidx) AS mask
+       |  FROM sh JOIN srcs USING (source) GROUP BY s),
+       |mc AS (SELECT mask, COUNT(*) AS n FROM m GROUP BY mask),
+       |pairs AS (
+       |  SELECT a.source AS s1, a.sidx AS i1, b.source AS s2, b.sidx AS i2
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |cell AS (
+       |  SELECT s1, s2,
+       |         CAST(SUM(CASE WHEN ((mask >> i1) & 1) = 1 THEN n ELSE 0 END) AS BIGINT) AS n_s1,
+       |         CAST(SUM(CASE WHEN ((mask >> i2) & 1) = 1 THEN n ELSE 0 END) AS BIGINT) AS n_s2,
+       |         CAST(SUM(CASE WHEN ((mask >> i1) & 1) = 1 AND ((mask >> i2) & 1) = 1
+       |                       THEN n ELSE 0 END) AS BIGINT) AS n_inter
+       |  FROM pairs CROSS JOIN mc GROUP BY s1, s2)
+       |SELECT s1, s2, n_s1, n_s2, n_inter,
+       |       CASE WHEN n_s1 + n_s2 - n_inter = 0 THEN 0
+       |            ELSE (n_inter * 1000000) // (n_s1 + n_s2 - n_inter) END AS jaccard_ppm
+       |FROM cell ORDER BY s1, s2""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    // |sources| is dimension-sized; the global window runs on the
+    // post-distinct frame, not the corpus
+    val srcs = docs.select("source").distinct()
+      .withColumn("sidx",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
+    val sh = docs.select(col("source"),
+      explode(array_distinct(shingles(tokens(col("text")), 4))).as("s"))
+    val masks = sh.join(broadcast(srcs), "source")
+      .groupBy("s")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(sidx AS INT)))").as("mask"))
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("n"))
+    val pairs = srcs.select(col("source").as("s1"), col("sidx").as("i1"))
+      .join(srcs.select(col("source").as("s2"), col("sidx").as("i2")),
+        col("s1") < col("s2"))
+    def bitSet(i: String): org.apache.spark.sql.Column =
+      expr(s"(shiftright(mask, CAST($i AS INT)) & 1) = 1")
+    val cell = pairs.crossJoin(mc)
+      .groupBy("s1", "s2")
+      .agg(sum(when(bitSet("i1"), col("n")).otherwise(0L)).cast("long").as("n_s1"),
+        sum(when(bitSet("i2"), col("n")).otherwise(0L)).cast("long").as("n_s2"),
+        sum(when(bitSet("i1") && bitSet("i2"), col("n")).otherwise(0L)).cast("long").as("n_inter"))
+    cell.select(col("s1"), col("s2"), col("n_s1"), col("n_s2"), col("n_inter"),
+        when(col("n_s1") + col("n_s2") - col("n_inter") === 0, 0L)
+          .otherwise(expr("(n_inter * 1000000) div (n_s1 + n_s2 - n_inter)"))
+          .as("jaccard_ppm"))
+      .orderBy("s1", "s2")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
@@ -1800,5 +1874,6 @@ object TextQueries {
     t20PostingIntersect, t21Bm25TopK, t21bBm25Stored, t22QualityGate, t23CmsTopK,
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
     t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
-    t33MixtureReweight, t35PerplexityBuckets, t36NoveltyProbe)
+    t33MixtureReweight, t35PerplexityBuckets, t36NoveltyProbe,
+    t37CrossSourceOverlap)
 }

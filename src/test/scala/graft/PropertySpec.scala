@@ -1485,4 +1485,193 @@ class PropertySpec extends SparkSpec {
       assert(!und.contains((u, v)), s"predicted pair ($u,$v) already an edge")
     }
   }
+
+  test("x23 forget: codes purged exactly, idempotent, emptied cluster dir dropped, unretrievable") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files.createTempDirectory("x23spec").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val before = spark.read.parquet(s"$store/codes")
+      .select("vec_id", "subspace", "code", "cluster").collect()
+    val delIds = emb.filter(col("vec_id") % 10 === 7).select("vec_id")
+    val nDel = delIds.count()
+    Similarity.forgetFromIvfPqStore(spark, store, delIds)
+    val after = spark.read.parquet(s"$store/codes")
+    // exactly the deleted ids' rows gone (4 code rows per vector), the rest intact
+    assert(after.count() == before.length - 4 * nDel)
+    assert(after.filter(col("vec_id") % 10 === 7).count() == 0)
+    // idempotent: re-running the same forget changes nothing
+    Similarity.forgetFromIvfPqStore(spark, store, delIds)
+    assert(after.count() == before.length - 4 * nDel)
+    // deleted ids are unretrievable through the unmodified search
+    val got = Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 2)
+      .select("n_id").as[Long].collect()
+    assert(got.forall(_ % 10 != 7))
+    // emptying a whole cluster drops its directory (the dynamic-overwrite
+    // blind spot the operator handles explicitly)
+    // partition discovery types `cluster` as INT — normalize
+    val someCluster = after.select(col("cluster").cast("long")).head().getLong(0)
+    val clusterIds = after.filter(col("cluster") === someCluster).select("vec_id").distinct()
+    Similarity.forgetFromIvfPqStore(spark, store, clusterIds)
+    assert(!new java.io.File(s"$store/codes/cluster=$someCluster").exists())
+    assert(spark.read.parquet(s"$store/codes")
+      .filter(col("cluster") === someCluster).count() == 0)
+  }
+
+  test("e28 filtered ANN: all-pass filter ≡ unfiltered; strict filter excludes every ineligible id") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val store = java.nio.file.Files.createTempDirectory("e28spec").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val q = emb.filter(col("vec_id") < 5)
+    val plain = Similarity.ivfPqStoredTopK(spark, store, q, "vec_id", "embedding", 10, 2)
+      .collect().map(_.toSeq).toSet
+    val allPass = Similarity.ivfPqStoredTopK(spark, store, q, "vec_id", "embedding", 10, 2,
+        allowed = Some(emb.select("vec_id")))
+      .collect().map(_.toSeq).toSet
+    assert(allPass == plain, "an all-pass filter must not change the answer")
+    val evens = Similarity.ivfPqStoredTopK(spark, store, q, "vec_id", "embedding", 10, 2,
+        allowed = Some(emb.filter(col("label") % 2 === 0).select("vec_id")))
+    val evenSet = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val gotIds = evens.select("n_id").as[Long].collect()
+    assert(gotIds.nonEmpty && gotIds.forall(evenSet.contains))
+    // pre-filter semantics: every query still gets k eligible answers
+    // when enough eligible candidates exist in the probed clusters
+    val perQ = evens.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(perQ.values.forall(_ == 10), s"under-filled filtered top-k: $perQ")
+  }
+
+  test("e29 admit: store equals from-scratch build row-for-row; ledger makes re-admit a no-op") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isBatch = col("vec_id") >= 12 && col("vec_id") % 7 === 3
+    val incr = java.nio.file.Files.createTempDirectory("e29incr").toString
+    Similarity.buildIvfPqStore(emb.filter(!isBatch), "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, incr)
+    Similarity.admitIvfPqBatch(spark, incr, emb.filter(isBatch), "vec_id", "embedding", 1L)
+    val full = java.nio.file.Files.createTempDirectory("e29full").toString
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, full)
+    def rows(s: String) = spark.read.parquet(s"$s/codes")
+      .select("vec_id", "subspace", "code", "dist_q", "cluster")
+      .collect().map(_.toSeq).toSet
+    val incrRows = rows(incr)
+    assert(incrRows == rows(full),
+      "incrementally-admitted store must equal the from-scratch build")
+    // ledger: same batch id re-admitted is a no-op, not a duplicate
+    Similarity.admitIvfPqBatch(spark, incr, emb.filter(isBatch), "vec_id", "embedding", 1L)
+    assert(rows(incr) == incrRows)
+    assert(spark.read.parquet(s"$incr/codes").count() == incrRows.size)
+  }
+
+  test("e27 matryoshka: the full-width prefix is exact (recall 1.0); narrower prefixes bounded") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val truth = Similarity.knnBrute(emb, "vec_id", "embedding", col("id") < 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p64 = Similarity.knnBrute(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 64).as("embedding")),
+        "vec_id", "embedding", col("id") < 5, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p64 == truth, "prefix=dims must reproduce the exact answer")
+    val rec = SparkEntry.queries("e27_matryoshka_recall")(spark, sf)
+      .select("prefix_dims", "recall").as[(Long, Double)].collect()
+    assert(rec.length == 10)
+    rec.foreach { case (_, r) => assert(r >= 0.0 && r <= 1.0) }
+  }
+
+  test("d19 curriculum shards: each decile deals ±1-even hands across all 8 shards") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = SparkEntry.queries("d19_curriculum_shards")(spark, sf)
+      .select("shard", "decile", "n_docs").as[(Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cells.map(_._3).sum == total, "shard manifest must conserve documents")
+    cells.groupBy(_._2).foreach { case (dec, rows) =>
+      assert(rows.length == 8, s"decile $dec missing shards")
+      val counts = rows.map(_._3)
+      assert(counts.max - counts.min <= 1,
+        s"decile $dec unbalanced across shards: ${counts.mkString(",")}")
+    }
+  }
+
+  test("t37 pairwise overlap equals direct per-pair set Jaccard (spot pairs)") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val got = SparkEntry.queries("t37_cross_source_overlap")(spark, sf)
+      .select("s1", "s2", "n_inter", "jaccard_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def shingleSet(src: String): Set[String] = docs.filter(col("source") === src)
+      .select(explode(shingles(tokens(col("text")), 4)).as("s"))
+      .distinct().as[String].collect().toSet
+    for ((a, b) <- Seq(("src0", "src1"), ("src2", "src9"), ("src14", "src5"))) {
+      val (s1, s2) = if (a < b) (a, b) else (b, a)
+      val (sa, sb) = (shingleSet(s1), shingleSet(s2))
+      val inter = (sa & sb).size.toLong
+      val expectPpm =
+        if ((sa | sb).isEmpty) 0L else inter * 1000000L / (sa | sb).size
+      assert(got((s1, s2)) == ((inter, expectPpm)), s"pair ($s1,$s2)")
+    }
+  }
+
+  test("w12 MAD flags a planted outlier day and nothing else on a quiet series") {
+    // synthetic events table: 29 quiet days + one 10× day
+    val dir = java.nio.file.Files.createTempDirectory("w12spec").toString
+    val rows = (0 until 30).flatMap { d =>
+      val ts = Timestamp.valueOf(f"2025-03-${d + 1}%02d 12:00:00")
+      val v = if (d == 17) 1000.0 else 10.0 + (d % 5)
+      Seq((d.toLong, ts, 1L, "purchase", v, "{}"),
+        (100L + d, ts, 2L, "view", 99.0, "{}")) // non-purchase noise ignored
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("w12_mad_outliers")(spark, dir)
+      .select("day", "is_outlier").as[(Timestamp, Int)].collect()
+    assert(out.length == 30)
+    val flagged = out.filter(_._2 == 1).map(_._1.toString)
+    assert(flagged.toSeq == Seq("2025-03-18 00:00:00.0"),
+      s"expected exactly the planted day, got ${flagged.mkString(",")}")
+  }
+
+  test("sm10 mixture store: redelivered batch replaces its slice; TV is 0 for identical batches") {
+    import graft.streaming.StreamMixture
+    val store = java.nio.file.Files.createTempDirectory("sm10spec").toString
+    val b0 = Seq("a", "a", "b").toDF("k")
+    val b1 = Seq("a", "a", "b").toDF("k")
+    StreamMixture.mergeBatch(b0, 0L, "k", store)
+    StreamMixture.mergeBatch(b1, 1L, "k", store)
+    val rep = StreamMixture.tvReport(spark, store)
+      .select("batch", "n_events", "tv_ppm").as[(Long, Long, Long)].collect().toSet
+    assert(rep == Set((0L, 3L, 0L), (1L, 3L, 0L)),
+      "identical mixtures must show zero drift")
+    // redelivery: batch 1 crashes mid-body and is redelivered with the
+    // same id — its slice is REPLACED, never double-counted
+    StreamMixture.mergeBatch(Seq("b", "b", "b").toDF("k"), 1L, "k", store)
+    val rep2 = StreamMixture.tvReport(spark, store)
+      .select("batch", "n_events", "tv_ppm").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep2(1L)._1 == 3L, "slice replaced, not appended")
+    // pooled: a=2,b=4 of 6 → shares 333333/666666 ppm; batch1 b=3/3 →
+    // |0-333333| + |1000000-666666| = 666667 → tv 333333
+    assert(rep2(1L)._2 == 333333L)
+    assert(rep2(0L)._2 == 333333L)
+  }
+
+  test("io16 gate flags exactly the corrupted shard") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("io16_manifest_verify")(spark, sf)
+      .select("shard", "status").as[(Long, String)].collect().toMap
+    assert(out.size == 4)
+    assert(out(2L) == "mismatch")
+    assert(Seq(0L, 1L, 3L).forall(out(_) == "ok"))
+  }
 }
