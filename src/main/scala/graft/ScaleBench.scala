@@ -92,7 +92,12 @@ object ScaleBench {
     // profile); io16 is one landing write + one verification agg pass
     // (the io08 write shape plus a map-side agg read)
     "t37_cross_source_overlap", "d19_curriculum_shards",
-    "io16_manifest_verify")
+    "io16_manifest_verify",
+    // r12 third wave: c05 is one rollup pass + two (group, value)
+    // count-distinct shuffles — the release-card cost a publisher pays
+    // once per corpus; i11 is i03's flat codec profile plus a per-row
+    // run-length fold (never a cross-row window)
+    "c05_dataset_card", "i11_audio_vad")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier
@@ -145,8 +150,12 @@ object ScaleBench {
     // the curve to watch is the capped wedge join staying ∝ nodes
     "g11_link_prediction",
     // r12: w12 is one map-side day agg + rank windows on the |days|
-    // frame — the a27/a34 flat-monitor profile, now with exact medians
-    "w12_mad_outliers")
+    // frame — the a27/a34 flat-monitor profile, now with exact medians;
+    // w13 the same profile with cumulative windows; g14 is two keyed
+    // shuffles (the Pregel superstep, g03's profile); io17 is one scan
+    // fanned into two filtered writes + sink read-back aggs
+    "w12_mad_outliers", "w13_cusum_drift", "g14_hits_round",
+    "io17_quarantine_split")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 

@@ -646,6 +646,38 @@ object Multimodal {
       * integers: the framed energy/sign statistics a quality filter runs
       * before any learned audio model.
       */
+    /** Energy-threshold voice-activity segmentation (the classic VAD
+      * front-end every speech-data pipeline runs before a learned
+      * model): 160-sample frames (20 ms @ 8 kHz), a frame is ACTIVE iff
+      * its Σ|s| exceeds `threshold`, and activity segments are maximal
+      * runs of active frames. Returns (n_frames, n_active, n_segments,
+      * longest_run) — all exact integers (the trailing partial frame is
+      * dropped, i03's framing convention). Exercises the REAL decode;
+      * the i11 oracle recomputes the identical integers from the sample
+      * formula through SQL run-length windows.
+      */
+    def vadStats(content: Array[Byte], frame: Int = 160,
+                 threshold: Long = 160L * 16384L): Option[(Long, Long, Long, Long)] =
+      decodeSamples(content).map { s =>
+        val nf = s.length / frame
+        var active = 0L; var segs = 0L; var longest = 0L
+        var run = 0L
+        var f = 0
+        while (f < nf) {
+          var sum = 0L
+          var i = f * frame
+          val end = i + frame
+          while (i < end) { sum += math.abs(s(i)); i += 1 }
+          if (sum > threshold) {
+            active += 1; run += 1
+            if (run == 1) segs += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        (nf.toLong, active, segs, longest)
+      }
+
     def frameStats(content: Array[Byte]): Option[(Int, Long, Long, Array[Long])] =
       decodeSamples(content).map { s =>
         val n = s.length

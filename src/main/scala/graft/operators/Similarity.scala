@@ -474,12 +474,16 @@ object Similarity {
     survivors.unpersist()
     // emptied clusters second: both steps are idempotent, so a crash
     // between them re-runs clean; until the drop lands the store is
-    // merely stale for those ids, never corrupt
-    affected.filterNot(keptClusters.contains).foreach { c =>
-      val dir = new java.io.File(s"$store/codes/cluster=$c")
-      if (dir.isDirectory) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
+    // merely stale for those ids, never corrupt. Hadoop FS API, not
+    // java.io — the store may live on HDFS/S3, where a java.io delete
+    // silently no-ops and the stale rows would SURVIVE the forget
+    // (the StreamSketch fsOf discipline).
+    val emptied = affected.filterNot(keptClusters.contains)
+    if (emptied.nonEmpty) {
+      val codesPath = new org.apache.hadoop.fs.Path(s"$store/codes")
+      val fs = codesPath.getFileSystem(spark.sessionState.newHadoopConf())
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cluster=$c"), true)
       }
     }
   }
@@ -512,8 +516,12 @@ object Similarity {
   def admitIvfPqBatch(spark: org.apache.spark.sql.SparkSession, store: String,
                       batch: DataFrame, idCol: String, embCol: String,
                       batchId: Long, m: Int = 4, dsub: Int = 16): Unit = {
-    val marker = new java.io.File(s"$store/_admitted/batch=$batchId")
-    if (marker.exists()) return
+    // Hadoop FS for the ledger (the store may live on HDFS/S3 — a
+    // java.io.File check there always reads "absent" and every
+    // redelivery would double-admit)
+    val marker = new org.apache.hadoop.fs.Path(s"$store/_admitted/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val v = batch.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
@@ -543,8 +551,8 @@ object Similarity {
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$store/codes")
     v.unpersist()
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
   }
 
   /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]

@@ -2467,6 +2467,75 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** W13 — CUSUM drift detector on daily revenue (Page 1954, the
+    * sequential change-point test production monitors run where a27's
+    * spike rule only sees single-day jumps — CUSUM accumulates a
+    * SUSTAINED small shift until it crosses the decision interval).
+    * One-sided upper form via the prefix closed form: with yₜ = xₜ −
+    * target − slack, Sₜ = max(0, Sₜ₋₁ + yₜ) ≡ Pₜ − min(0, min_{j≤t}
+    * Pⱼ) where P is the running sum — so the sequential recursion
+    * becomes two exact window passes (cumsum + running min), engine-
+    * deterministic with NO fold-order hazard. All arithmetic in micro-
+    * units BIGINT; target = exact-rank median (w12's convention),
+    * slack = target/20, decision interval h = target/2.
+    *
+    * Scale shape: one map-side day aggregate over the corpus, then
+    * windows on the |days| frame (∝ elapsed time) — the w12/a27
+    * post-aggregate-window profile.
+    */
+  val w13CusumDrift: GraftQuery = GraftQuery(
+    "w13_cusum_drift",
+    """WITH day_rev AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS r
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY r, day) AS rn,
+      |              COUNT(*) OVER () AS n
+      |       FROM day_rev),
+      |med AS (SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN r END) AS m FROM rk),
+      |y AS (SELECT day, r, r - m - m // 20 AS yv, m FROM day_rev CROSS JOIN med),
+      |p AS (SELECT day, r, m,
+      |             CAST(SUM(yv) OVER (ORDER BY day) AS BIGINT) AS pv
+      |      FROM y),
+      |s AS (SELECT day, r, m, pv,
+      |             pv - LEAST(CAST(0 AS BIGINT),
+      |                        MIN(pv) OVER (ORDER BY day
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |               AS cusum
+      |      FROM p)
+      |SELECT day, CAST(r AS DOUBLE) / 1000000.0 AS revenue,
+      |       CAST(cusum AS BIGINT) AS cusum_micros,
+      |       CASE WHEN cusum > m // 2 THEN 1 ELSE 0 END AS alarm
+      |FROM s ORDER BY day""".stripMargin) { (spark, dir) =>
+    val dayRev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(28,6)")) * 1000000)
+        .cast("long").as("r"))
+    val wAll = Window.partitionBy(lit(1))
+    val med = dayRev
+      .select(col("r"),
+        row_number().over(wAll.orderBy(col("r"), col("day"))).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
+      .select(col("r").as("m"))
+    val y = dayRev.crossJoin(broadcast(med))
+      .select(col("day"), col("r"), col("m"),
+        (col("r") - col("m") - expr("m div 20")).as("yv"))
+    val wCum = wAll.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = y
+      .select(col("day"), col("r"), col("m"),
+        sum(col("yv")).over(wCum).as("pv"))
+      .select(col("day"), col("r"), col("m"),
+        (col("pv") - least(lit(0L), min(col("pv")).over(wCum))).as("cusum"))
+    s.select(col("day"),
+        (col("r").cast("double") / 1000000.0).as("revenue"),
+        col("cusum").as("cusum_micros"),
+        when(col("cusum") > expr("m div 2"), 1).otherwise(0).as("alarm"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     a01wWeekEnd, a02Pivot, a03RelShare, a05Describe, a05bDescribeApprox,
     a06Profile, a06bProfileApprox,
@@ -2481,5 +2550,6 @@ object AnalyticsQueries {
     j02TimeAlign, j11NearestEvent,
     w01Windows, w02RollingTime, w02bRollingSkewed, w03RankFunctions,
     w04SessionWindow, w05CumulativeUniques, w07GapInterpolate, w08MaxConcurrency,
-    w09TrailingDau, w10EwmaRevenue, w11TrendingItems, w12MadOutliers)
+    w09TrailingDau, w10EwmaRevenue, w11TrendingItems, w12MadOutliers,
+    w13CusumDrift)
 }

@@ -572,6 +572,57 @@ object CurationQueries {
       .orderBy("shard")
   }
 
+  /** C5 — DATASET CARD: the release manifest a training corpus ships
+    * with (the "datasheet/data card" practice — Gebru et al. 2021,
+    * the HF dataset-card convention): per-source rows PLUS the rolled-up
+    * TOTAL row in one gated table — doc/token/char volumes, language
+    * breadth, and the exact-dup rate (1 − distinct fingerprints / docs,
+    * integer ppm; x01's fingerprint). Every release decision the
+    * mixture/dedup gates inform is summarized here, so the card being
+    * oracle-gated means the numbers a release PUBLISHES are verified,
+    * not transcribed.
+    *
+    * Scale shape: ROLLUP(source) is one map-side-combinable aggregate
+    * pass (Spark expands grouping sets in the same shuffle); the
+    * count-distinct legs (languages, fingerprints) shuffle on
+    * (group, value) — the corpus is scanned once, and every output row
+    * is |sources|+1.
+    */
+  val c05DatasetCard: GraftQuery = GraftQuery(
+    "c05_dataset_card", {
+      val fpE = sqlRollingHash("text")
+      s"""WITH d AS (
+         |  SELECT source, lang, len(${sqlTokens("text")}) AS n_tokens,
+         |         len(text) AS n_chars, ($fpE) AS fp
+         |  FROM documents)
+         |SELECT COALESCE(source, 'TOTAL') AS source,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       COUNT(DISTINCT lang) AS n_langs,
+         |       COUNT(DISTINCT fp) AS n_distinct_docs,
+         |       (COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS dup_ppm
+         |FROM d GROUP BY ROLLUP(source)
+         |ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        rollingHash(col("text")).as("fp"))
+    d.rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_distinct_docs"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        col("n_distinct_docs"),
+        expr("(n_docs - n_distinct_docs) * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(c01Curation, c02CurationFull, c03MixtureApply,
-    c04CleaningCut, pl01PipelineE2e, pl02OrchestratorFull)
+    c04CleaningCut, c05DatasetCard, pl01PipelineE2e, pl02OrchestratorFull)
 }

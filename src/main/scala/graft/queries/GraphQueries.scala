@@ -813,8 +813,49 @@ object GraphQueries {
       .orderBy("start")
   }
 
+  /** G14 — one HITS round (Kleinberg's hubs-and-authorities) from the
+    * uniform hub=1 start, exact integers: auth(v) = Σ_{u→v} hub(u)
+    * (= weighted in-degree on the raw edge stream — multi-edges count,
+    * deterministically in both engines), then hub'(u) = Σ_{u→v}
+    * auth(v). The directional complement of g03's PageRank (endorsement
+    * mass vs curation mass — a crawl frontier ranks SEED HUBS by
+    * exactly this score); normalization is deferred (HITS normalizes
+    * per round only for convergence, which a single gated round
+    * doesn't need — keeping the round integer-exact instead).
+    *
+    * Scale shape: two keyed shuffles (the Pregel superstep profile,
+    * g03's): one in-degree agg, one auth-join + src agg; per-round
+    * state is one long per node.
+    */
+  val g14HitsRound: GraftQuery = GraftQuery(
+    "g14_hits_round",
+    s"""WITH edges AS ($edgesSql),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+       |auth AS (SELECT dst AS node, COUNT(*) AS a FROM edges GROUP BY 1),
+       |hub AS (SELECT e.src AS node, CAST(SUM(auth.a) AS BIGINT) AS h
+       |        FROM edges e JOIN auth ON auth.node = e.dst GROUP BY 1)
+       |SELECT n.node, CAST(COALESCE(a, 0) AS BIGINT) AS auth,
+       |       CAST(COALESCE(h, 0) AS BIGINT) AS hub
+       |FROM nodes n LEFT JOIN auth USING (node) LEFT JOIN hub USING (node)
+       |ORDER BY node""".stripMargin) { (spark, dir) =>
+    val edges = edgesDf(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val auth = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("a"))
+    val hub = edges.join(auth, edges("dst") === auth("node"))
+      .groupBy(edges("src").as("node")).agg(sum(col("a")).as("h"))
+    nodes.join(auth.withColumnRenamed("node", "an"),
+        col("node") === col("an"), "left")
+      .join(hub.withColumnRenamed("node", "hn"),
+        col("node") === col("hn"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .orderBy("node")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
     g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound,
-    g13RandomWalks)
+    g13RandomWalks, g14HitsRound)
 }

@@ -818,10 +818,70 @@ object IoQueries {
       .orderBy("shard")
   }
 
+  /** IO17 — SCHEMA-CONTRACT QUARANTINE SPLIT: the semantic layer above
+    * io09's parse-level tolerance — rows that PARSE but violate the
+    * landing contract (type allowlist, value cap on purchases, props
+    * field range) are diverted to a quarantine sink with a machine-
+    * readable reason, never dropped silently and never allowed to
+    * poison the landing (the dead-letter-queue discipline; a26 audits
+    * violations as a REPORT, this one actually routes the rows). First
+    * failing rule wins, in declared order, so every quarantined row has
+    * exactly one reason and re-processing after a contract fix is
+    * deterministic. Both sinks are REAL parquet writes and the gated
+    * report is recomputed from the WRITTEN files — the split that
+    * landed, not the split that was planned.
+    *
+    * Scale shape: one corpus scan fans into two filtered writes (the
+    * disposition is a cheap per-row projection computed once via a
+    * persisted split column at cluster scale); the report is a
+    * map-side agg over each sink's read-back.
+    */
+  val io17QuarantineSplit: GraftQuery = GraftQuery(
+    "io17_quarantine_split",
+    """WITH e AS (
+      |  SELECT *, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+      |    CASE
+      |      WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
+      |        THEN 'bad_type'
+      |      WHEN event_type = 'purchase' AND value > 300.0 THEN 'value_cap'
+      |      WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 80
+      |        THEN 'props_range'
+      |    END AS reason
+      |  FROM events)
+      |SELECT CASE WHEN reason IS NULL THEN 'landed' ELSE 'quarantined' END
+      |         AS disposition,
+      |       COALESCE(reason, 'ok') AS reason, COUNT(*) AS n_rows,
+      |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val root = graft.queries.Dsl.tempStore("io17_split")
+    val reason = when(!col("event_type").isin("click", "view", "purchase", "signup"),
+        "bad_type")
+      .when(col("event_type") === "purchase" && col("value") > 300.0, "value_cap")
+      .when(regexp_extract(col("props"), "[0-9]+", 0).cast("long") >= 80,
+        "props_range")
+    val e = Tables.events(spark, dir).withColumn("reason", reason)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.filter(col("reason").isNull).drop("reason")
+      .write.mode("overwrite").parquet(s"$root/landing")
+    e.filter(col("reason").isNotNull)
+      .write.mode("overwrite").parquet(s"$root/quarantine")
+    e.unpersist()
+    val landed = spark.read.parquet(s"$root/landing")
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+      .select(lit("landed").as("disposition"), lit("ok").as("reason"),
+        col("n_rows"), col("id_sum"))
+    val quarantined = spark.read.parquet(s"$root/quarantine")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+      .select(lit("quarantined").as("disposition"), col("reason"),
+        col("n_rows"), col("id_sum"))
+    landed.unionByName(quarantined).orderBy("disposition", "reason")
+  }
+
   val all: Seq[GraftQuery] = Seq(io01CsvRoundtrip, io02JsonRoundtrip, io13XmlRoundtrip,
     io03BinaryRoundtrip, io04OrcRoundtrip, io05SchemaMerge, io06Compaction,
     io07PartitionedLake, io08ManifestPublish, io09MalformedCsv,
     io10DynamicOverwrite, io11ZoneMapSkip, io12IncrementalRead,
     io14CompressedJsonRoundtrip, io15ZstdLanding, io16ManifestVerify,
-    ct01CtPreprocess)
+    io17QuarantineSplit, ct01CtPreprocess)
 }

@@ -635,7 +635,72 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** I11 — AUDIO VAD SEGMENTATION ([[Multimodal.WavAudioModel.vadStats]]):
+    * energy-threshold voice-activity detection over 20 ms frames — the
+    * front-end cut every speech-corpus pipeline runs before a learned
+    * model (keep voiced spans, drop silence/noise). Per file: frame
+    * count, active frames, SEGMENT count (maximal active runs — the
+    * run-length structure, not just the active total) and the longest
+    * run. Spark decodes a REAL `javax.sound` WAV; the oracle recomputes
+    * the identical integers from the sample formula through SQL
+    * run-length windows (islands by `fi − row_number`), so framing,
+    * threshold placement, and the run-length fold are all hash-pinned.
+    *
+    * Scale shape: one narrow mapPartitions projection (i03's profile —
+    * the run-length fold is per-row sequential over that file's frames,
+    * never a cross-row window); at 100 TB the bytes come from
+    * `binaryFile` columns.
+    */
+  val i11AudioVad: GraftQuery = GraftQuery(
+    "i11_audio_vad",
+    s"""WITH d AS (
+       |  SELECT doc_id, 1000 + doc_id % 500 AS n FROM documents WHERE doc_id % 10 = 4),
+       |f AS (SELECT doc_id, n, unnest(range(0, n // 160)) AS fi FROM d),
+       |act AS (
+       |  SELECT doc_id, n, fi,
+       |         CASE WHEN CAST(list_sum([abs((37*(fi*160+j) + 11*doc_id) % 65536 - 32768)
+       |                                  for j in range(0, 160)]) AS BIGINT)
+       |                   > ${160L * 16384L} THEN 1 ELSE 0 END AS a
+       |  FROM f),
+       |isl AS (
+       |  SELECT doc_id, fi, a,
+       |         fi - row_number() OVER (PARTITION BY doc_id, a ORDER BY fi) AS island
+       |  FROM act),
+       |runs AS (SELECT doc_id, island, COUNT(*) AS len
+       |         FROM isl WHERE a = 1 GROUP BY doc_id, island),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(MAX(n) // 160 AS BIGINT) AS n_frames,
+       |         CAST(SUM(a) AS BIGINT) AS n_active
+       |  FROM act GROUP BY doc_id)
+       |SELECT p.doc_id, n_frames, n_active,
+       |       CAST(COALESCE(r.n_segs, 0) AS BIGINT) AS n_segments,
+       |       CAST(COALESCE(r.longest, 0) AS BIGINT) AS longest_run
+       |FROM per_doc p LEFT JOIN
+       |  (SELECT doc_id, COUNT(*) AS n_segs, MAX(len) AS longest
+       |   FROM runs GROUP BY doc_id) r ON p.doc_id = r.doc_id
+       |ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
+    val model = Multimodal.WavAudioModel()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("n_active", LongType), StructField("n_segments", LongType),
+      StructField("longest_run", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 4)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        val m = model
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (nf, act, segs, longest) =
+            m.vadStats(Multimodal.syntheticWav(id)).get
+          Row(id, nf, act, segs, longest)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(i01ImageStats, i02Pixelation, i03AudioStats,
     i04VideoFrames, i05SceneLogits, i06EmbedVector, i07PhashDedup,
-    i08ResizeNN, i09AudioFpDedup, i10MetadataStrip)
+    i08ResizeNN, i09AudioFpDedup, i10MetadataStrip, i11AudioVad)
 }

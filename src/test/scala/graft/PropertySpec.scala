@@ -1666,6 +1666,102 @@ class PropertySpec extends SparkSpec {
     assert(rep2(0L)._2 == 333333L)
   }
 
+  test("c05 dataset card: TOTAL row is the exact fold of the per-source rows") {
+    val sf = "/root/testdata/sf0.001"
+    val card = SparkEntry.queries("c05_dataset_card")(spark, sf)
+      .select("source", "n_docs", "n_tokens", "n_chars", "n_distinct_docs")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val (tot, per) = card.partition(_._1 == "TOTAL")
+    assert(tot.length == 1 && per.nonEmpty)
+    assert(tot(0)._2 == per.map(_._2).sum, "doc totals")
+    assert(tot(0)._3 == per.map(_._3).sum, "token totals")
+    assert(tot(0)._4 == per.map(_._4).sum, "char totals")
+    // distinct docs do NOT sum (a dup can straddle sources) — but the
+    // total can never exceed the per-source fold, and never the corpus
+    assert(tot(0)._5 <= per.map(_._5).sum && tot(0)._5 <= tot(0)._2)
+  }
+
+  test("io17 quarantine split: partition is exact, reasons match their rules, both sinks landed") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("io17_quarantine_split")(spark, sf)
+      .select("disposition", "reason", "n_rows").as[(String, String, Long)].collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val total = ev.count()
+    assert(out.map(_._3).sum == total, "split must partition the corpus")
+    // recompute each rule's first-match count independently
+    val badType = ev.filter(!col("event_type").isin("click", "view", "purchase", "signup")).count()
+    val valueCap = ev.filter(col("event_type") === "purchase" && col("value") > 300.0).count()
+    val byReason = out.map(r => r._2 -> r._3).toMap
+    assert(byReason("bad_type") == badType)
+    assert(byReason.getOrElse("value_cap", 0L) == valueCap)
+    assert(byReason("ok") == total - out.filter(_._1 == "quarantined").map(_._3).sum)
+  }
+
+  test("i11 VAD ≡ from-scratch formula recomputation; run-length invariants hold") {
+    import graft.operators.Multimodal
+    val m = Multimodal.WavAudioModel()
+    for (id <- Seq(4L, 14L, 24L, 104L, 234L, 444L)) {
+      val (nf, act, segs, longest) = m.vadStats(Multimodal.syntheticWav(id)).get
+      // recompute straight from the sample formula, no codec
+      val n = (1000 + id % 500).toInt
+      val frames = n / 160
+      val active = (0 until frames).map { f =>
+        (0 until 160).map(j =>
+          math.abs(Math.floorMod(37L * (f * 160 + j) + 11L * id, 65536L) - 32768L)).sum > 160L * 16384L
+      }
+      val expSegs = active.zipWithIndex.count { case (a, i) => a && (i == 0 || !active(i - 1)) }
+      var run = 0; var expLongest = 0
+      active.foreach { a => run = if (a) run + 1 else 0; expLongest = math.max(expLongest, run) }
+      assert((nf, act, segs, longest) ==
+        ((frames.toLong, active.count(identity).toLong, expSegs.toLong, expLongest.toLong)), s"id=$id")
+      assert(segs <= act && longest <= act && ((segs == 0) == (act == 0)))
+    }
+  }
+
+  test("g14 HITS round ≡ naive driver computation on the real edge set") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id AS src",
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) % 150 AS dst")
+      .as[(Long, Long)].collect()
+    val auth = edges.groupBy(_._2).map { case (v, es) => v -> es.length.toLong }
+    val hub = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => auth.getOrElse(e._2, 0L)).sum }
+    val got = SparkEntry.queries("g14_hits_round")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (node, a, h) =>
+      assert(a == auth.getOrElse(node, 0L), s"auth($node)")
+      assert(h == hub.getOrElse(node, 0L), s"hub($node)")
+    }
+  }
+
+  test("w13 CUSUM: prefix-min closed form ≡ the sequential recursion; sustained drift alarms") {
+    // 20 quiet days then a sustained +35% shift — the change CUSUM is
+    // for (no single day is a spike; the drift accumulates)
+    val dir = java.nio.file.Files.createTempDirectory("w13spec").toString
+    val rows = (0 until 30).map { d =>
+      val ts = Timestamp.valueOf(f"2025-05-${d + 1}%02d 09:00:00")
+      val v = if (d < 20) 100.0 + (d % 3) else 135.0 + (d % 3)
+      (d.toLong, ts, 1L, "purchase", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("w13_cusum_drift")(spark, dir)
+      .select("day", "revenue", "cusum_micros", "alarm")
+      .as[(Timestamp, Double, Long, Int)].collect().sortBy(_._1.getTime)
+    // recompute the SEQUENTIAL recursion from the same integer inputs
+    val rs = out.map(r => math.round(r._2 * 1e6))
+    val med = rs.sorted.apply((math.ceil(0.5 * rs.length) - 1).toInt)
+    var s = 0L
+    val expect = rs.map { r => s = math.max(0L, s + (r - med - med / 20)); s }
+    assert(out.map(_._3).toSeq == expect.toSeq,
+      "closed form must equal the recursion")
+    // quiet head never alarms; the sustained shift eventually does
+    assert(out.take(20).forall(_._4 == 0))
+    assert(out.drop(20).exists(_._4 == 1))
+  }
+
   test("io16 gate flags exactly the corrupted shard") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("io16_manifest_verify")(spark, sf)
