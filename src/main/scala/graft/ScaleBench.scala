@@ -97,7 +97,11 @@ object ScaleBench {
     // count-distinct shuffles — the release-card cost a publisher pays
     // once per corpus; i11 is i03's flat codec profile plus a per-row
     // run-length fold (never a cross-row window)
-    "c05_dataset_card", "i11_audio_vad")
+    "c05_dataset_card", "i11_audio_vad",
+    // r12 fourth wave: t38 is a bounded chunk explode (tokens/20 rows)
+    // + per-row HOF votes + two doc-keyed aggs — between t14's flat map
+    // and t32's HOF constant
+    "t38_mixed_lang_detect")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier

@@ -1504,6 +1504,66 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** E30 — RECALL AFTER FORGETTING (x23 × e20): the quality audit a
+    * GDPR erasure should trigger — recall@10 of the PURGED store's
+    * retrieval against brute-force truth over the SURVIVING corpus.
+    * Erasure correctness (deleted ids unretrievable) is x23's gate;
+    * this gates erasure QUALITY: the purged index must rank survivors
+    * exactly as an index that never contained the deleted vectors
+    * would — deletion touches affected partitions only, so surviving
+    * codes, clusters, and centroids are untouched and recall must not
+    * move. The oracle chains the survivor-restricted truth into the
+    * tombstone-excluded IVF-PQ reference (x23's candPred), so one hash
+    * pins truth restriction, purge, and recall arithmetic.
+    *
+    * Scale shape: e20's — |sample|×survivors truth leg, probed stored
+    * search, broadcast-size recall join.
+    *
+    * Model-param boundary (made visible by the PropertySpec's first
+    * failure): a deleted id that was a CODEBOOK DONOR keeps its trained
+    * codeword — forget removes corpus rows, not model parameters — so
+    * the "≡ never-admitted rebuild" equality holds exactly for
+    * non-donor deletes; deleting a donor and retraining is a REINDEX,
+    * a different operation with different (legitimate) results.
+    */
+  val e30RecallPostForget: GraftQuery = GraftQuery(
+    "e30_recall_post_forget",
+    s"""WITH bv AS ($sqlV),
+       |sv AS (SELECT * FROM bv WHERE id % 10 <> 7),
+       |bq AS (SELECT id AS q_id, emb AS q_emb, norm_f AS q_norm FROM sv WHERE id < $NumQueries),
+       |scored_b AS (
+       |  SELECT q_id, sv.id AS n_id, ${sqlCos("q_emb", "q_norm", "sv.emb", "sv.norm_f")} AS cosine
+       |  FROM bq CROSS JOIN sv WHERE sv.id != bq.q_id),
+       |ranked_b AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |             FROM scored_b),
+       |truth AS (SELECT q_id, n_id FROM ranked_b WHERE rank <= $K),
+       |${ivfPqCtesP("", NProbe, s"id < $NumQueries", "c.id % 10 <> 7")},
+       |cand AS (SELECT q_id, n_id, 1 AS hit FROM ranked WHERE rank <= $K)
+       |SELECT t.q_id, CAST($K AS BIGINT) AS k, CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+       |       CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / $K.0 AS recall
+       |FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin) { (spark, dir) =>
+    val store = Dsl.tempStore("e30_index")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    Similarity.forgetFromIvfPqStore(spark, store,
+      emb.filter(col("vec_id") % 10 === 7).select("vec_id"))
+    val truth = Similarity.knnBrute(emb.filter(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+    val cand = Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", K, NProbe)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(cand, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("q_id"), lit(K.toLong).as("k"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("q_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
@@ -1511,6 +1571,7 @@ object SimilarityQueries {
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
     e24MaxSimStored, e25KcenterCoreset, e26MaxSimRecall,
     e27MatryoshkaRecall, e28FilteredAnn, x23VectorStoreForget, e29IvfPqAdmit,
+    e30RecallPostForget,
     t34ContaminationReport,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

@@ -1867,6 +1867,74 @@ object TextQueries {
       .orderBy("s1", "s2")
   }
 
+  /** T38 — MIXED-LANGUAGE DOCUMENT DETECTION: per-chunk language ID
+    * (t02's marker vote over aligned 20-token chunks, t13's chunking
+    * convention) rolled up to a per-document verdict — the dominant
+    * chunk language (majority, ties to the lexicographically smaller —
+    * deterministic) and the ppm of chunks that DISAGREE with it. This
+    * is the mC4/CCNet multilingual split decision: a doc-level LangID
+    * happily labels a 60/40 code-switched page as its majority language
+    * and poisons both monolingual corpora; the chunk-disagreement
+    * signal is what routes such docs to segmentation instead.
+    *
+    * Scale shape: chunking is a per-row projection (explode bounded by
+    * tokens/20); the chunk-lang vote is per-row HOF arithmetic; the
+    * rollup is two keyed aggregates on doc_id (map-side combinable) —
+    * no joins, no corpus-wide windows.
+    */
+  val t38MixedLangDetect: GraftQuery = GraftQuery(
+    "t38_mixed_lang_detect", {
+      val scoreE = langMarkers.map { case (l, ms) => l -> sqlLangScore("ck", ms) }
+      s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(range((len(tk) + 19) // 20)) AS pos, tk FROM toks
+         |      WHERE len(tk) > 0),
+         |ch AS (SELECT doc_id, pos, tk[pos*20+1 : pos*20+20] AS ck FROM g),
+         |cl AS (SELECT doc_id, pos,
+         |              ${sqlLangPick(scoreE, "array_to_string(ck, ' ')")} AS chunk_lang
+         |       FROM ch),
+         |votes AS (SELECT doc_id, chunk_lang, COUNT(*) AS c FROM cl GROUP BY 1, 2),
+         |dom AS (SELECT doc_id, chunk_lang AS doc_lang FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY c DESC, chunk_lang) AS rn FROM votes)
+         |        WHERE rn = 1),
+         |agg AS (SELECT cl.doc_id, COUNT(*) AS n_chunks,
+         |               CAST(SUM(CASE WHEN chunk_lang != doc_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+         |               MAX(doc_lang) AS doc_lang
+         |        FROM cl JOIN dom ON cl.doc_id = dom.doc_id GROUP BY 1)
+         |SELECT doc_id, n_chunks, doc_lang,
+         |       n_disagree * 1000000 // n_chunks AS mixed_ppm
+         |FROM agg ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val nChunks = expr("(size(tk) + 19) div 20")
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => slice(col("tk"), (i * 20 + 1).cast("int"), lit(20))))
+          .as(Seq("pos", "ck")))
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(col("ck"), ms) }
+    val cl = chunks
+      .select(col("doc_id"), col("pos"),
+        langPick(scores, array_join(col("ck"), " ")).as("chunk_lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dom = cl.groupBy("doc_id", "chunk_lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(desc("c"), asc("chunk_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_lang").as("doc_lang"))
+    cl.join(dom, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_lang") =!= col("doc_lang"), 1L).otherwise(0L))
+          .as("n_disagree"),
+        max(col("doc_lang")).as("doc_lang"))
+      .select(col("doc_id"), col("n_chunks"), col("doc_lang"),
+        expr("n_disagree * 1000000 div n_chunks").as("mixed_ppm"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
@@ -1875,5 +1943,5 @@ object TextQueries {
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
     t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
     t33MixtureReweight, t35PerplexityBuckets, t36NoveltyProbe,
-    t37CrossSourceOverlap)
+    t37CrossSourceOverlap, t38MixedLangDetect)
 }

@@ -1762,6 +1762,57 @@ class PropertySpec extends SparkSpec {
     assert(out.drop(20).exists(_._4 == 1))
   }
 
+  test("e30: a purged store retrieves EXACTLY like a store that never held the deleted vectors") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // NON-DONOR deletes (vec_id >= 12): forget removes a vector's CODE
+    // ROWS but keeps the trained model params (the documented x14-style
+    // boundary) — so "never admitted" equality is stated over deletes
+    // that were not codebook/coarse donors. (Deleting donor id 7 is
+    // legal — x23's gate does — but a survivor-only REBUILD would then
+    // train a 7-codeword codebook and legitimately differ: a retrain,
+    // not a forget. This spec originally asserted the naive equality
+    // and the donor id failed it, which is the boundary made visible.)
+    val del = emb.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 12)
+      .select("vec_id")
+    val purged = java.nio.file.Files.createTempDirectory("e30purged").toString
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, purged)
+    Similarity.forgetFromIvfPqStore(spark, purged, del)
+    val fresh = java.nio.file.Files.createTempDirectory("e30fresh").toString
+    Similarity.buildIvfPqStore(
+      emb.join(del.withColumnRenamed("vec_id", "__d"),
+        col("vec_id") === col("__d"), "left_anti"),
+      "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, fresh)
+    def topK(store: String) = Similarity.ivfPqStoredTopK(spark, store,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 2)
+      .collect().map(_.toSeq).toSet
+    assert(topK(purged) == topK(fresh),
+      "forget must be indistinguishable from never-having-admitted")
+  }
+
+  test("t38: crafted mono/mixed docs get the exact verdict; ties break lexicographically") {
+    val dir = java.nio.file.Files.createTempDirectory("t38spec").toString
+    def doc(id: Long, text: String) = (id, text, "x", "src0", text.length.toLong)
+    Seq(
+      doc(1L, Seq.fill(40)("data").mkString(" ")),               // 2 chunks, pure datish
+      doc(2L, (Seq.fill(20)("data") ++ Seq.fill(20)("fast")).mkString(" ")), // 1-1 tie
+      doc(3L, (Seq.fill(20)("join") ++ Seq.fill(40)("stream")).mkString(" ")), // 1-2
+      doc(4L, Seq.fill(10)("row").mkString(" ")))                // 1 partial chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t38_mixed_lang_detect")(spark, dir)
+      .select("doc_id", "n_chunks", "doc_lang", "mixed_ppm")
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, "datish", 0L)))
+    // 1-1 tie: lexicographically smaller language wins (datish < perfish)
+    assert(got(2L) == ((2L, 2L, "datish", 500000L)))
+    assert(got(3L) == ((3L, 3L, "streamish", 333333L)))
+    assert(got(4L) == ((4L, 1L, "datish", 0L)))
+  }
+
   test("io16 gate flags exactly the corrupted shard") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("io16_manifest_verify")(spark, sf)
