@@ -159,7 +159,10 @@ object ScaleBench {
     // shuffles (the Pregel superstep, g03's profile); io17 is one scan
     // fanned into two filtered writes + sink read-back aggs
     "w12_mad_outliers", "w13_cusum_drift", "g14_hits_round",
-    "io17_quarantine_split")
+    "io17_quarantine_split",
+    // d20 is one bounds agg + a per-row projection + 3-group agg —
+    // the d15 flat-split profile with a broadcast bounds row
+    "d20_temporal_split")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 
@@ -453,10 +456,13 @@ object ScaleBench {
               .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
             "vec_id", "embedding", col("id") < 5, 10).count()),
         // r12 e28: the e19 stored retrieval under a metadata allow-list
-        // (label % 2) — claim: the filter is one broadcast LEFT SEMI on
-        // the probed codes scan, so the curve tracks e19's (probed
-        // clusters), never the corpus; store built lazily (t21b
-        // convention), timed leg = pure filtered search
+        // — claim: the filter is one broadcast LEFT SEMI on the probed
+        // codes scan, so the curve tracks e19's (probed clusters). The
+        // allow-list is held REQUEST-SIZED (≤2k ids, constant across
+        // tiers) per the operator's contract — a corpus-proportional
+        // predicate belongs in the store or behind x07's bloom (the
+        // operator now require()s that budget); store built lazily
+        // (t21b convention), timed leg = pure filtered search
         s"e28_retrieval[stored,filtered,coarse=$centroids]" -> {
           var e28Store: String = null
           () => {
@@ -471,7 +477,9 @@ object ScaleBench {
             }
             graft.operators.Similarity.ivfPqStoredTopK(spark, e28Store,
               emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 2,
-              allowed = Some(emb.filter(col("label") % 2 === 0).select("vec_id"))
+              allowed = Some(emb
+                .filter(col("label") % 2 === 0 && col("vec_id") < 4000)
+                .select("vec_id"))
             ).count()
           }
         },

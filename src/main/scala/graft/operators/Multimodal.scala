@@ -642,10 +642,6 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** (n, Σ|s|, zero crossings, quarter-frame Σ|s| ×4) — all exact
-      * integers: the framed energy/sign statistics a quality filter runs
-      * before any learned audio model.
-      */
     /** Energy-threshold voice-activity segmentation (the classic VAD
       * front-end every speech-data pipeline runs before a learned
       * model): 160-sample frames (20 ms @ 8 kHz), a frame is ACTIVE iff
@@ -678,6 +674,10 @@ object Multimodal {
         (nf.toLong, active, segs, longest)
       }
 
+    /** (n, Σ|s|, zero crossings, quarter-frame Σ|s| ×4) — all exact
+      * integers: the framed energy/sign statistics a quality filter runs
+      * before any learned audio model.
+      */
     def frameStats(content: Array[Byte]): Option[(Int, Long, Long, Array[Long])] =
       decodeSamples(content).map { s =>
         val n = s.length

@@ -329,27 +329,60 @@ object Similarity {
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
       .write.mode("overwrite").parquet(s"$store/codebook")
-    val aff = v.crossJoin(broadcast(coarse))
-      .select(col("id"), col("g_id"),
-        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("gdist"))
-    val wAssign = Window.partitionBy("id").orderBy(asc("gdist"), asc("g_id"))
-    val assigned = aff.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("g_id").as("cluster"))
     // codes are CLUSTER-PARTITIONED (`partitionBy`): retrieval probes a
     // handful of clusters per query, and the partitioned layout turns
     // that probe set into static partition pruning on the codes scan —
     // the io07 layout applied to the index's own store; a flat layout
     // would pay O(corpus) codes I/O per query at 100 TB (VERDICT r8 #1b)
-    pqAssign(vectors, idCol, embCol, codebookPred, m, dsub)
-      .join(assigned, col("vec_id") === assigned("id")).drop("id")
+    // ONE encode path ([[assignAndEncode]]) serves both this build and
+    // admitIvfPqBatch — the e29 rebuild-equality invariant is held by
+    // shared code, not by keeping two expression blocks in lockstep
+    val csub = v.filter(codebookPred)
+      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
+      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
+    assignAndEncode(v, coarse, csub, m, dsub)
       // cluster rows by target directory first (files ∝ clusters, not
       // tasks×clusters — see bm25BuildIndex's note)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$store/codes")
     v.unpersist()
+  }
+
+  /** THE encode path for the IVF-PQ store: nearest-coarse-centroid
+    * assignment (min-struct argmin, ties to the lower g_id) plus
+    * per-subspace PQ codes (pqAssign's argmin, ties to the lower
+    * codeword id) against EXPLICIT model-parameter frames — used by
+    * both [[buildIvfPqStore]] (params derived from the corpus) and
+    * [[admitIvfPqBatch]] (params read from the store), so routing and
+    * encoding can never drift between the from-scratch and the
+    * incremental path (the equality the e29 gate pins).
+    * Input `v` is the quantized frame (id, q); output one row per
+    * (vec, subspace): (vec_id, subspace, code, dist_q, cluster).
+    */
+  private def assignAndEncode(v: DataFrame, coarse: DataFrame,
+                              csub: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val assigned = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+      .groupBy("id")
+      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
+      .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
+    val sub = v.select(col("id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.cast("long").as("s"),
+            slice(col("q"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
+    sub.join(broadcast(csub), "s")
+      .select(col("id"), col("s"), col("c_id"),
+        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("dist"))
+      .groupBy("id", "s")
+      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
+      .select(col("id").as("vec_id"), col("s").as("subspace"),
+        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
+      .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
   }
 
   /** Retrieval against a [[buildIvfPqStore]] store: queries arrive as a
@@ -362,7 +395,8 @@ object Similarity {
                       queries: DataFrame, idCol: String, embCol: String,
                       k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16,
                       maxProbeRows: Int = 1000000,
-                      allowed: Option[DataFrame] = None): DataFrame = {
+                      allowed: Option[DataFrame] = None,
+                      maxAllowedIds: Long = 4000000L): DataFrame = {
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
@@ -415,6 +449,18 @@ object Similarity {
     val codesEligible = allowed match {
       case Some(a) =>
         val ids = a.select(col(a.columns.head).as("__allowed_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // budget the broadcast the maxProbeRows way: the allow-list
+        // contract is request/dimension-sized — a corpus-proportional
+        // predicate belongs in the store (partition/stored column) or
+        // behind x07's bloom semi-join, and silently broadcasting it
+        // is a driver OOM at real scale, so fail with the remedy
+        val nAllowed = ids.count()
+        require(nAllowed <= maxAllowedIds,
+          s"ivfPqStoredTopK: $nAllowed allowed ids exceed the " +
+            s"$maxAllowedIds broadcast budget — store the filter column " +
+            "in the index (partition/stored column) or use a bloom " +
+            "semi-join (x07) for corpus-proportional predicates")
         codes.filter(col("cluster").isin(probedClusters: _*))
           .join(broadcast(ids), col("vec_id") === col("__allowed_id"), "left_semi")
       case None => codes.filter(col("cluster").isin(probedClusters: _*))
@@ -451,6 +497,12 @@ object Similarity {
     * per-subject rows — the same boundary x14's k-anonymity audit
     * draws. Retrieval code is unchanged by design: the x23 gate runs
     * the unmodified [[ivfPqStoredTopK]] against the purged store.
+    *
+    * The ADMISSION LEDGER is also untouched (forget cannot know which
+    * batch ids carried the deleted rows): re-ingesting a corrected
+    * batch after forgetting a bad one needs a FRESH batch id, or
+    * [[clearAdmissionLedger]] first — a same-id re-admission would
+    * otherwise no-op against the stale marker.
     */
   def forgetFromIvfPqStore(spark: org.apache.spark.sql.SparkSession,
                            store: String, deleteIds: DataFrame): Unit = {
@@ -526,33 +578,30 @@ object Similarity {
     val csub = spark.read.parquet(s"$store/codebook")
     val v = batch.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val assigned = v.crossJoin(broadcast(coarse))
-      .select(col("id"), col("g_id"),
-        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("gdist"))
-      .groupBy("id")
-      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
-      .select(col("id"), col("b.g_id").as("cluster"))
-    val sub = v.select(col("id"),
-        explode(transform(sequence(lit(0), lit(m - 1)),
-          s => struct(s.cast("long").as("s"),
-            slice(col("q"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
-      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
-    val codes = sub.join(broadcast(csub), "s")
-      .select(col("id"), col("s"), col("c_id"),
-        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("dist"))
-      .groupBy("id", "s")
-      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
-      .select(col("id").as("vec_id"), col("s").as("subspace"),
-        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
-    codes.join(assigned, col("vec_id") === assigned("id")).drop("id")
+    assignAndEncode(v, coarse, csub, m, dsub)
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$store/codes")
     v.unpersist()
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+  }
+
+  /** Clear one batch's admission-ledger marker — the deliberate
+    * re-ingest knob. [[forgetFromIvfPqStore]] removes a vector's code
+    * ROWS but cannot know which batch ids carried them, so after
+    * forgetting a bad batch its marker still blocks a same-id
+    * re-admission (admitIvfPqBatch would no-op and the caller would
+    * believe the corrected batch landed). Streams avoid this by
+    * construction (batch ids are never reused); a batch-oriented
+    * forget-and-reingest must either use a FRESH batch id or clear the
+    * old marker with this call first.
+    */
+  def clearAdmissionLedger(spark: org.apache.spark.sql.SparkSession,
+                           store: String, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$store/_admitted/batch=$batchId")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
   }
 
   /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]

@@ -2405,6 +2405,22 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** The a17 exact-rank median (rank = ceil(0.5·n) on (value, day)
+    * order — the lower median for even n, deterministic in both
+    * engines), shared by the w12/w13 monitors. The global window runs
+    * on a post-aggregate |days| frame (∝ elapsed time, never data
+    * volume).
+    */
+  private def exactRankMedian(df: org.apache.spark.sql.DataFrame,
+                              c: String): org.apache.spark.sql.DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    df.select(col(c),
+        row_number().over(wAll.orderBy(col(c), col("day"))).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
+      .select(col(c))
+  }
+
   /** W12 — ROBUST (MAD) OUTLIER FLAGS on the daily revenue series:
     * |x − median| > 3 · 1.4826 · MAD, the robust twin of a27's
     * mean/stddev spike rule — a27's z-score is itself dragged by the
@@ -2445,19 +2461,10 @@ object AnalyticsQueries {
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(28,6)")).as("rev"))
-    // global windows run on the |days| frame (30 rows here, ∝ elapsed
-    // time at any corpus size), never the event corpus
-    val wAll = Window.partitionBy(lit(1))
-    def medianOf(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame =
-      df.select(col(c),
-          row_number().over(wAll.orderBy(col(c), col("day"))).as("rn"),
-          count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
-        .select(col(c))
-    val med = medianOf(dayRev, "rev").select(col("rev").as("m"))
+    val med = exactRankMedian(dayRev, "rev").select(col("rev").as("m"))
     val d = dayRev.crossJoin(broadcast(med))
       .select(col("day"), col("rev"), abs(col("rev") - col("m")).as("dev"))
-    val mad = medianOf(d.select(col("day"), col("dev")), "dev")
+    val mad = exactRankMedian(d.select(col("day"), col("dev")), "dev")
       .select(col("dev").as("md"))
     d.crossJoin(broadcast(mad))
       .select(col("day"), col("rev").cast("double").as("revenue"),
@@ -2513,12 +2520,7 @@ object AnalyticsQueries {
       .agg((sum(col("value").cast("decimal(28,6)")) * 1000000)
         .cast("long").as("r"))
     val wAll = Window.partitionBy(lit(1))
-    val med = dayRev
-      .select(col("r"),
-        row_number().over(wAll.orderBy(col("r"), col("day"))).as("rn"),
-        count(lit(1)).over(wAll).as("n"))
-      .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
-      .select(col("r").as("m"))
+    val med = exactRankMedian(dayRev, "r").select(col("r").as("m"))
     val y = dayRev.crossJoin(broadcast(med))
       .select(col("day"), col("r"), col("m"),
         (col("r") - col("m") - expr("m div 20")).as("yv"))

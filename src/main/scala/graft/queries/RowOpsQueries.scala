@@ -833,11 +833,56 @@ object RowOpsQueries {
       .orderBy("shard", "decile")
   }
 
+  /** D20 — TEMPORAL SPLIT WITH EMBARGO (the purged time-series split,
+    * de Prado's embargo discipline): train = first 20 days, test =
+    * from day 23, and the 3 days between are an EMBARGO bucket used by
+    * NEITHER side — d15 splits by hash (exchangeable rows) and x22 by
+    * near-dup cluster (content leakage); this splits by TIME, the
+    * leakage axis for anything autocorrelated (a model evaluated on
+    * the day after its training window ends is graded on
+    * autocorrelation, not generalization). Cutoffs derive from the
+    * data's own min day, so the split is reproducible from the corpus
+    * alone; the gate emits per-split counts, id fingerprints, and day
+    * bounds — the ≥3-day train→test gap is structural in the bounds
+    * and pinned by spec.
+    *
+    * Scale shape: one bounds aggregate (map-side to 1 row, broadcast
+    * back) + one pure per-row projection and a 3-group aggregate — at
+    * a real lake the day bounds come from partition metadata and the
+    * split column is computed at scan time (zero extra passes).
+    */
+  val d20TemporalSplit: GraftQuery = GraftQuery(
+    "d20_temporal_split",
+    """WITH b AS (SELECT MIN(date_trunc('day', ts)) AS t0 FROM events),
+      |s AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |         CASE WHEN date_trunc('day', ts) < t0 + INTERVAL 20 DAY THEN 'train'
+      |              WHEN date_trunc('day', ts) < t0 + INTERVAL 23 DAY THEN 'embargo'
+      |              ELSE 'test' END AS split
+      |  FROM events CROSS JOIN b)
+      |SELECT split, COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+      |       MIN(day) AS min_day, MAX(day) AS max_day
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val b = ev.agg(min(date_trunc("day", col("ts"))).as("t0"))
+    ev.crossJoin(broadcast(b))
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("t0"))
+      .select(col("event_id"), col("day"),
+        when(col("day") < expr("t0 + INTERVAL 20 DAYS"), "train")
+          .when(col("day") < expr("t0 + INTERVAL 23 DAYS"), "embargo")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("split")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d02DedupComposite, d04SortByTime, d05TopKPerRow, d08Union,
     d09SortedUnique, p07JsonExtract, k01TopKAggregator, d10StratifiedSample,
     d11ZOrder, d12SetOps, d13ShardShuffle, d14SnapshotDiff, d15HashSplit,
     x10Scd2History, x11DeletePropagation, x13BitemporalRestate,
     x14KAnonymity, d16ExactSample, d17StratifiedExactSample,
-    x21SubjectAccessExport, d18WeightedSample, d19CurriculumShards)
+    x21SubjectAccessExport, d18WeightedSample, d19CurriculumShards,
+    d20TemporalSplit)
 }

@@ -713,9 +713,94 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** SM11 — STREAMING CONTRACT QUARANTINE (io17's semantic DLQ under
+    * streaming): every micro-batch is split by the landing contract
+    * inside foreachBatch, and BOTH sinks land as exactly-once
+    * `batch=<id>` slices (the sm08/sm09/sm10 dynamic-overwrite
+    * discipline, per-writer option) — a redelivered batch replaces its
+    * own slice in the landing AND the quarantine, so neither side
+    * double-counts and the two sinks can never disagree about a batch.
+    * The gated report reads both stores back: per (disposition,
+    * reason, batch) counts + id fingerprints. Batch assignment is
+    * deterministic (event_id % 3), so the oracle replays batching,
+    * the rule cascade, and both sinks' contents — streaming ingest
+    * without its DLQ half drops contract violations on the floor,
+    * which is how silent corpus rot starts.
+    *
+    * Scale shape: per batch O(|batch|) — the disposition is a per-row
+    * projection computed once on a persisted split; the report is a
+    * map-side agg over count-partial stores. (MemoryStream collect is
+    * gate-fixture-only, the sm08 note.)
+    */
+  val sm11StreamQuarantine: GraftQuery = GraftQuery(
+    "sm11_stream_quarantine",
+    """WITH e AS (
+      |  SELECT event_id % 3 AS batch, event_id, event_type, value,
+      |         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+      |    CASE
+      |      WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup')
+      |        THEN 'bad_type'
+      |      WHEN event_type = 'purchase' AND value > 300.0 THEN 'value_cap'
+      |      WHEN CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 80
+      |        THEN 'props_range'
+      |    END AS reason
+      |  FROM events)
+      |SELECT CASE WHEN reason IS NULL THEN 'landed' ELSE 'quarantined' END
+      |         AS disposition,
+      |       COALESCE(reason, 'ok') AS reason, batch, COUNT(*) AS n_rows,
+      |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Dsl.tempStore("sm11_dlq")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("props"))
+    val thirds = (0 to 2).map(i =>
+      ev.filter(col("event_id") % 3 === i)
+        .as[(Long, String, Double, String)].collect().toSeq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, String)]
+    val q = mem.toDF().toDF("event_id", "event_type", "value", "props")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val reason = when(
+            !col("event_type").isin("click", "view", "purchase", "signup"),
+            "bad_type")
+          .when(col("event_type") === "purchase" && col("value") > 300.0,
+            "value_cap")
+          .when(regexp_extract(col("props"), "[0-9]+", 0).cast("long") >= 80,
+            "props_range")
+        val split = b.withColumn("reason", reason)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def land(df: org.apache.spark.sql.DataFrame, sink: String): Unit =
+          df.withColumn("batch", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(s"$root/$sink")
+        land(split.filter(col("reason").isNull).drop("reason"), "landing")
+        land(split.filter(col("reason").isNotNull), "quarantine")
+        split.unpersist()
+        () // foreachBatch body is Unit; unpersist returns the frame
+      }
+      .start()
+    try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
+    finally q.stop()
+    val landed = spark.read.parquet(s"$root/landing")
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+      .select(lit("landed").as("disposition"), lit("ok").as("reason"),
+        col("batch"), col("n_rows"), col("id_sum"))
+    val quarantined = spark.read.parquet(s"$root/quarantine")
+      .groupBy(col("reason"), col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
+      .select(lit("quarantined").as("disposition"), col("reason"),
+        col("batch"), col("n_rows"), col("id_sum"))
+    landed.unionByName(quarantined).orderBy("disposition", "reason", "batch")
+  }
+
   val all: Seq[GraftQuery] = Seq(st01Sessionize, st02SlidingWindow, st03Funnel,
     st04LateProfile,
     sm01StreamWindow, sm02StreamDedup, sm03StreamSessions, sm04StreamJoin,
     sm05StreamStaticJoin, sm06StreamOuterJoin, sm07StreamUpsert,
-    sm09StreamSketch, sm10StreamMixture)
+    sm09StreamSketch, sm10StreamMixture, sm11StreamQuarantine)
 }

@@ -1844,6 +1844,15 @@ object TextQueries {
     val srcs = docs.select("source").distinct()
       .withColumn("sidx",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the mask-width bound must be ENFORCED, not just documented:
+    // shiftleft masks its shift amount mod 64, so source index 64 would
+    // silently alias source 0 and corrupt every cell touching either —
+    // fail loudly with the remedy instead
+    val nSrc = srcs.count()
+    require(nSrc <= 64,
+      s"t37: $nSrc sources exceed the 64-bit mask — run the rollup per " +
+        "64-source block (one mask column per block) as documented")
     val sh = docs.select(col("source"),
       explode(array_distinct(shingles(tokens(col("text")), 4))).as("s"))
     val masks = sh.join(broadcast(srcs), "source")

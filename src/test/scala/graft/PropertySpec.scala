@@ -1569,6 +1569,17 @@ class PropertySpec extends SparkSpec {
     Similarity.admitIvfPqBatch(spark, incr, emb.filter(isBatch), "vec_id", "embedding", 1L)
     assert(rows(incr) == incrRows)
     assert(spark.read.parquet(s"$incr/codes").count() == incrRows.size)
+    // forget-then-reingest: forget does NOT clear the ledger (it cannot
+    // know batch ids), so a same-id re-admission no-ops until the
+    // deliberate clearAdmissionLedger — after which it restores the
+    // store exactly
+    Similarity.forgetFromIvfPqStore(spark, incr,
+      emb.filter(isBatch).select("vec_id"))
+    Similarity.admitIvfPqBatch(spark, incr, emb.filter(isBatch), "vec_id", "embedding", 1L)
+    assert(rows(incr) != incrRows, "stale marker must block the re-admit")
+    Similarity.clearAdmissionLedger(spark, incr, 1L)
+    Similarity.admitIvfPqBatch(spark, incr, emb.filter(isBatch), "vec_id", "embedding", 1L)
+    assert(rows(incr) == incrRows, "cleared ledger re-admit must restore the store")
   }
 
   test("e27 matryoshka: the full-width prefix is exact (recall 1.0); narrower prefixes bounded") {
@@ -1811,6 +1822,47 @@ class PropertySpec extends SparkSpec {
     assert(got(2L) == ((2L, 2L, "datish", 500000L)))
     assert(got(3L) == ((3L, 3L, "streamish", 333333L)))
     assert(got(4L) == ((4L, 1L, "datish", 0L)))
+  }
+
+  test("d20 temporal split: three disjoint day ranges with a >= 3-day train-to-test embargo gap") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d20_temporal_split")(spark, sf)
+      .select("split", "n_rows", "min_day", "max_day")
+      .as[(String, Long, Timestamp, Timestamp)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("train", "embargo", "test"))
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.values.map(_._2).sum == total)
+    val dayMs = 86400000L
+    // ranges are disjoint and ordered: train < embargo < test
+    assert(out("train")._4.getTime < out("embargo")._3.getTime)
+    assert(out("embargo")._4.getTime < out("test")._3.getTime)
+    // the leakage guarantee: >= 3 full days between the last train day
+    // and the first test day
+    assert(out("test")._3.getTime - out("train")._4.getTime >= 3 * dayMs,
+      s"embargo gap too small: ${out("train")._4} -> ${out("test")._3}")
+  }
+
+  test("sm11 streaming quarantine: batch slices partition each micro-batch exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("sm11_stream_quarantine")(spark, sf)
+      .select("disposition", "reason", "batch", "n_rows", "id_sum")
+      .as[(String, String, Long, Long, Long)].collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), (col("event_id") % 3).as("batch"))
+      .as[(Long, Long)].collect()
+    val byBatch = ev.groupBy(_._2)
+    // per batch: landed + quarantined rows and id sums reconstruct the
+    // batch exactly — neither sink dropped or double-counted anything
+    out.groupBy(_._3).foreach { case (b, rows) =>
+      assert(rows.map(_._4).sum == byBatch(b).length, s"batch $b rows")
+      assert(rows.map(_._5).sum == byBatch(b).map(_._1).sum, s"batch $b ids")
+    }
+    // every batch has a landed slice, and the quarantine reasons are
+    // only the declared contract rules
+    assert(out.filter(_._1 == "landed").map(_._3).toSet == Set(0L, 1L, 2L))
+    assert(out.filter(_._1 == "quarantined").map(_._2).toSet
+      .subsetOf(Set("bad_type", "value_cap", "props_range")))
   }
 
   test("io16 gate flags exactly the corrupted shard") {
