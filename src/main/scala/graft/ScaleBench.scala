@@ -162,7 +162,12 @@ object ScaleBench {
     "io17_quarantine_split",
     // d20 is one bounds agg + a per-row projection + 3-group agg —
     // the d15 flat-split profile with a broadcast bounds row
-    "d20_temporal_split")
+    "d20_temporal_split",
+    // g15 runs its full 3-batch lifecycle per tier (batches grow with
+    // the tier, so this row measures lifecycle throughput — the
+    // per-batch O(batch ∪ affected) claim is the spec's random-split
+    // equality; store scans are the narrow 3-column label layers)
+    "g15_incremental_components")
   // lineitem-backed heavies: only at tiers generated in `full` mode
   private val RelQueries = Seq("a08_correlation", "q05_shipping_priority")
 

@@ -854,8 +854,65 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** G15 — INCREMENTAL CONNECTED COMPONENTS
+    * ([[graft.operators.IncrementalComponents]]): the dup-group store
+    * maintained across THREE edge batches (event_id % 3 — the sm
+    * convention) with a mid-stream compaction, then read back — gated
+    * against the recursive-closure oracle over the UNION of all edges,
+    * so "incrementally-maintained labels ≡ labels recomputed from
+    * scratch" (the x08 rebuild-equality invariant, for clusters). This
+    * is the missing third leg of the incremental dedup lifecycle: x04
+    * admits exact keys, x08 admits near-dup pairs, g15 keeps the
+    * CLUSTER LABELS those pairs imply current — at 100 TB nobody
+    * re-runs g02 over the full edge history per ingest tick.
+    *
+    * Scale shape: per batch, one resolved-store scan + a driver
+    * union-find over the batch's LABEL graph (≤ 2|batch| entries,
+    * never corpus nodes) + appends ∝ |batch ∪ relabeled members|;
+    * compaction folds the append layers behind the StreamSketch
+    * pending/marker protocol.
+    */
+  val g15IncrementalComponents: GraftQuery = GraftQuery(
+    "g15_incremental_components",
+    // chain edges (user_id → user_id+1 within each decade): ~150
+    // path-components whose segments arrive scattered across batches,
+    // so later batches BRIDGE earlier partial components — the
+    // merge/relabel path is genuinely exercised (the raw social graph
+    // is one giant component at gate scale: every admission would be
+    // a no-op relabel)
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT user_id AS src, user_id + 1 AS dst FROM events
+       |  WHERE user_id % 10 != 9),
+       |cand AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM raw WHERE src != dst),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT component, COUNT(*) AS n_members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
+    import graft.operators.IncrementalComponents
+    val store = Dsl.tempStore("g15_cc")
+    val ev = Tables.events(spark, dir)
+    (0 to 2).foreach { i =>
+      val batch = ev.filter(col("event_id") % 3 === i && col("user_id") % 10 =!= 9)
+        .select(col("user_id").as("a"), (col("user_id") + 1).as("b"))
+      IncrementalComponents.admitEdges(spark, store, batch, i.toLong)
+      // retention runs MID-STREAM (after batch 1), so the oracle
+      // equality gates admission ∘ compaction, not just admission
+      if (i == 1) IncrementalComponents.compact(spark, store)
+    }
+    IncrementalComponents.resolved(spark, store)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
     g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound,
-    g13RandomWalks, g14HitsRound)
+    g13RandomWalks, g14HitsRound, g15IncrementalComponents)
 }

@@ -1865,6 +1865,44 @@ class PropertySpec extends SparkSpec {
       .subsetOf(Set("bad_type", "value_cap", "props_range")))
   }
 
+  test("g15 incremental components ≡ batch components over random edge batches; compaction + ledger invariant") {
+    import graft.operators.{Dedup, IncrementalComponents}
+    val r = new Random(20260816)
+    // random sparse graph: 120 nodes, 90 edges → several components
+    val edges = (1 to 90).map { _ =>
+      (r.nextInt(120).toLong, r.nextInt(120).toLong)
+    }.filter(e => e._1 != e._2).distinct
+    val store = java.nio.file.Files.createTempDirectory("g15spec").toString
+    // admit in 4 random batches, compacting mid-stream
+    val batches = edges.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalComponents.admitEdges(spark, store, b.toDF("a", "b"), i.toLong)
+      if (i == 1) IncrementalComponents.compact(spark, store)
+    }
+    val got = IncrementalComponents.resolved(spark, store)
+      .as[(Long, Long)].collect().toMap
+    // ground truth: the repo's batch component operator over ALL edges
+    val truth = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == truth.keySet, "node coverage")
+    got.foreach { case (n, l) => assert(l == truth(n), s"node $n") }
+    // compaction invariance: fold everything, resolution identical
+    IncrementalComponents.compact(spark, store)
+    assert(IncrementalComponents.resolved(spark, store)
+      .as[(Long, Long)].collect().toMap == got)
+    // ledger: redelivering a committed batch id is a no-op
+    val before = spark.read.parquet(s"$store/labels").count()
+    IncrementalComponents.admitEdges(spark, store, batches.head.toDF("a", "b"), 0L)
+    assert(spark.read.parquet(s"$store/labels").count() == before)
+    // crash shapes: pending-without-marker is discarded (live intact);
+    // a committed marker completes idempotently on next read
+    val pend = new java.io.File(s"$store/_compact_pending"); pend.mkdirs()
+    assert(IncrementalComponents.resolved(spark, store)
+      .as[(Long, Long)].collect().toMap == got)
+    assert(!pend.exists(), "unmarked pending must be discarded")
+  }
+
   test("io16 gate flags exactly the corrupted shard") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("io16_manifest_verify")(spark, sf)
