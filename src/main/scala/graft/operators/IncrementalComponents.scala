@@ -95,21 +95,33 @@ object IncrementalComponents {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("node",
           org.apache.spark.sql.types.LongType))))
+    // ONE resolved view per admission, shared by the label lookup and
+    // the relabel scan (resolution is an O(store) aggregate — running
+    // it twice per batch would double the dominant cost)
+    val res = resolved(spark, store)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // current labels of the batch's nodes: the broadcast batch side
     // left-joins the resolved store; a null label marks a NEW node
     // (label defaults to the node id) — tracked so only genuinely new
     // or relabeled nodes append rows
-    val cur = nodesDf.join(resolved(spark, store), Seq("node"), "left")
+    val cur = nodesDf.join(res, Seq("node"), "left")
       .collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) (r.getLong(0), false) else (r.getLong(1), true)))
       .toMap
     // union-find over the LABEL graph (min-label union keeps g02's
-    // canonical-label invariant)
+    // canonical-label invariant). ITERATIVE find — a recursive walk
+    // stack-overflows on chain-shaped batches (a path graph unioned in
+    // descending order builds an O(chain) parent chain, and near-dup
+    // edge streams are naturally chain-heavy) — with two-pass path
+    // compression so later finds are O(α).
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     def union(x: Long, y: Long): Unit = {
       val (rx, ry) = (find(x), find(y))
@@ -124,26 +136,32 @@ object IncrementalComponents {
       val newLabel = find(label)
       if (!known || newLabel != label) Some((n, newLabel)) else None
     }
-    // ...plus every MEMBER of a losing label (relabel ∝ affected, one
-    // pruned columnar scan filtered to the losing label set)
-    val memberRows: Seq[(Long, Long)] =
-      if (changedLabels.isEmpty) Seq.empty
+    import spark.implicits._
+    // ...plus every MEMBER of a losing label. This stays DISTRIBUTED
+    // end to end: the (old → new) label map is batch-bounded and
+    // broadcasts into the resolved scan (never an isin literal list of
+    // up to 2|batch| expressions, never a driver collect of the
+    // affected members — merging two large clusters relabels
+    // O(smaller cluster) rows, which only the executors should hold)
+    val members =
+      if (changedLabels.isEmpty)
+        spark.range(0).select(col("id").as("node"), col("id").as("label"))
       else {
-        val lossMap = changedLabels.map(l => l -> find(l)).toMap
-        resolved(spark, store)
-          .filter(col("label").isin(changedLabels: _*))
-          .collect().map(r => r.getLong(0) -> lossMap(r.getLong(1))).toSeq
+        val changedDf = changedLabels.map(l => (l, find(l)))
+          .toDF("old_label", "new_label")
+        res.join(broadcast(changedDf), col("label") === col("old_label"))
+          .select(col("node"), col("new_label").as("label"))
       }
-    val out = (batchRows ++ memberRows).distinct
-    if (out.nonEmpty) {
-      import spark.implicits._
-      out.toDF("node", "label")
-        .withColumn("ver", lit(batchId))
+    val out = batchRows.toDF("node", "label").unionByName(members).distinct()
+    // an all-empty batch must not create a part-file-less labels dir
+    // (parquet schema inference cannot read one back)
+    if (!out.isEmpty)
+      out.withColumn("ver", lit(batchId))
         .withColumn("bucket", pmod(col("node"), lit(16)))
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket")
         .parquet(s"$store/labels")
-    }
+    res.unpersist()
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
   }

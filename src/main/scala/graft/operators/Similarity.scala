@@ -325,10 +325,13 @@ object Similarity {
       explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("s"),
           slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
-    v.filter(codebookPred)
+    // the codebook frame is bound ONCE and serves both the store write
+    // and the encode below (two inline copies of the same projection
+    // are exactly the drift risk the shared encode path exists to kill)
+    val csub = v.filter(codebookPred)
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-      .write.mode("overwrite").parquet(s"$store/codebook")
+    csub.write.mode("overwrite").parquet(s"$store/codebook")
     // codes are CLUSTER-PARTITIONED (`partitionBy`): retrieval probes a
     // handful of clusters per query, and the partitioned layout turns
     // that probe set into static partition pruning on the codes scan —
@@ -337,9 +340,6 @@ object Similarity {
     // ONE encode path ([[assignAndEncode]]) serves both this build and
     // admitIvfPqBatch — the e29 rebuild-equality invariant is held by
     // shared code, not by keeping two expression blocks in lockstep
-    val csub = v.filter(codebookPred)
-      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
-      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
     assignAndEncode(v, coarse, csub, m, dsub)
       // cluster rows by target directory first (files ∝ clusters, not
       // tasks×clusters — see bm25BuildIndex's note)

@@ -2405,17 +2405,18 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
-  /** The a17 exact-rank median (rank = ceil(0.5·n) on (value, day)
-    * order — the lower median for even n, deterministic in both
-    * engines), shared by the w12/w13 monitors. The global window runs
-    * on a post-aggregate |days| frame (∝ elapsed time, never data
-    * volume).
+  /** The a17 exact-rank median (rank = ceil(0.5·n) on (value,
+    * tiebreak) order — the lower median for even n, deterministic in
+    * both engines), shared by the w12/w13 monitors. The global window
+    * runs on a post-aggregate frame (|days| here — ∝ elapsed time,
+    * never data volume).
     */
   private def exactRankMedian(df: org.apache.spark.sql.DataFrame,
-                              c: String): org.apache.spark.sql.DataFrame = {
+                              c: String,
+                              tiebreak: Column): org.apache.spark.sql.DataFrame = {
     val wAll = Window.partitionBy(lit(1))
     df.select(col(c),
-        row_number().over(wAll.orderBy(col(c), col("day"))).as("rn"),
+        row_number().over(wAll.orderBy(col(c), tiebreak)).as("rn"),
         count(lit(1)).over(wAll).as("n"))
       .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
       .select(col(c))
@@ -2461,10 +2462,10 @@ object AnalyticsQueries {
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(28,6)")).as("rev"))
-    val med = exactRankMedian(dayRev, "rev").select(col("rev").as("m"))
+    val med = exactRankMedian(dayRev, "rev", col("day")).select(col("rev").as("m"))
     val d = dayRev.crossJoin(broadcast(med))
       .select(col("day"), col("rev"), abs(col("rev") - col("m")).as("dev"))
-    val mad = exactRankMedian(d.select(col("day"), col("dev")), "dev")
+    val mad = exactRankMedian(d.select(col("day"), col("dev")), "dev", col("day"))
       .select(col("dev").as("md"))
     d.crossJoin(broadcast(mad))
       .select(col("day"), col("rev").cast("double").as("revenue"),
@@ -2520,7 +2521,7 @@ object AnalyticsQueries {
       .agg((sum(col("value").cast("decimal(28,6)")) * 1000000)
         .cast("long").as("r"))
     val wAll = Window.partitionBy(lit(1))
-    val med = exactRankMedian(dayRev, "r").select(col("r").as("m"))
+    val med = exactRankMedian(dayRev, "r", col("day")).select(col("r").as("m"))
     val y = dayRev.crossJoin(broadcast(med))
       .select(col("day"), col("r"), col("m"),
         (col("r") - col("m") - expr("m div 20")).as("yv"))

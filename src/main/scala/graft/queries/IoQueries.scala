@@ -865,12 +865,17 @@ object IoQueries {
       .write.mode("overwrite").parquet(s"$root/landing")
     e.filter(col("reason").isNotNull)
       .write.mode("overwrite").parquet(s"$root/quarantine")
+    // explicit read schemas: an all-pass corpus leaves the quarantine
+    // sink with no part files (the HEALTHY state) — schema inference
+    // throws on it, an explicit schema reads zero rows
+    val landSchema = e.drop("reason").schema
+    val quarSchema = e.schema
     e.unpersist()
-    val landed = spark.read.parquet(s"$root/landing")
+    val landed = spark.read.schema(landSchema).parquet(s"$root/landing")
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
       .select(lit("landed").as("disposition"), lit("ok").as("reason"),
         col("n_rows"), col("id_sum"))
-    val quarantined = spark.read.parquet(s"$root/quarantine")
+    val quarantined = spark.read.schema(quarSchema).parquet(s"$root/quarantine")
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
       .select(lit("quarantined").as("disposition"), col("reason"),

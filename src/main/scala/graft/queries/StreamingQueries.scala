@@ -785,12 +785,24 @@ object StreamingQueries {
       .start()
     try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
     finally q.stop()
-    val landed = spark.read.parquet(s"$root/landing")
+    // explicit read schemas: a corpus where EVERY row passes (or every
+    // row fails) leaves one sink with _SUCCESS and no part files —
+    // schema inference throws on that, while an explicit schema
+    // correctly reads it as zero rows (the DLQ being empty is the
+    // healthy case, not an error)
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType),
+      StructField("batch", IntegerType)))
+    val quarSchema = StructType(base.fields.patch(4,
+      Seq(StructField("reason", StringType)), 0))
+    val landed = spark.read.schema(base).parquet(s"$root/landing")
       .groupBy(col("batch").cast("long").as("batch"))
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
       .select(lit("landed").as("disposition"), lit("ok").as("reason"),
         col("batch"), col("n_rows"), col("id_sum"))
-    val quarantined = spark.read.parquet(s"$root/quarantine")
+    val quarantined = spark.read.schema(quarSchema).parquet(s"$root/quarantine")
       .groupBy(col("reason"), col("batch").cast("long").as("batch"))
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("id_sum"))
       .select(lit("quarantined").as("disposition"), col("reason"),
