@@ -187,6 +187,10 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // this sweep DELIBERATELY measures the unguarded pair forms'
+      // growth curves past the production budget (m01/s01 at 500k docs
+      // are the superlinearity evidence the guard's doc cites)
+      .config(graft.operators.Dedup.PairsMaxDocsKey, "-1")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
@@ -488,6 +492,82 @@ object ScaleBench {
             ).count()
           }
         },
+        // r13 e30: the erasure-quality audit, tier-measured directly
+        // (VERDICT r12 #7 — previously inherited from its parts). The
+        // store build + forget are the amortized offline jobs (t21b
+        // convention, lazy first run); the timed leg runs BOTH audit
+        // halves — brute truth over survivors (|q| × survivors, the
+        // linear leg) and the purged probed retrieval (e19's curve) —
+        // plus the broadcast-size recall join.
+        s"e30_recall_post_forget[coarse=$centroids]" -> {
+          var e30Store: String = null
+          () => {
+            val emb = Tables.embeddings(spark, dir)
+            if (e30Store == null) {
+              e30Store = java.nio.file.Files
+                .createTempDirectory("e30-scale").toString + "/store"
+              graft.operators.Similarity.buildIvfPqStore(
+                emb, "vec_id", "embedding",
+                col("id") >= 8 && col("id") < lit(8 + centroids),
+                col("id") < 8, e30Store)
+              graft.operators.Similarity.forgetFromIvfPqStore(spark, e30Store,
+                emb.filter(col("vec_id") % 10 === 7).select("vec_id"))
+            }
+            val truth = graft.operators.Similarity.knnBrute(
+                emb.filter(col("vec_id") % 10 =!= 7),
+                "vec_id", "embedding", col("id") < 5, 10)
+              .select("q_id", "n_id")
+            val cand = graft.operators.Similarity.ivfPqStoredTopK(
+                spark, e30Store, emb.filter(col("vec_id") < 5),
+                "vec_id", "embedding", 10, 2)
+              .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+            graft.Eval.forcedCount(truth.join(cand, Seq("q_id", "n_id"), "left")
+              .groupBy("q_id")
+              .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit")))
+          }
+        },
+        // r13 sm11-shaped streaming row (VERDICT r12 #7): io17's
+        // semantic DLQ under a REAL file stream — the gate's
+        // MemoryStream fixture can't tier-sweep (the sm09/sm10 note).
+        // AvailableNow + maxFilesPerTrigger splits the tier into ~3
+        // micro-batches; the row measures the shared foreachBatch body
+        // (contract cascade + two exactly-once slice writes) at
+        // growing batch sizes — per-batch work O(|batch|), write bytes
+        // dominating, the io17 profile under streaming delivery.
+        "sm11_quarantine[filestream]" -> (() => {
+          val root = java.nio.file.Files
+            .createTempDirectory("sm11-scale").toString
+          val evPath = s"$dir/events.parquet"
+          val nFiles = math.max(1, new java.io.File(evPath).listFiles()
+            .count(_.getName.endsWith(".parquet")))
+          val schema = spark.read.parquet(evPath).schema
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger",
+              math.max(1, (nFiles + 2) / 3).toString)
+            .parquet(evPath)
+            .select("event_id", "event_type", "value", "props")
+          val q = src.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              graft.queries.StreamingQueries.quarantineSplitBatch(b, id, root)
+            }
+            .option("checkpointLocation", s"$root/_ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          // the gate's read-back shape: explicit schemas (an all-pass
+          // batch leaves the DLQ with _SUCCESS and no part files)
+          import org.apache.spark.sql.types._
+          val base = StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType),
+            StructField("props", StringType),
+            StructField("batch", IntegerType)))
+          val quarSchema = StructType(base.fields.patch(4,
+            Seq(StructField("reason", StringType)), 0))
+          spark.read.schema(base).parquet(s"$root/landing").count() +
+            spark.read.schema(quarSchema).parquet(s"$root/quarantine").count()
+        }),
         // e17 verbatim: pack is a per-row fold, scoring scans 2 longs/row
         // against a broadcast 5-query side — the flattest ANN profile
         "e17_hamming_topk" -> (() =>
@@ -641,12 +721,60 @@ object ScaleBench {
         s"$t: streaming admission diverged from flat per batch — " +
           s"flat=$ndAdmitted stream=$stAdmitted")
 
+      // g15 fixed-batch admission (VERDICT r12 #1 — the label store's
+      // missing flat-admission evidence): the store is built from the
+      // tier's chain edges (the g15 gate's edge rule — node space grows
+      // with the tier, so the store is 100× larger at 100×) and
+      // compacted to its base; the timed batch is FIXED ~1k edges —
+      // half novel chains in a fresh id-space (new nodes: lookup
+      // misses, appends), half edges the store already contains (known
+      // nodes, same component: lookup hits, no appends, no relabels).
+      // Admission must stay ~flat across tiers: the lookup broadcasts
+      // the batch side into the raw label scan (no store shuffle), the
+      // relabel scan partition-prunes to losing lbuckets, and the
+      // union-find is batch-label-bounded.
+      val ccStore = queries.Dsl.tempStore(s"scale_g15_$t")
+      val evEdges = Tables.events(spark, dir)
+        .filter(col("user_id") % 10 =!= 9)
+        .select(col("user_id").as("a"), (col("user_id") + 1).as("b"))
+      graft.operators.IncrementalComponents.admitEdges(
+        spark, ccStore, evEdges, 0L)
+      graft.operators.IncrementalComponents.compact(spark, ccStore)
+      val ccBase = graft.operators.IncrementalComponents
+        .resolved(spark, ccStore).count()
+      def ccBatch(off: Long) = {
+        val novel = spark.range(500).select(
+          (col("id") * 2 + lit(980000000000L + off)).as("a"),
+          (col("id") * 2 + lit(980000000001L + off)).as("b"))
+        val known = Tables.events(spark, dir)
+          .filter(col("user_id") % 10 === 0)
+          .select(col("user_id").as("a"), (col("user_id") + 1).as("b"))
+          .distinct().limit(500)
+        novel.unionByName(known).localCheckpoint()
+      }
+      val ccSec = Seq(ccBatch(0L), ccBatch(10000000L)).zipWithIndex.map {
+        case (b, i) =>
+          val t0 = System.nanoTime()
+          graft.operators.IncrementalComponents.admitEdges(
+            spark, ccStore, b, i + 1L)
+          (System.nanoTime() - t0) / 1e9
+      }.min
+      // admission-correctness require, the vecstore round-trip
+      // discipline: exactly the two batches' novel nodes joined the
+      // store; the known half changed nothing
+      val ccAfter = graft.operators.IncrementalComponents
+        .resolved(spark, ccStore).count()
+      require(ccAfter == ccBase + 2000,
+        s"$t: g15 fixed-batch admission drifted — $ccBase → $ccAfter " +
+          "(want +2000 novel nodes)")
+
       def fmtN(ns: Seq[Long]) = ns.mkString("[", ",", "]")
       println(f"[scalebench] $t incremental: exact $exactSec%.2fs " +
         f"(${fmtN(exAdmitted)} admitted), neardup $ndSec%.2fs (${fmtN(ndAdmitted)}), " +
-        f"bucketed $bkSec%.2fs (${fmtN(bkAdmitted)}), stream $stSec%.2fs (${fmtN(stAdmitted)})")
+        f"bucketed $bkSec%.2fs (${fmtN(bkAdmitted)}), stream $stSec%.2fs (${fmtN(stAdmitted)}), " +
+        f"components $ccSec%.2fs (store $ccBase nodes)")
       t -> (exactSec, exAdmitted, ndSec, ndAdmitted, bkSec, bkAdmitted,
-        stSec, stAdmitted)
+        stSec, stAdmitted, ccSec, ccBase)
     }
 
     // vector-store lifecycle experiment (r12): a FIXED 500-vector batch
@@ -724,11 +852,13 @@ object ScaleBench {
     // is require()d during the sweep, so equal arrays here are evidence,
     // not coincidence; exact admits by a different (hash) rule
     def jArr(ns: Seq[Long]) = ns.mkString("[", ",", "]")
-    val incJson = incremental.map { case (t, (es, ea, ns, na, bs, ba, ss, sa)) =>
-      s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":${jArr(ea)},""" +
-        s""""neardup_batch_sec":${j(ns)},"neardup_admitted":${jArr(na)},""" +
-        s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":${jArr(ba)},""" +
-        s""""stream_batch_sec":${j(ss)},"stream_admitted":${jArr(sa)}}"""
+    val incJson = incremental.map {
+      case (t, (es, ea, ns, na, bs, ba, ss, sa, cs, cn)) =>
+        s""""$t":{"exact_batch_sec":${j(es)},"exact_admitted":${jArr(ea)},""" +
+          s""""neardup_batch_sec":${j(ns)},"neardup_admitted":${jArr(na)},""" +
+          s""""bucketed_batch_sec":${j(bs)},"bucketed_admitted":${jArr(ba)},""" +
+          s""""stream_batch_sec":${j(ss)},"stream_admitted":${jArr(sa)},""" +
+          s""""components_batch_sec":${j(cs)},"components_store_nodes":$cn}"""
     }.mkString(",")
     val vecJson = vecLifecycle.map { case (t, (as, fs, n)) =>
       s""""$t":{"admit_batch_sec":${j(as)},"forget_batch_sec":${j(fs)},"codes_rows":$n}"""

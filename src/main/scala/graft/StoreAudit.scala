@@ -55,5 +55,11 @@ object StoreAudit {
     // mutation (filter semi-join / forget rewrite / admission append)
     "e28_filtered_ann" -> PartitionPruned("cluster"),
     "x23_vector_store_forget" -> PartitionPruned("cluster"),
-    "e29_ivfpq_admit" -> PartitionPruned("cluster"))
+    "e29_ivfpq_admit" -> PartitionPruned("cluster"),
+    // incremental-components label store: 3 batches, mid-stream
+    // compaction at frontier 1 → the resolved read spans the ver=-1
+    // base + batch 2's appends only (the admission path's relabel-scan
+    // pruning is pinned separately in PropertySpec — "g15 admission is
+    // bounded" — because it runs inside admitEdges, not a gate plan)
+    "g15_incremental_components" -> CompactedDirs(maxDirs = 2, baseDir = "ver=-1"))
 }

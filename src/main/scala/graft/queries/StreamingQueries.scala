@@ -732,6 +732,35 @@ object StreamingQueries {
     * map-side agg over count-partial stores. (MemoryStream collect is
     * gate-fixture-only, the sm08 note.)
     */
+  /** The sm11 foreachBatch body, shared by the gate (MemoryStream
+    * fixture) and the ScaleBench file-stream row: contract cascade
+    * (first failing rule wins), then BOTH sinks land as exactly-once
+    * `batch=<id>` slices via per-writer dynamic overwrite — a
+    * redelivered batch replaces its own slice on both sides, so the
+    * sinks can never disagree about a batch.
+    */
+  def quarantineSplitBatch(b: org.apache.spark.sql.DataFrame, id: Long,
+                           root: String): Unit = {
+    val reason = when(
+        !col("event_type").isin("click", "view", "purchase", "signup"),
+        "bad_type")
+      .when(col("event_type") === "purchase" && col("value") > 300.0,
+        "value_cap")
+      .when(regexp_extract(col("props"), "[0-9]+", 0).cast("long") >= 80,
+        "props_range")
+    val split = b.withColumn("reason", reason)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def land(df: org.apache.spark.sql.DataFrame, sink: String): Unit =
+      df.withColumn("batch", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$root/$sink")
+    land(split.filter(col("reason").isNull).drop("reason"), "landing")
+    land(split.filter(col("reason").isNotNull), "quarantine")
+    split.unpersist()
+    () // foreachBatch body is Unit; unpersist returns the frame
+  }
+
   val sm11StreamQuarantine: GraftQuery = GraftQuery(
     "sm11_stream_quarantine",
     """WITH e AS (
@@ -763,24 +792,7 @@ object StreamingQueries {
     val q = mem.toDF().toDF("event_id", "event_type", "value", "props")
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val reason = when(
-            !col("event_type").isin("click", "view", "purchase", "signup"),
-            "bad_type")
-          .when(col("event_type") === "purchase" && col("value") > 300.0,
-            "value_cap")
-          .when(regexp_extract(col("props"), "[0-9]+", 0).cast("long") >= 80,
-            "props_range")
-        val split = b.withColumn("reason", reason)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def land(df: org.apache.spark.sql.DataFrame, sink: String): Unit =
-          df.withColumn("batch", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch").parquet(s"$root/$sink")
-        land(split.filter(col("reason").isNull).drop("reason"), "landing")
-        land(split.filter(col("reason").isNotNull), "quarantine")
-        split.unpersist()
-        () // foreachBatch body is Unit; unpersist returns the frame
+        quarantineSplitBatch(b, id, root)
       }
       .start()
     try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * counts land as a dynamic-partition overwrite of exactly `batch=<id>`
   * (per-writer option, race-free), so a foreachBatch redelivery
   * replaces its own slice instead of double-counting. Retention here is
-  * simply dropping batch slices older than the monitoring window —
-  * per-batch rows ARE the report grain, so nothing needs folding
-  * (contrast the sketch store, whose history is only ever read merged).
+  * simply dropping batch slices older than the monitoring window
+  * ([[dropBefore]]) — per-batch rows ARE the report grain, so nothing
+  * needs folding (contrast the sketch store, whose history is only ever
+  * read merged).
   */
 object StreamMixture {
 
@@ -34,6 +35,30 @@ object StreamMixture {
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(store)
+
+  /** Retention (VERDICT r12 #4): drop every batch slice with
+    * `batch < minKeepBatchId` — the monitoring window's trailing edge.
+    * Partition-dir deletes through the Hadoop FS API (HDFS/S3-safe),
+    * idempotent, and [[tvReport]] over the survivors is exactly the
+    * report a store that only ever held them would produce (the pooled
+    * mixture is a function of live slices). The frontier must be ≤ the
+    * stream's redelivery frontier: a redelivered batch BEHIND it would
+    * innocently recreate its dropped slice (foreachBatch only ever
+    * redelivers the frontier batch, so any minKeepBatchId ≤ frontier
+    * is safe). Without this the count store grows one directory per
+    * micro-batch forever — the unbounded-partition growth sm09's
+    * compaction just closed, one store over.
+    */
+  def dropBefore(spark: org.apache.spark.sql.SparkSession, store: String,
+                 minKeepBatchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < minKeepBatchId)
+      .foreach(p => fs.delete(p, true))
+  }
 
   /** Per-batch mixture drift vs the pooled mixture over the whole
     * store: tv_ppm = Σ_k |share_batch(k) − share_pool(k)| / 2 with

@@ -1891,16 +1891,169 @@ class PropertySpec extends SparkSpec {
     IncrementalComponents.compact(spark, store)
     assert(IncrementalComponents.resolved(spark, store)
       .as[(Long, Long)].collect().toMap == got)
-    // ledger: redelivering a committed batch id is a no-op
+    // ledger retention (VERDICT r12 #2): compaction folded the markers
+    // behind the frontier into the _upto watermark — the ledger holds at
+    // most the frontier marker + the watermark file, however many
+    // batches were ever admitted
+    val ledger = new java.io.File(s"$store/_admitted").listFiles().map(_.getName)
+    assert(ledger.count(_.startsWith("batch=")) <= 1,
+      s"ledger not folded: ${ledger.mkString(",")}")
+    assert(ledger.contains("_upto"), "missing fold watermark")
+    // redelivering a BEHIND-FRONTIER batch id is still a no-op — now
+    // answered through the watermark, not a marker
     val before = spark.read.parquet(s"$store/labels").count()
     IncrementalComponents.admitEdges(spark, store, batches.head.toDF("a", "b"), 0L)
     assert(spark.read.parquet(s"$store/labels").count() == before)
+    // monotonicity fence (ADVICE r12): a NEVER-admitted id behind the
+    // ledger's high watermark is the out-of-order misconfiguration —
+    // its rows could never win max-version resolution; refuse loudly
+    IncrementalComponents.admitEdges(spark, s"${store}2", Seq((1L, 2L)).toDF("a", "b"), 5L)
+    val err = intercept[IllegalArgumentException] {
+      IncrementalComponents.admitEdges(spark, s"${store}2", Seq((3L, 4L)).toDF("a", "b"), 3L)
+    }
+    assert(err.getMessage.contains("monotonically increasing"))
     // crash shapes: pending-without-marker is discarded (live intact);
     // a committed marker completes idempotently on next read
     val pend = new java.io.File(s"$store/_compact_pending"); pend.mkdirs()
     assert(IncrementalComponents.resolved(spark, store)
       .as[(Long, Long)].collect().toMap == got)
     assert(!pend.exists(), "unmarked pending must be discarded")
+  }
+
+  test("g15 admission is bounded: lookup broadcasts the batch side; relabel scan partition-prunes to losing lbuckets") {
+    import graft.operators.IncrementalComponents
+    val store = java.nio.file.Files.createTempDirectory("g15plan").toString
+    // two components whose labels will merge: 10—11—12 and 40—41—42,
+    // then a bridge 12—40 relabels 40's members to label 10
+    IncrementalComponents.admitEdges(spark, store,
+      Seq((10L, 11L), (11L, 12L), (40L, 41L), (41L, 42L)).toDF("a", "b"), 0L)
+    val members = IncrementalComponents.membersOfLabels(spark, store, Seq((40L, 10L)))
+    val plan = members.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    // a single losing lbucket folds the IN-list to an equality — both
+    // are the static partition prune the bound needs
+    assert(pf.contains("lbucket#") && (pf.contains(" IN ") || pf.contains("= ")),
+      s"relabel scan must statically prune to the losing labels' lbuckets:\n$plan")
+    assert(members.as[(Long, Long)].collect().toSet ==
+      Set((40L, 10L), (41L, 10L), (42L, 10L)))
+    // the bridge batch end-to-end: store equals the from-scratch answer
+    IncrementalComponents.admitEdges(spark, store, Seq((12L, 40L)).toDF("a", "b"), 1L)
+    assert(IncrementalComponents.resolved(spark, store)
+      .as[(Long, Long)].collect().toMap ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 40L -> 10L, 41L -> 10L, 42L -> 10L))
+  }
+
+  test("ivfpq admission ledger folds behind the frontier; folded ids stay admitted; clear refuses folded ids") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("ledgerspec").toString
+    // the resident corpus is vec_id >= 100, so the model-param picks
+    // must come from inside it (an 8..12 pred would select ZERO
+    // centroids and build an unreadable empty store)
+    Similarity.buildIvfPqStore(emb.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      col("id") >= 108 && col("id") < 112, col("id") < 108, store)
+    def batch(m: Long) = emb.filter(col("vec_id") < 100 && col("vec_id") % 4 === m)
+    (0 to 2).foreach(i => Similarity.admitIvfPqBatch(
+      spark, store, batch(i.toLong), "vec_id", "embedding", i.toLong))
+    val n = spark.read.parquet(s"$store/codes").count()
+    Similarity.compactAdmissionLedger(spark, store)
+    val ledger = new java.io.File(s"$store/_admitted").listFiles().map(_.getName)
+    assert(ledger.count(_.startsWith("batch=")) == 1 && ledger.contains("_upto"),
+      s"ledger not folded: ${ledger.mkString(",")}")
+    // a FOLDED batch redelivered is still a no-op (watermark answers)
+    Similarity.admitIvfPqBatch(spark, store, batch(0L), "vec_id", "embedding", 0L)
+    // the frontier marker still answers too
+    Similarity.admitIvfPqBatch(spark, store, batch(2L), "vec_id", "embedding", 2L)
+    assert(spark.read.parquet(s"$store/codes").count() == n,
+      "redelivery after the fold must not duplicate rows")
+    // clearing a folded id is impossible (the fold is one-way) — the
+    // remedy is a fresh id, and the error says so
+    val err = intercept[IllegalArgumentException] {
+      Similarity.clearAdmissionLedger(spark, store, 0L)
+    }
+    assert(err.getMessage.contains("FRESH"))
+  }
+
+  test("forget crash shapes: unmarked pending is discarded; a committed marker replays to completion") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("forgetcrash").toString
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val intact = spark.read.parquet(s"$store/codes").collect().map(_.toSeq).toSet
+    // crash BEFORE the marker: staged survivors are garbage — the next
+    // entry discards them and the live store is untouched
+    val pend = new java.io.File(s"$store/_forget_pending")
+    new java.io.File(pend, "cluster=99").mkdirs()
+    Similarity.recoverForget(spark, store)
+    assert(!pend.exists(), "unmarked pending must be discarded")
+    assert(spark.read.parquet(s"$store/codes").collect().map(_.toSeq).toSet == intact)
+    // crash AFTER the marker, mid-install: re-entry replays the plan
+    // idempotently — simulate by running a real forget, then re-invoking
+    // the recovery with a hand-restored marker for the same plan
+    val delIds = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    Similarity.forgetFromIvfPqStore(spark, store, delIds)
+    val purged = spark.read.parquet(s"$store/codes").collect().map(_.toSeq).toSet
+    assert(!new java.io.File(s"$store/_forget_done").exists(), "marker consumed")
+    // a replayed DROP plan (the pending dirs already renamed away) must
+    // be a no-op on the final state
+    val mk = new java.io.File(s"$store/_forget_done")
+    val keepDir = spark.read.parquet(s"$store/codes")
+      .select(col("cluster").cast("long")).head().getLong(0)
+    java.nio.file.Files.writeString(mk.toPath, s"keep cluster=$keepDir")
+    Similarity.recoverForget(spark, store)
+    assert(!mk.exists(), "marker consumed on replay")
+    assert(spark.read.parquet(s"$store/codes").collect().map(_.toSeq).toSet == purged,
+      "replaying an already-installed plan must change nothing")
+  }
+
+  test("sm10 retention: dropBefore removes old slices; report over survivors equals a survivors-only store") {
+    import graft.streaming.StreamMixture
+    val a = java.nio.file.Files.createTempDirectory("sm10retA").toString
+    val b = java.nio.file.Files.createTempDirectory("sm10retB").toString
+    val slices = Seq(
+      0L -> Seq("a", "a", "b"), 1L -> Seq("a", "b", "b"), 2L -> Seq("b", "b", "b"))
+    slices.foreach { case (id, ks) =>
+      StreamMixture.mergeBatch(ks.toDF("k"), id, "k", a) }
+    slices.drop(1).foreach { case (id, ks) =>
+      StreamMixture.mergeBatch(ks.toDF("k"), id, "k", b) }
+    StreamMixture.dropBefore(spark, a, 1L)
+    assert(!new java.io.File(s"$a/batch=0").exists(), "old slice dropped")
+    assert(new java.io.File(s"$a/batch=1").exists(), "surviving slice intact")
+    def rep(s: String) = StreamMixture.tvReport(spark, s)
+      .select("batch", "n_events", "tv_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep(a) == rep(b),
+      "post-retention report must equal a store that only ever held the survivors")
+    // idempotent; surviving-batch redelivery still replaces its slice
+    StreamMixture.dropBefore(spark, a, 1L)
+    StreamMixture.mergeBatch(Seq("a", "b", "b").toDF("k"), 2L, "k", a)
+    assert(rep(a).map(_._1) == Set(1L, 2L))
+  }
+
+  test("near-dup pair forms fail past the corpus budget with the named scale remedy") {
+    import graft.operators.Dedup
+    val docs = (1 to 40).map(i => (i.toLong, s"tok$i alpha beta gamma"))
+      .toDF("doc_id", "text")
+    spark.conf.set(Dedup.PairsMaxDocsKey, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.nearDupPairs(docs, "doc_id", "text", 2, 16, 8)
+      }
+      assert(e1.getMessage.contains("nearDupPairsEstimated"))
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.simHashPairs(docs, "doc_id", "text", 32, 16)
+      }
+      assert(e2.getMessage.contains("s01b"))
+      // the named scale form itself passes unguarded — the remedy must
+      // never be the thing the guard blocks
+      assert(Dedup.simHashPairs(docs, "doc_id", "text", 64, 16, mix64 = true)
+        .columns.contains("hamming"))
+      assert(Dedup.nearDupPairsEstimated(docs, "doc_id", "text", 2, 16, 8)
+        .columns.contains("jaccard_est"))
+    } finally spark.conf.unset(Dedup.PairsMaxDocsKey)
   }
 
   test("io16 gate flags exactly the corrupted shard") {
