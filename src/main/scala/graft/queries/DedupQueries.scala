@@ -905,7 +905,61 @@ object DedupQueries {
       .orderBy("split")
   }
 
+  private val SpanK = 8
+
+  /** M5 — exact duplicated-SPAN dedup (Lee et al. 2022's ExactSubstr
+    * half, sub-document grain; extension beyond the reference's doc-
+    * grain dedup, Preprocessor.py:161-167). Unlike t09's C4-style
+    * ALIGNED 5-token chunks (which miss any duplicate not starting on
+    * a chunk boundary), the sliding positional k-gram catches a
+    * duplicated span at ANY offset — the suffix-array semantics,
+    * re-expressed as one token-grain shuffle. Every second-and-later
+    * occurrence of a duplicated 8-token gram is masked and its span
+    * removed, keeping the corpus-global first (min (doc, pos)) copy;
+    * adjacent duplicated grams merge into longer removed spans via
+    * positional coverage. Output = per-doc removal receipt + the
+    * cleaned text itself, so the oracle pins the reconstruction
+    * byte-for-byte, not just the counts.
+    */
+  val m05ExactSubstr: GraftQuery = GraftQuery(
+    "m05_exactsubstr_dedup", {
+      import graft.operators.SpanDedup
+      val grams = SpanDedup.sqlPositionalGramHashes("hs", SpanK)
+      s"""WITH t AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS toks
+         |           FROM documents),
+         | th AS (SELECT doc_id, toks,
+         |               [${TextFunctions.sqlRollingHash("tok")} for tok in toks] AS hs
+         |        FROM t),
+         | g AS (SELECT doc_id, toks, $grams AS grams FROM th),
+         | occ AS (SELECT doc_id, i AS pos, grams[i] AS h
+         |         FROM g, unnest(range(1, len(grams) + 1)) AS u(i)),
+         | ranked AS (SELECT doc_id, pos,
+         |                   COUNT(*) OVER (PARTITION BY h) AS n,
+         |                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |            FROM occ),
+         | masked AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS starts
+         |            FROM ranked WHERE n > 1 AND rn > 1 GROUP BY doc_id),
+         | joined AS (SELECT g.doc_id, g.toks, COALESCE(m.starts, []) AS starts
+         |            FROM g LEFT JOIN masked m ON g.doc_id = m.doc_id),
+         | cleaned AS (SELECT doc_id, len(toks) AS n_tokens,
+         |                    [toks[j] for j in range(1, len(toks) + 1)
+         |                     if len(list_filter(starts, s -> s <= j AND j < s + $SpanK)) = 0] AS kept
+         |             FROM joined)
+         |SELECT doc_id, n_tokens, CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+         |       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+         |FROM cleaned ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    graft.operators.SpanDedup.removeDuplicatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text", SpanK)
+      .select(col("id").as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_removed").cast("long").as("n_removed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    m05ExactSubstr,
     x01ExactDedup, x02DedupSummary, x03SaltedAgg, x04IncrementalDedup,
     x05SaltedJoin, x06UpsertMerge, x07BloomSemiJoin, x08IncrementalNearDup,
     x15MergeChangeset, x16StoreVacuum, x17TimeTravel,

@@ -1944,6 +1944,114 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T39 — OUT-OF-DOMAIN fluency scoring with stupid backoff (Brants et
+    * al. 2007; the CCNet deployment shape: an LM trained on a CURATED
+    * reference corpus scores the whole crawl). t25/t29 train on the
+    * corpus being scored, so every bigram is seen by construction and
+    * the unseen-bigram path — the whole point of scoring out-of-domain
+    * text — never executes. Here the model is trained ONLY on the
+    * `doc_id % 7 = 0` holdout, and each scored bigram takes one of three
+    * integer-exact branches:
+    *   - seen bigram: surprisal = floor(1e6 · c1(w1) / c2(w1,w2)) — the
+    *     inverse conditional probability in ppm;
+    *   - unseen bigram, known word: stupid backoff to the unigram with
+    *     the canonical α=0.4 penalty, floor(5·1e6·T / (2·cu(w2)));
+    *   - OOV word: the deterministic ceiling 5·1e6·T (as if cu = 2/5 —
+    *     strictly worse than any seen word).
+    * All-integer floor division (the t12 no-log discipline), so the
+    * oracle hashes; per-doc output = branch counts + mean surprisal.
+    *
+    * Scale shape: model aggregates are train-corpus-sized map-side
+    * aggs; scoring is ONE bigram explode of the full corpus joined to
+    * c12 on its own agg key (the t29 note), with vocab-sized c1/cu and
+    * the 1-row total broadcast. Integer headroom: 5·1e6·T overflows
+    * past T ≈ 1.8e12 train tokens — at that scale drop SCALE to 1e3 or
+    * move to log-space doubles (the scoring join is unchanged).
+    */
+  val t39BackoffLmScore: GraftQuery = GraftQuery(
+    "t39_backoff_lm_score",
+    s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |tr AS (SELECT tk FROM tok WHERE doc_id % 7 = 0),
+       |cu AS (SELECT w, COUNT(*) AS n_u
+       |       FROM (SELECT unnest(tk) AS w FROM tr) GROUP BY w),
+       |tt AS (SELECT CAST(SUM(n_u) AS BIGINT) AS t_total FROM cu),
+       |trbi AS (SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |         FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+       |               FROM tr WHERE len(tk) >= 2)),
+       |c12 AS (SELECT w1, w2, COUNT(*) AS n_12 FROM trbi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(n_12) AS BIGINT) AS n_1 FROM c12 GROUP BY w1),
+       |bi AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+       |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |             FROM tok WHERE len(tk) >= 2)),
+       |sc AS (
+       |  SELECT bi.doc_id,
+       |         CASE WHEN n_12 IS NOT NULL THEN (1000000 * n_1) // n_12
+       |              WHEN n_u IS NOT NULL THEN (5000000 * t_total) // (2 * n_u)
+       |              ELSE 5000000 * t_total END AS cost,
+       |         CASE WHEN n_12 IS NULL THEN 1 ELSE 0 END AS backoff,
+       |         CASE WHEN n_12 IS NULL AND n_u IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM bi LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |       LEFT JOIN cu ON cu.w = bi.w2, tt),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |               CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+       |               CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |               CAST(SUM(cost) // COUNT(*) AS BIGINT) AS score_ppm
+       |        FROM sc GROUP BY doc_id)
+       |SELECT tok.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(n_backoff, 0) AS n_backoff,
+       |       COALESCE(n_oov, 0) AS n_oov,
+       |       COALESCE(score_ppm, 0) AS score_ppm
+       |FROM tok LEFT JOIN agg USING (doc_id) ORDER BY tok.doc_id""".stripMargin) {
+    (spark, dir) => backoffLmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+  }
+
+  /** t39's operator body over any (doc_id, text) frame, train = the
+    * `doc_id % 7 = 0` slice — factored so the spec can drive the OOV
+    * branch (absent from the closed-vocabulary gate corpus) on a tiny
+    * adversarial corpus through the SAME plan the gate runs.
+    */
+  def backoffLmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bigrams(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = tok.filter(col("doc_id") % 7 === 0)
+    val cu = train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_u"))
+    val tt = cu.agg(sum(col("n_u")).cast("long").as("t_total"))
+    val c12 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("n_12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("n_12")).cast("long").as("n_1"))
+    // scoring: c12 joins on its own agg key (shuffle, co-partitioned);
+    // vocab-sized c1/cu and the 1-row total broadcast (the t25/t29
+    // broadcast-class argument)
+    val sc = bigrams(tok)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .join(broadcast(cu.select(col("w").as("w2"), col("n_u"))), Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"),
+        when(col("n_12").isNotNull, expr("(1000000 * n_1) div n_12"))
+          .when(col("n_u").isNotNull, expr("(5000000 * t_total) div (2 * n_u)"))
+          .otherwise(lit(5000000L) * col("t_total")).as("cost"),
+        when(col("n_12").isNull, 1L).otherwise(0L).as("backoff"),
+        when(col("n_12").isNull && col("n_u").isNull, 1L).otherwise(0L).as("oov"))
+    val agg = sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("backoff")).as("n_backoff"),
+        sum(col("oov")).as("n_oov"),
+        expr("CAST(SUM(cost) div COUNT(*) AS BIGINT)").as("score_ppm"))
+    tok.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
+  }
+
   val all: Seq[GraftQuery] = Seq(t01TokenStats, t02LangId, t03Quality, t04Fingerprint,
     t05LangDist, t06Repetition, t07PiiScrub, t08TokenPacking, t09SpanDedup, t10TfIdf,
     t11Decontaminate, t12Rarity, t13ChunkSplit, t14QualityClassifier, t15SourceMixture,
@@ -1952,5 +2060,5 @@ object TextQueries {
     t24BpeApplyMerge, t25BigramLm, t27LangIdEval, t28VocabCoverage,
     t29LmDocScore, t30UnicodeNormalize, t31UrlDomainStats, t32BoilerplateLines,
     t33MixtureReweight, t35PerplexityBuckets, t36NoveltyProbe,
-    t37CrossSourceOverlap, t38MixedLangDetect)
+    t37CrossSourceOverlap, t38MixedLangDetect, t39BackoffLmScore)
 }

@@ -1920,6 +1920,46 @@ class PropertySpec extends SparkSpec {
     assert(!pend.exists(), "unmarked pending must be discarded")
   }
 
+  test("m05 exactsubstr: keep-first masking, cross-doc and internal repeats, adjacent-gram span merge") {
+    import graft.operators.SpanDedup
+    val docs = Seq(
+      (1L, "a b c d e f"),            // holds the canonical copy
+      (2L, "x y a b c d z"),          // shares grams "a b c"/"b c d" → loses 3..6
+      (3L, "p q r p q r p q r"),      // internal repeat: keeps one period
+      (4L, "u v w")                   // no dups, too short for extra grams
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map { case (id, nt, nr, ct) => id -> ((nt, nr, ct)) }.toMap
+    // doc 1 is the global first occurrence of every shared gram — intact
+    assert(out(1L) == ((6, 0, "a b c d e f")))
+    // doc 2: masked starts {3,4} cover 1-based tokens 3..6 — adjacent
+    // duplicated grams merged into ONE removed span
+    assert(out(2L) == ((7, 4, "x y z")))
+    // doc 3: grams at pos 4..7 duplicate pos 1..3 → tokens 4..9 removed,
+    // the first period survives
+    assert(out(3L) == ((9, 6, "p q r")))
+    assert(out(4L) == ((3, 0, "u v w")))
+  }
+
+  test("t39 backoff LM: seen / backoff / OOV branches hand-checked; short docs zeroed") {
+    // train = doc 0 ("a b a c"): cu = {a:2, b:1, c:1}, T = 4;
+    // c12 = {(a,b):1, (b,a):1, (a,c):1}; c1 = {a:2, b:1}
+    val docs = Seq(
+      (0L, "a b a c"),
+      (1L, "a b z q"), // seen 2e6, then two OOV ceilings 2e7 each
+      (2L, "c a"),     // c never a context → backoff via cu(a)=2 → 5e6
+      (3L, "solo")     // no bigrams → all-zero row
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.backoffLmScore(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, nb, nbk, nov, s) => id -> ((nb, nbk, nov, s)) }.toMap
+    assert(out(0L) == ((3L, 0L, 0L, (2000000L + 1000000L + 2000000L) / 3)))
+    assert(out(1L) == ((3L, 2L, 2L, (2000000L + 20000000L + 20000000L) / 3)))
+    assert(out(2L) == ((1L, 1L, 0L, 5000000L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("g15 admission is bounded: lookup broadcasts the batch side; relabel scan partition-prunes to losing lbuckets") {
     import graft.operators.IncrementalComponents
     val store = java.nio.file.Files.createTempDirectory("g15plan").toString
