@@ -101,7 +101,14 @@ object ScaleBench {
     // r12 fourth wave: t38 is a bounded chunk explode (tokens/20 rows)
     // + per-row HOF votes + two doc-keyed aggs — between t14's flat map
     // and t32's HOF constant
-    "t38_mixed_lang_detect")
+    "t38_mixed_lang_detect",
+    // r13: m05 is the token-grain positional-gram explode + ONE
+    // map-side-combinable first-occurrence agg + join-back — the claim
+    // is it tracks the corpus token count (t04's grain), with the
+    // join-back ∝ duplicated occurrences (linear by the tiers'
+    // cross-copy construction); t39 is t29's scoring-join profile with
+    // the model side train-subset-bounded
+    "m05_exactsubstr_dedup", "t39_backoff_lm_score")
   // events-backed heavies: batch-relational, stateful-batch, and the
   // five STREAMING gates (AvailableNow file stream + state stores) —
   // the state-store growth curve is the thing to measure per tier

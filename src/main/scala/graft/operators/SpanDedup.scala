@@ -105,7 +105,11 @@ object SpanDedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
+    // grams feeds BOTH the mask computation and the reassembly join —
+    // persist or the tokenize→token-hash→gram subtree plans twice (the
+    // t09/m01 shared-frame discipline)
     val grams = withPositionalGrams(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val masked = maskedSpanStarts(grams)
     grams.join(masked, Seq("id"), "left")
       .select(col("id"), col("toks"),
