@@ -72,7 +72,8 @@ object PlanDump {
     "d17_stratified_exact_sample", "g11_link_prediction",
     "e22_maxsim_late_interaction", "x21_subject_access_export",
     "e23_semantic_decontamination", "io14_compressed_json_roundtrip",
-    "g12_gnn_mean_agg_round", "d18_weighted_sample", "c04_cleaning_cut")
+    "g12_gnn_mean_agg_round", "d18_weighted_sample", "c04_cleaning_cut",
+    "m05_exactsubstr_dedup", "t39_backoff_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
