@@ -73,7 +73,7 @@ object PlanDump {
     "e22_maxsim_late_interaction", "x21_subject_access_export",
     "e23_semantic_decontamination", "io14_compressed_json_roundtrip",
     "g12_gnn_mean_agg_round", "d18_weighted_sample", "c04_cleaning_cut",
-    "m05_exactsubstr_dedup", "t39_backoff_lm_score")
+    "m05_exactsubstr_dedup", "t39_backoff_lm_score", "e31_ivfpq_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -828,9 +828,20 @@ object ScaleBench {
       val after = spark.read.parquet(s"$store/codes").count()
       require(after == base,
         s"$t: vector-store admit∘forget did not round-trip: $base → $after")
+      // r13 rebalance leg: split the tier's hottest cluster — cost must
+      // track the HOT CLUSTER (∝ n/k, growing √n under k ∝ √n
+      // provisioning), never the store; conservation require()d like
+      // the round-trip above. Run once (a second run would split the
+      // next-hottest — a different, smaller workload, not a re-measure).
+      val t0r = System.nanoTime()
+      val hot = graft.operators.Similarity.rebalanceIvfPqStore(spark, store)
+      val rebalanceSec = (System.nanoTime() - t0r) / 1e9
+      val afterReb = spark.read.parquet(s"$store/codes").count()
+      require(hot >= 0 && afterReb == base,
+        s"$t: rebalance must split (got $hot) and conserve codes: $base → $afterReb")
       println(f"[scalebench] $t vecstore: admit $admitSec%.2fs, " +
-        f"forget $forgetSec%.2fs (codes $base)")
-      t -> (admitSec, forgetSec, base)
+        f"forget $forgetSec%.2fs, rebalance $rebalanceSec%.2fs (codes $base)")
+      t -> (admitSec, forgetSec, rebalanceSec, base)
     }
 
     def j(d: Double): String = f"$d%.3f"
@@ -867,8 +878,9 @@ object ScaleBench {
           s""""stream_batch_sec":${j(ss)},"stream_admitted":${jArr(sa)},""" +
           s""""components_batch_sec":${j(cs)},"components_store_nodes":$cn}"""
     }.mkString(",")
-    val vecJson = vecLifecycle.map { case (t, (as, fs, n)) =>
-      s""""$t":{"admit_batch_sec":${j(as)},"forget_batch_sec":${j(fs)},"codes_rows":$n}"""
+    val vecJson = vecLifecycle.map { case (t, (as, fs, rs, n)) =>
+      s""""$t":{"admit_batch_sec":${j(as)},"forget_batch_sec":${j(fs)},""" +
+        s""""rebalance_sec":${j(rs)},"codes_rows":$n}"""
     }.mkString(",")
     val out = s"""{"metric":"scale_tiers","unit":"sec","cpus":$cpus,""" +
       s""""tiers":{$tierJson},"growth":{$growthJson},""" +

@@ -397,7 +397,8 @@ object Similarity {
                       maxProbeRows: Int = 1000000,
                       allowed: Option[DataFrame] = None,
                       maxAllowedIds: Long = 4000000L): DataFrame = {
-    recoverForget(spark, store) // never serve a half-installed swap
+    recoverForget(spark, store)    // never serve a half-installed swap
+    recoverRebalance(spark, store) // ...of either store mutation
     val coarse = spark.read.parquet(s"$store/coarse")
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
@@ -519,8 +520,9 @@ object Similarity {
     */
   def forgetFromIvfPqStore(spark: org.apache.spark.sql.SparkSession,
                            store: String, deleteIds: DataFrame): Unit = {
-    // finish any half-installed prior forget before reading the store
+    // finish any half-installed prior forget/rebalance before reading
     recoverForget(spark, store)
+    recoverRebalance(spark, store)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codes = spark.read.parquet(s"$store/codes")
@@ -641,7 +643,8 @@ object Similarity {
   def admitIvfPqBatch(spark: org.apache.spark.sql.SparkSession, store: String,
                       batch: DataFrame, idCol: String, embCol: String,
                       batchId: Long, m: Int = 4, dsub: Int = 16): Unit = {
-    recoverForget(spark, store) // never append into a half-installed swap
+    recoverForget(spark, store)    // never append into a half-installed swap
+    recoverRebalance(spark, store) // ...of either store mutation
     // Hadoop FS for the ledger (the store may live on HDFS/S3 — a
     // java.io.File check there always reads "absent" and every
     // redelivery would double-admit). Ledger retention is the shared
@@ -672,6 +675,201 @@ object Similarity {
   def compactAdmissionLedger(spark: org.apache.spark.sql.SparkSession,
                              store: String): Unit =
     AdmissionLedger.compact(AdmissionLedger.fsOf(spark, store), store)
+
+  private val RebalancePendingDir = "_rebalance_pending"
+  private val RebalanceMarkerFile = "_rebalance_done"
+
+  /** Per-cluster vector counts of a store, restricted to clusters the
+    * coarse table references (a mid-crash rebalance can leave staged
+    * new-cluster partitions that are INVISIBLE to retrieval — probes
+    * only ever match coarse ids — and this read honors the same
+    * visibility rule). One row per live cluster: (cluster, n_vecs).
+    */
+  def ivfPqClusterSizes(spark: org.apache.spark.sql.SparkSession,
+                        store: String): DataFrame = {
+    recoverRebalance(spark, store)
+    val live = spark.read.parquet(s"$store/coarse")
+      .select(col("g_id").cast("long").as("cluster"))
+    spark.read.parquet(s"$store/codes")
+      .filter(col("subspace") === 0)
+      .select(col("cluster").cast("long").as("cluster"))
+      .join(broadcast(live), Seq("cluster"), "left_semi")
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+  }
+
+  /** REBALANCE — the capacity-maintenance leg of the store lifecycle
+    * (build → e29 admit → x23 forget → e19 serve → e31 rebalance).
+    * Admissions route against FROZEN centroids, so a store that ingests
+    * long enough grows hot clusters: every query probing one pays that
+    * partition's full scan, and the p99 search cost is set by the
+    * LARGEST cluster, not the mean (the FAISS re-provisioning problem).
+    * This splits the hottest cluster in two, store-only:
+    *
+    *  1. sizes: one partial-agg pass over `subspace = 0` code rows
+    *     (|clusters| result rows, driver-collected — provisioning-
+    *     bounded, the probe-collect convention);
+    *  2. the hot cluster's members are RECONSTRUCTED from their PQ
+    *     codes against the broadcast codebook (integer codeword
+    *     concatenation — the store never consults the raw corpus:
+    *     rebalance must work where the original vectors are gone,
+    *     GDPR'd, or cold);
+    *  3. a deterministic 2-seed split: seed A = min vec_id, seed B =
+    *     the member farthest from A (ties → smaller id), each member
+    *     joins its nearer seed (ties → A) — one assignment round, the
+    *     e10 one-Lloyd-round convention, all integer distances;
+    *  4. new centroids = per-dimension floor-mean of each side's
+    *     reconstructions (floor over an exact double ratio — sums are
+    *     < 2^40, so the division is exact in IEEE and floors
+    *     identically in both engines; integer `div`/`//` is AVOIDED
+    *     here because Spark truncates toward zero while DuckDB floors,
+    *     and coordinates go negative);
+    *  5. install, crash-safe in the forget protocol's ordering: the
+    *     two NEW cluster partitions are written first via per-writer
+    *     dynamic overwrite (invisible until coarse references them,
+    *     idempotent on retry), the new coarse (old minus hot plus the
+    *     two new rows, ids max(g_id)+1 / +2) is staged to a pending
+    *     dir, a marker commits, and [[recoverRebalance]] — run from
+    *     every store entry point — replays the swap + hot-partition
+    *     drop idempotently. Before the marker the live store is
+    *     untouched (orphan partitions are invisible and get
+    *     overwritten by the deterministic retry); after it the install
+    *     completes.
+    *
+    * Retrieval code is unchanged: probes rank whatever centroids the
+    * coarse table holds. The split halves the hot partition's scan
+    * cost at the price of two centroid rows — provisioning I/O ∝ hot
+    * cluster, never store size. Returns the split cluster id, or -1
+    * when no cluster reaches `minSplitVectors` (no-op).
+    */
+  def rebalanceIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+                          store: String, m: Int = 4, dsub: Int = 16,
+                          minSplitVectors: Long = 4): Long = {
+    recoverRebalance(spark, store)
+    recoverForget(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sizes = ivfPqClusterSizes(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (sizes.isEmpty) return -1L
+    val (hot, hotN) = sizes.minBy { case (c, n) => (-n, c) }
+    if (hotN < minSplitVectors) return -1L
+    val csub = spark.read.parquet(s"$store/codebook")
+    val hotCodes = spark.read.parquet(s"$store/codes")
+      .filter(col("cluster") === hot)
+    // reconstruction: codeword subvectors concatenated in subspace
+    // order — one broadcast join, grouped back to one row per member
+    val recon = hotCodes
+      .join(broadcast(csub),
+        hotCodes("code") === csub("c_id") && hotCodes("subspace") === csub("s"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("subspace"), col("cqs")))),
+        e => e.getField("cqs"))).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val seedA = recon.orderBy("vec_id").limit(1)
+      .select(col("r").as("ra")).collect()(0).getSeq[Long](0)
+    val withDa = recon.select(col("vec_id"), col("r"),
+      sq(col("r"), lit(seedA.toArray)).as("d_a"))
+    val seedB = withDa.orderBy(desc("d_a"), asc("vec_id")).limit(1)
+      .select(col("r").as("rb")).collect()(0).getSeq[Long](0)
+    // side 0 = seed A (ties), side 1 = seed B; new ids mx+1 / mx+2
+    val sided = withDa.select(col("vec_id"), col("r"),
+        when(sq(col("r"), lit(seedB.toArray)) < col("d_a"), 1L)
+          .otherwise(0L).as("sd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coarseLive = spark.read.parquet(s"$store/coarse")
+    val mx = coarseLive.agg(max(col("g_id"))).collect()(0).getLong(0)
+    // per-dimension floor-mean per side: dims × sides rows (m·dsub × 2)
+    val cent = sided
+      .select(col("sd"), posexplode(col("r")).as(Seq("pos", "v")))
+      .groupBy("sd", "pos")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val newCentroids = cent.groupBy(_._1).toSeq.map { case (sd, rows) =>
+      (mx + 1 + sd, rows.sortBy(_._2).map(_._3))
+    }
+    // 1) new partitions first (invisible until coarse lists them;
+    //    per-writer dynamic overwrite keeps the retry idempotent).
+    //    localCheckpoint BEFORE the write: the frame reads codes/ and
+    //    the writer overwrites under codes/ — an eager checkpoint cuts
+    //    the file-source lineage entirely (the forget lesson: persist
+    //    alone shields nothing; only a materialized, source-free plan
+    //    can never recompute from partitions being rewritten)
+    val newParts = sided
+      .select(col("vec_id").as("__v"), (lit(mx + 1) + col("sd")).as("__c"))
+      .join(hotCodes, col("__v") === hotCodes("vec_id"))
+      .select(col("vec_id"), col("subspace"), col("code"), col("dist_q"),
+        col("__c").as("cluster"))
+      .localCheckpoint(true)
+    newParts
+      .repartition(col("cluster"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(s"$store/codes")
+    recon.unpersist(); sided.unpersist()
+    // 2) stage the new coarse (old minus hot, plus the two new rows)
+    val pending = new org.apache.hadoop.fs.Path(s"$store/$RebalancePendingDir")
+    fs.delete(pending, true)
+    import spark.implicits._
+    coarseLive.filter(col("g_id") =!= hot)
+      .unionByName(newCentroids.toDF("g_id", "gq"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$pending/coarse")
+    // 3) marker commits; install = coarse swap + hot-partition drop
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/$RebalanceMarkerFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"drop cluster=$hot".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$RebalanceMarkerFile")
+    fs.delete(marker, false)
+    fs.rename(tmp, marker)
+    installRebalance(fs, store)
+    hot
+  }
+
+  /** Complete (or discard) a half-finished [[rebalanceIvfPqStore]] —
+    * idempotent; run from every store entry point. Before the marker
+    * the live store is untouched (staged coarse and orphan new
+    * partitions are discarded/overwritten by the deterministic retry);
+    * after it the coarse swap + hot-partition drop replay to
+    * completion.
+    */
+  def recoverRebalance(spark: org.apache.spark.sql.SparkSession,
+                       store: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$RebalanceMarkerFile")
+    val pending = new org.apache.hadoop.fs.Path(s"$store/$RebalancePendingDir")
+    if (fs.exists(marker)) installRebalance(fs, store)
+    else if (fs.exists(pending)) fs.delete(pending, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/$RebalanceMarkerFile.tmp"), false)
+  }
+
+  private def installRebalance(fs: org.apache.hadoop.fs.FileSystem,
+                               store: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$store/$RebalanceMarkerFile")
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val plan = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    val stagedCoarse = new org.apache.hadoop.fs.Path(
+      s"$store/$RebalancePendingDir/coarse")
+    val liveCoarse = new org.apache.hadoop.fs.Path(s"$store/coarse")
+    // staged copy still present → swap; absent → already installed
+    if (fs.exists(stagedCoarse)) {
+      fs.delete(liveCoarse, true)
+      fs.rename(stagedCoarse, liveCoarse)
+    }
+    plan.linesIterator.filter(_.startsWith("drop ")).foreach { line =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$store/codes/${line.stripPrefix("drop ")}"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/$RebalancePendingDir"), true)
+    fs.delete(marker, false)
+  }
 
   /** Clear one batch's admission-ledger marker — the deliberate
     * re-ingest knob. [[forgetFromIvfPqStore]] removes a vector's code

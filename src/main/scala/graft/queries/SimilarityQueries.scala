@@ -1564,6 +1564,81 @@ object SimilarityQueries {
       .orderBy("q_id")
   }
 
+  /** E31 — stored-index REBALANCE (hot-cluster split): the capacity-
+    * maintenance leg of the store lifecycle (build → e29 admit → x23
+    * forget → e19 serve → e31 rebalance). Admissions route against
+    * FROZEN centroids, so a long-ingesting store grows hot clusters
+    * and p99 search cost is set by the largest partition; e31 splits
+    * the hottest in two, STORE-ONLY — members are reconstructed from
+    * their PQ codes against the codebook (the raw corpus may be cold
+    * or GDPR-purged), split by a deterministic 2-seed single
+    * assignment round (seed A = min id, seed B = farthest from A,
+    * ties to A — the e10 one-Lloyd-round convention), and the new
+    * centroids are per-dimension floor-means of each side's
+    * reconstructions. Install is crash-safe in the x23 forget
+    * protocol's ordering (new partitions → staged coarse → marker →
+    * swap + drop; `recoverRebalance` replays from every entry point).
+    *
+    * The gate reads its whole answer FROM THE POST-REBALANCE STORE
+    * (sizes from the codes partitions, centroid fingerprints from the
+    * swapped coarse) while the oracle re-derives store content and
+    * split from the corpus — so partition rewrite, coarse swap, and
+    * the split arithmetic are all hash-gated (the e19 store-fidelity
+    * discipline applied to a store MUTATION).
+    */
+  val e31IvfPqRebalance: GraftQuery = GraftQuery(
+    "e31_ivfpq_rebalance", {
+      def sq(a: String, b: String, n: String): String =
+        s"CAST(list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1, len($n)+1)]) AS BIGINT)"
+      s"""WITH $ivfPqCtes,
+         |sizes0 AS (SELECT cluster, COUNT(*) AS n FROM assigned GROUP BY 1),
+         |hot AS (SELECT cluster AS hot_c FROM sizes0 ORDER BY n DESC, cluster LIMIT 1),
+         |mem AS (SELECT id FROM assigned, hot WHERE cluster = hot_c),
+         |mrec AS (SELECT c.id, c.s, cs.cqs
+         |         FROM codes c JOIN mem USING (id)
+         |         JOIN csub cs ON cs.c_id = c.code AND cs.s = c.s),
+         |rv AS (SELECT id, flatten(list(cqs ORDER BY s)) AS r FROM mrec GROUP BY id),
+         |sa AS (SELECT r AS ra FROM rv ORDER BY id LIMIT 1),
+         |da AS (SELECT rv.id, rv.r, ${sq("r", "ra", "r")} AS d_a FROM rv, sa),
+         |sb AS (SELECT r AS rb FROM da ORDER BY d_a DESC, id LIMIT 1),
+         |sided AS (SELECT da.id, da.r,
+         |                 CASE WHEN ${sq("da.r", "rb", "da.r")} < d_a
+         |                      THEN 1 ELSE 0 END AS sd
+         |          FROM da, sb),
+         |mxv AS (SELECT MAX(g_id) AS mx FROM g),
+         |dims AS (SELECT sd, i, r[i] AS v
+         |         FROM sided, unnest(range(1, len(r) + 1)) AS t(i)),
+         |cmean AS (SELECT sd, i,
+         |                 CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |          FROM dims GROUP BY sd, i),
+         |newrows AS (SELECT mx + 1 + ns.sd AS cluster, ns.n AS n_vecs, nf.fp AS centroid_fp
+         |            FROM (SELECT sd, COUNT(*) AS n FROM sided GROUP BY sd) ns
+         |            JOIN (SELECT sd, CAST(SUM(cv) AS BIGINT) AS fp FROM cmean GROUP BY sd) nf
+         |              USING (sd), mxv),
+         |keeprows AS (SELECT s.cluster, s.n AS n_vecs,
+         |                    (SELECT CAST(list_sum(gq) AS BIGINT) FROM g WHERE g_id = s.cluster) AS centroid_fp
+         |             FROM sizes0 s, hot WHERE s.cluster != hot_c)
+         |SELECT cluster, n_vecs, CAST(cluster > mx AS BIGINT) AS is_new, centroid_fp
+         |FROM (SELECT * FROM keeprows UNION ALL SELECT * FROM newrows), mxv
+         |ORDER BY cluster""".stripMargin
+    }) { (spark, dir) =>
+    val store = Dsl.tempStore("e31_store")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, store)
+    Similarity.rebalanceIvfPqStore(spark, store)
+    val coarseFp = spark.read.parquet(s"$store/coarse")
+      .select(col("g_id").cast("long").as("cluster"),
+        aggregate(col("gq"), lit(0L), _ + _).as("centroid_fp"))
+    Similarity.ivfPqClusterSizes(spark, store)
+      .join(coarseFp, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"),
+        (col("cluster") > lit((NumCentroids + 3).toLong)).cast("long").as("is_new"),
+        col("centroid_fp"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[GraftQuery] = Seq(e01KnnBrute, e02KnnLsh, e03KnnIvf, e04CosinePairs, e12SignProjection,
     e05LshPairs, e06SemDedup, e06bSemDedupTwoLevel, e07KnnQuantized,
     e08CoarseRerank, e09CenterNormalize, e10KmeansRound, e11PqAssign, e13MmrRerank,
@@ -1571,7 +1646,7 @@ object SimilarityQueries {
     e19IvfPqStored, e22MaxSimLateInteraction, e23SemanticDecontamination,
     e24MaxSimStored, e25KcenterCoreset, e26MaxSimRecall,
     e27MatryoshkaRecall, e28FilteredAnn, x23VectorStoreForget, e29IvfPqAdmit,
-    e30RecallPostForget,
+    e30RecallPostForget, e31IvfPqRebalance,
     t34ContaminationReport,
     e14AnnRecall, e20IvfPqRecall, e21NprobeRecallCurve)
 }

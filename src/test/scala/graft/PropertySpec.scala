@@ -2049,6 +2049,59 @@ class PropertySpec extends SparkSpec {
       "replaying an already-installed plan must change nothing")
   }
 
+  test("e31 rebalance: conservation, hot-dir swap, retrieval intact, crash shapes, no-op floor") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("e31spec").toString
+    Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
+      col("id") >= 8 && col("id") < 12, col("id") < 8, store)
+    val before = Similarity.ivfPqClusterSizes(spark, store)
+      .as[(Long, Long)].collect().toMap
+    val total = before.values.sum
+    val hot = Similarity.rebalanceIvfPqStore(spark, store)
+    assert(hot == before.minBy { case (c, n) => (-n, c) }._1,
+      "must split the largest cluster (ties to the smaller id)")
+    val after = Similarity.ivfPqClusterSizes(spark, store)
+      .as[(Long, Long)].collect().toMap
+    // conservation: every vector still lives in exactly one cluster
+    assert(after.values.sum == total, s"vectors lost: $before -> $after")
+    assert(!after.contains(hot), "split cluster must leave the store")
+    val newIds = after.keySet.diff(before.keySet)
+    assert(newIds.nonEmpty && newIds.forall(_ > before.keySet.max),
+      s"new ids must extend the id space: $newIds")
+    assert(after.filterKeys(newIds).values.sum == before(hot),
+      "the two sides must partition the hot cluster's members")
+    assert(!new java.io.File(s"$store/codes/cluster=$hot").exists(),
+      "hot partition dir must be dropped")
+    // retrieval still serves k results against the swapped coarse table
+    val got = Similarity.ivfPqStoredTopK(spark, store,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", 5, 2)
+    assert(got.groupBy("q_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5L), "retrieval must still fill top-k post-split")
+    // crash BEFORE the marker: staged state discarded, live intact
+    val pend = new java.io.File(s"$store/_rebalance_pending/coarse")
+    pend.mkdirs()
+    Similarity.recoverRebalance(spark, store)
+    assert(!pend.exists(), "unmarked pending must be discarded")
+    assert(Similarity.ivfPqClusterSizes(spark, store)
+      .as[(Long, Long)].collect().toMap == after)
+    // crash AFTER the marker, mid-install: a replayed drop-only plan is
+    // a no-op on the final state (the staged coarse is already gone)
+    val mk = new java.io.File(s"$store/_rebalance_done")
+    java.nio.file.Files.writeString(mk.toPath, s"drop cluster=$hot")
+    Similarity.recoverRebalance(spark, store)
+    assert(!mk.exists(), "marker consumed on replay")
+    assert(Similarity.ivfPqClusterSizes(spark, store)
+      .as[(Long, Long)].collect().toMap == after)
+    // no-op floor: a store whose largest cluster is under the minimum
+    // refuses to split (returns -1, nothing changes)
+    assert(Similarity.rebalanceIvfPqStore(spark, store,
+      minSplitVectors = total + 1) == -1L)
+    assert(Similarity.ivfPqClusterSizes(spark, store)
+      .as[(Long, Long)].collect().toMap == after)
+  }
+
   test("sm10 retention: dropBefore removes old slices; report over survivors equals a survivors-only store") {
     import graft.streaming.StreamMixture
     val a = java.nio.file.Files.createTempDirectory("sm10retA").toString
