@@ -874,26 +874,7 @@ object GraphQueries {
     */
   val g15IncrementalComponents: GraftQuery = GraftQuery(
     "g15_incremental_components",
-    // chain edges (user_id → user_id+1 within each decade): ~150
-    // path-components whose segments arrive scattered across batches,
-    // so later batches BRIDGE earlier partial components — the
-    // merge/relabel path is genuinely exercised (the raw social graph
-    // is one giant component at gate scale: every admission would be
-    // a no-op relabel)
-    s"""WITH RECURSIVE raw AS (
-       |  SELECT user_id AS src, user_id + 1 AS dst FROM events
-       |  WHERE user_id % 10 != 9),
-       |cand AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       |         FROM raw WHERE src != dst),
-       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
-       |verts AS (SELECT DISTINCT a AS id FROM edges),
-       |reach AS (
-       |  SELECT id, id AS r FROM verts
-       |  UNION
-       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-       |SELECT component, COUNT(*) AS n_members
-       |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (spark, dir) =>
+    ccClosureOracle) { (spark, dir) =>
     import graft.operators.IncrementalComponents
     val store = Dsl.tempStore("g15_cc")
     val ev = Tables.events(spark, dir)
@@ -911,8 +892,80 @@ object GraphQueries {
       .orderBy("component")
   }
 
+  /** The recursive-closure oracle both label-store gates share: chain
+    * edges (user_id → user_id+1 within each decade) give ~150
+    * path-components whose segments arrive scattered across batches,
+    * so later batches BRIDGE earlier partial components — the
+    * merge/relabel path is genuinely exercised (the raw social graph
+    * is one giant component at gate scale: every admission would be a
+    * no-op relabel). g15 batches by `event_id % 3`; sm12 delivers the
+    * SAME thirds through a real stream — the edge UNION is identical,
+    * so one closure gates both.
+    */
+  // lazy: g15 references it above the definition point (the
+  // SimilarityQueries ivfPqCtes init-order convention)
+  private lazy val ccClosureOracle: String =
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT user_id AS src, user_id + 1 AS dst FROM events
+       |  WHERE user_id % 10 != 9),
+       |cand AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |         FROM raw WHERE src != dst),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+       |verts AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM verts
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT component, COUNT(*) AS n_members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  /** SM12 — the g15 label store fed by a REAL STREAM: the sixth
+    * streaming-store gate (sm08 near-dup index, sm09 sketch, sm10
+    * mixture, sm11 DLQ, x04's sm07 upsert — and now cluster labels).
+    * Each micro-batch of edges is admitted inside `foreachBatch`
+    * through [[graft.operators.IncrementalComponents.admitEdges]] —
+    * foreachBatch's monotonic batch ids ARE the store's version ids,
+    * its redelivery semantics are absorbed by the `_admitted` ledger
+    * (a redelivered batch no-ops; the fold watermark keeps the ledger
+    * bounded), and compaction runs MID-STREAM after batch 1 (the sm09
+    * discipline), so the oracle equality gates stream-delivery ∘
+    * admission ∘ compaction together. MemoryStream is gate-fixture-only
+    * (deterministic batch boundaries); production ingest is a
+    * file/queue readStream — admitEdges collects only the
+    * driver-bounded batch (micro-batch contract, `require`d).
+    */
+  val sm12StreamComponents: GraftQuery = GraftQuery(
+    "sm12_stream_components", ccClosureOracle) { (spark, dir) =>
+    import spark.implicits._
+    import graft.operators.IncrementalComponents
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Dsl.tempStore("sm12_cc")
+    val ev = Tables.events(spark, dir)
+    val thirds = (0 to 2).map { i =>
+      ev.filter(col("event_id") % 3 === i && col("user_id") % 10 =!= 9)
+        .select(col("user_id").as("a"), (col("user_id") + 1).as("b"))
+        .as[(Long, Long)].collect().toSeq
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("a", "b").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalComponents.admitEdges(b.sparkSession, store, b, id)
+        if (id == 1L) IncrementalComponents.compact(b.sparkSession, store)
+      }
+      .start()
+    try thirds.foreach { t => mem.addData(t); q.processAllAvailable() }
+    finally q.stop()
+    IncrementalComponents.resolved(spark, store)
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[GraftQuery] = Seq(g03PagerankRound, g04TriangleCount,
     g05LabelPropRound, g06KCoreRound, g07BfsRounds, g08CoEngagement,
     g09CcStarRound, g10Modularity, g11LinkPrediction, g12GnnMeanAggRound,
-    g13RandomWalks, g14HitsRound, g15IncrementalComponents)
+    g13RandomWalks, g14HitsRound, g15IncrementalComponents,
+    sm12StreamComponents)
 }
