@@ -349,41 +349,83 @@ object Similarity {
     v.unpersist()
   }
 
+  /** Integer squared L2 between two code arrays (exact, engine-stable). */
+  private def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** The coarse-centroid table folded to ONE broadcast-able row
+    * `cents: array<struct<g_id, gq>>` (sorted by g_id for a
+    * deterministic plan). Model params are broadcast-class by the IVF
+    * provisioning invariant (k ∝ √n), so folding them to a single array
+    * row turns every routing/encoding argmin downstream into a per-row
+    * codegen expression — ZERO shuffles on the corpus side (guide §2.4;
+    * previously each argmin was a corpus-wide keyed agg + join).
+    */
+  private def centsRow(coarse: DataFrame): DataFrame =
+    // coalesce(1): the fold needs every row in one place anyway —
+    // a single narrow task instead of a 2-stage partial/final agg
+    // (model params are broadcast-class, so one task holds them)
+    coarse.coalesce(1)
+      .agg(sort_array(collect_list(struct(col("g_id"), col("gq")))).as("cents"))
+
+  /** The PQ codebook folded to ONE row `cwords: array<struct<s, c_id,
+    * cqs>>` — same broadcast-model-row discipline as [[centsRow]].
+    */
+  private def cwordsRow(csub: DataFrame): DataFrame =
+    csub.coalesce(1)
+      .agg(sort_array(collect_list(struct(col("s"), col("c_id"), col("cqs")))).as("cwords"))
+
+  /** Per-row nearest-centroid struct (gdist, g_id) over the folded
+    * `cents` array — `array_min` on the (dist, id) struct is EXACTLY
+    * `min(struct(dist, id))`'s ordering (lexicographic: smallest dist,
+    * ties to the lower id), so results are bit-identical to the former
+    * aggregate form.
+    */
+  private def nearestCent(q: Column, cents: Column): Column =
+    array_min(transform(cents,
+      c => struct(sqDistL(q, c.getField("gq")).as("gdist"),
+        c.getField("g_id").as("g_id"))))
+
+  /** Per-row PQ codes over the folded `cwords` array: for each subspace
+    * s, argmin (dist, c_id) over that subspace's codewords — one
+    * array<struct<s, best>> per vector, exploded by callers. Ties to
+    * the lower codeword id, exactly as the former min-struct agg.
+    */
+  private def pqCodes(q: Column, cwords: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0L), lit((m - 1).toLong)), s =>
+      struct(s.as("s"),
+        array_min(transform(filter(cwords, w => w.getField("s") === s),
+          w => struct(
+            sqDistL(slice(q, s * dsub + lit(1), lit(dsub)), w.getField("cqs")).as("dist"),
+            w.getField("c_id").as("c_id")))).as("best")))
+
   /** THE encode path for the IVF-PQ store: nearest-coarse-centroid
-    * assignment (min-struct argmin, ties to the lower g_id) plus
-    * per-subspace PQ codes (pqAssign's argmin, ties to the lower
-    * codeword id) against EXPLICIT model-parameter frames — used by
-    * both [[buildIvfPqStore]] (params derived from the corpus) and
-    * [[admitIvfPqBatch]] (params read from the store), so routing and
-    * encoding can never drift between the from-scratch and the
-    * incremental path (the equality the e29 gate pins).
+    * assignment (argmin, ties to the lower g_id) plus per-subspace PQ
+    * codes (argmin, ties to the lower codeword id) against EXPLICIT
+    * model-parameter frames — used by both [[buildIvfPqStore]] (params
+    * derived from the corpus) and [[admitIvfPqBatch]] (params read from
+    * the store), so routing and encoding can never drift between the
+    * from-scratch and the incremental path (the equality the e29 gate
+    * pins).
+    *
+    * r13 shape: the params fold to one broadcast row each ([[centsRow]]/
+    * [[cwordsRow]]) and the whole encode is a per-row projection + one
+    * explode — the former corpus-wide argmin aggs (2 exchanges) and the
+    * codes⋈cluster join (a 3rd) are gone; the arithmetic per candidate
+    * pair is unchanged, so output is bit-identical.
     * Input `v` is the quantized frame (id, q); output one row per
     * (vec, subspace): (vec_id, subspace, code, dist_q, cluster).
     */
   private def assignAndEncode(v: DataFrame, coarse: DataFrame,
-                              csub: DataFrame, m: Int, dsub: Int): DataFrame = {
-    val assigned = v.crossJoin(broadcast(coarse))
-      .select(col("id"), col("g_id"),
-        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("gdist"))
-      .groupBy("id")
-      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
-      .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
-    val sub = v.select(col("id"),
-        explode(transform(sequence(lit(0), lit(m - 1)),
-          s => struct(s.cast("long").as("s"),
-            slice(col("q"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
-      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
-    sub.join(broadcast(csub), "s")
-      .select(col("id"), col("s"), col("c_id"),
-        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("dist"))
-      .groupBy("id", "s")
-      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
-      .select(col("id").as("vec_id"), col("s").as("subspace"),
-        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
-      .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
-  }
+                              csub: DataFrame, m: Int, dsub: Int): DataFrame =
+    v.crossJoin(broadcast(centsRow(coarse)))
+      .crossJoin(broadcast(cwordsRow(csub)))
+      .select(col("id"),
+        nearestCent(col("q"), col("cents")).getField("g_id").as("cluster"),
+        explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      .select(col("id").as("vec_id"), col("e.s").as("subspace"),
+        col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"),
+        col("cluster"))
 
   /** Retrieval against a [[buildIvfPqStore]] store: queries arrive as a
     * (id, embedding) frame at runtime; everything else — routing
@@ -403,14 +445,15 @@ object Similarity {
     val csub = spark.read.parquet(s"$store/codebook")
     val codes = spark.read.parquet(s"$store/codes")
     val q = queries.select(col(idCol).as("q_id"), quantize(col(embCol)).as("qq"))
-    val probes = q.crossJoin(broadcast(coarse))
-      .select(col("q_id"), col("g_id"),
-        aggregate(zip_with(col("qq"), col("gq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("gdist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(asc("gdist"), asc("g_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("g_id").as("cluster"))
+    // per-query probe list from the folded centroid row (sorted
+    // (gdist, g_id) prefix — identical ordering to the former rank
+    // window, without the corpus-side shuffle the window cost)
+    val probes = q.crossJoin(broadcast(centsRow(coarse)))
+      .select(col("q_id"),
+        explode(slice(array_sort(transform(col("cents"),
+          c => struct(sqDistL(col("qq"), c.getField("gq")).as("gdist"),
+            c.getField("g_id").as("g_id")))), 1, nprobe)).as("pr"))
+      .select(col("q_id"), col("pr.g_id").as("cluster"))
     // resolve the probe table driver-side (nprobe × |queries| rows —
     // broadcast-class, the same rows the join below broadcasts anyway):
     // the distinct clusters become a literal IN so the cluster-
@@ -431,15 +474,13 @@ object Similarity {
     val probedClusters = probeRows.map(_.get(1)).distinct.toSeq
     val probesLocal = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probes.schema)
-    val qsub = q.select(col("q_id"),
-        explode(transform(sequence(lit(0), lit(m - 1)),
-          s => struct(s.cast("long").as("s"),
-            slice(col("qq"), s * dsub + 1, lit(dsub)).as("qs")))).as("e"))
-      .select(col("q_id").as("tq_id"), col("e.s").as("s"), col("e.qs").as("qs"))
-    val tab = qsub.join(csub, "s")
-      .select(col("tq_id"), col("s"), col("c_id"),
-        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("tdist"))
+    // per-query ADC distance tables from the folded codebook row (the
+    // former qsub ⋈ codebook repeated the subspace join per query row)
+    val tab = q.crossJoin(broadcast(cwordsRow(csub)))
+      .select(col("q_id").as("tq_id"), col("qq"), explode(col("cwords")).as("w"))
+      .select(col("tq_id"), col("w.s").as("s"), col("w.c_id").as("c_id"),
+        sqDistL(slice(col("qq"), col("w.s") * dsub + lit(1), lit(dsub)),
+          col("w.cqs")).as("tdist"))
     // FILTERED search (the FAISS IDSelector / vector-DB metadata-filter
     // shape): the allow-list is applied to the codes scan BEFORE any
     // ADC work — pre-filtering, so top-k is computed among ELIGIBLE
@@ -1046,24 +1087,21 @@ object Similarity {
     val v = vectors
       .select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = v.filter(codebookPred)
-      .select(col("id").as("c_id"), col("q").as("cq"))
     def subs(qc: Column, out: String) =
       explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("s"),
           slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
-    val sub = v.select(col("id"), subs(col("q"), "qs"))
-      .select(col("id"), col("e.s").as("s"), col("e.qs").as("qs"))
-    val csub = cb.select(col("c_id"), subs(col("cq"), "cqs"))
+    val csub = v.filter(codebookPred)
+      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-    sub.join(broadcast(csub), "s")
-      .select(col("id"), col("s"), col("c_id"),
-        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("dist"))
-      .groupBy("id", "s")
-      .agg(min(struct(col("dist"), col("c_id"))).as("best"))
-      .select(col("id").as("vec_id"), col("s").as("subspace"),
-        col("best.c_id").as("code"), col("best.dist").as("dist_q"))
+    // codebook folded to one broadcast row; the per-(vec, subspace)
+    // argmin is a per-row HOF projection — the former corpus explode ⋈
+    // codebook + keyed agg (one exchange on (id, s)) is gone, same
+    // integer arithmetic per candidate, bit-identical output
+    v.crossJoin(broadcast(cwordsRow(csub)))
+      .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      .select(col("id").as("vec_id"), col("e.s").as("subspace"),
+        col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"))
   }
 
   /** PQ ASYMMETRIC-DISTANCE top-k retrieval — the search half of
@@ -1137,24 +1175,37 @@ object Similarity {
     */
   def knnIvfPqAdc(vectors: DataFrame, idCol: String, embCol: String,
                   coarsePred: Column, codebookPred: Column, queryPred: Column,
-                  k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16): DataFrame = {
+                  k: Int, nprobe: Int, m: Int = 4, dsub: Int = 16): DataFrame =
+    knnIvfPqAdcCurve(vectors, idCol, embCol, coarsePred, codebookPred,
+      queryPred, k, Seq(nprobe), m, dsub)
+      .drop("nprobe")
+
+  /** [[knnIvfPqAdc]] evaluated at SEVERAL probe widths in one pass —
+    * the e21 tuning-curve shape. Assignment, encoding, and the ADC
+    * join are probe-width-INDEPENDENT (a neighbor's cluster and codes
+    * do not change with nprobe; only which clusters score does), so
+    * the curve scores candidates ONCE at max(nprobes) keeping each
+    * candidate cluster's probe rank, then each sweep point is a rank
+    * filter + top-k — the former per-width re-computation (full
+    * re-quantize + re-assign + re-encode + re-join per point) is gone.
+    * Output: (nprobe, q_id, rank, n_id, adc_dist), identical per width
+    * to an independent [[knnIvfPqAdc]] run at that width.
+    *
+    * Scale shape: model params fold to one broadcast row each
+    * ([[centsRow]]/[[cwordsRow]]); routing + encoding are per-row
+    * projections (zero corpus shuffles); scoring is the one
+    * (q, vec)-keyed partial agg the ADC search fundamentally needs,
+    * paid once for the whole curve.
+    */
+  def knnIvfPqAdcCurve(vectors: DataFrame, idCol: String, embCol: String,
+                       coarsePred: Column, codebookPred: Column, queryPred: Column,
+                       k: Int, nprobes: Seq[Int], m: Int = 4, dsub: Int = 16): DataFrame = {
+    require(nprobes.nonEmpty, "knnIvfPqAdcCurve: empty nprobes")
+    val maxNp = nprobes.max
     val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
-    val aff = v.crossJoin(broadcast(coarse))
-      .select(col("id"), col("g_id"),
-        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("gdist"))
-    val wAssign = Window.partitionBy("id").orderBy(asc("gdist"), asc("g_id"))
-    val assigned = aff.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("g_id").as("cluster"))
-    val probes = aff.filter(queryPred)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("id").as("q_id"), col("g_id").as("cluster"))
-    val clustered = pqAssign(vectors, idCol, embCol, codebookPred, m, dsub)
-      .join(assigned, col("vec_id") === assigned("id")).drop("id")
+    val cents = centsRow(coarse)
     def subs(qc: Column, out: String) =
       explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("s"),
@@ -1162,23 +1213,54 @@ object Similarity {
     val csub = v.filter(codebookPred)
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-    val qsub = v.filter(queryPred)
-      .select(col("id").as("tq_id"), subs(col("q"), "qs"))
-      .select(col("tq_id"), col("e.s").as("s"), col("e.qs").as("qs"))
-    val tab = qsub.join(csub, "s")
-      .select(col("tq_id"), col("s"), col("c_id"),
-        aggregate(zip_with(col("qs"), col("cqs"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _).as("tdist"))
-    val scored = clustered.join(broadcast(probes), Seq("cluster"))
+    val cwords = cwordsRow(csub)
+    // per-row cluster + codes (no corpus shuffle — see assignAndEncode)
+    val clustered = v.crossJoin(broadcast(cents)).crossJoin(broadcast(cwords))
+      .select(col("id"),
+        nearestCent(col("q"), col("cents")).getField("g_id").as("cluster"),
+        explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      .select(col("id").as("vec_id"), col("e.s").as("subspace"),
+        col("e.best.c_id").as("code"), col("cluster"))
+    // per-query probe list, rank-indexed: sorted (gdist, g_id) prefix —
+    // identical ordering to the former per-query rank window
+    val probes = v.filter(queryPred).crossJoin(broadcast(cents))
+      .select(col("id").as("q_id"),
+        posexplode(slice(array_sort(transform(col("cents"),
+          c => struct(sqDistL(col("q"), c.getField("gq")).as("gdist"),
+            c.getField("g_id").as("g_id")))), 1, maxNp)))
+      .select(col("q_id"), (col("pos") + 1).as("p_rank"),
+        col("col.g_id").as("cluster"))
+    // per-query ADC distance tables from the folded codebook row
+    val tab = v.filter(queryPred).crossJoin(broadcast(cwords))
+      .select(col("id").as("tq_id"), col("q"), explode(col("cwords")).as("w"))
+      .select(col("tq_id"), col("w.s").as("s"), col("w.c_id").as("c_id"),
+        sqDistL(slice(col("q"), col("w.s") * dsub + lit(1), lit(dsub)),
+          col("w.cqs")).as("tdist"))
+    // score once at maxNp; every (q, vec) pair lives in exactly ONE
+    // cluster, so its probe rank is constant across its m code rows and
+    // `min(p_rank)` is that rank — filtering scored pairs by rank ≤ np
+    // is exactly "score only clusters probed at width np"
+    val scoredBase = clustered.join(broadcast(probes), Seq("cluster"))
       .join(broadcast(tab),
-        col("tq_id") === col("q_id") && col("subspace") === tab("s") &&
-          col("code") === tab("c_id") && col("vec_id") =!= col("q_id"))
+        col("tq_id") === col("q_id") && col("subspace") === col("s") &&
+          col("code") === col("c_id") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("n_id"))
-      .agg(sum(col("tdist")).as("adc_dist"))
+      .agg(sum(col("tdist")).as("adc_dist"), min(col("p_rank")).as("p_rank"))
+    // persist pays only when several sweep points re-read the scores —
+    // a single-width call (the knnIvfPqAdc path) must not buy a cache
+    // write it never reads back
+    val scored =
+      if (nprobes.size > 1)
+        scoredBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scoredBase
     val wTop = Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "adc_dist")
+    nprobes.map { np =>
+      (if (np >= maxNp) scored else scored.filter(col("p_rank") <= np))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select(lit(np.toLong).as("nprobe"),
+          col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
+    }.reduce(_ unionByName _)
   }
 
   /** [[knnIvf]] against an externally-trained centroid table (c_id, c_emb)

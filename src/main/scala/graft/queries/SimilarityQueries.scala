@@ -754,10 +754,15 @@ object SimilarityQueries {
     val truth = Similarity.knnBrute(emb, "vec_id", "embedding",
         col("id") < NumQueries, K)
       .select("q_id", "n_id")
+    // ONE assignment/encoding/ADC pass serves every sweep point
+    // (probe width only changes which clusters score — see
+    // knnIvfPqAdcCurve); per-width results are identical to the former
+    // three independent knnIvfPqAdc runs
+    val curve = Similarity.knnIvfPqAdcCurve(emb, "vec_id", "embedding",
+      col("id") >= NumCentroids && col("id") < NumCentroids + 4,
+      col("id") < NumCentroids, col("id") < NumQueries, K, Seq(1, 2, 4))
     Seq(1, 2, 4).map { np =>
-      val cand = Similarity.knnIvfPqAdc(emb, "vec_id", "embedding",
-          col("id") >= NumCentroids && col("id") < NumCentroids + 4,
-          col("id") < NumCentroids, col("id") < NumQueries, K, np)
+      val cand = curve.filter(col("nprobe") === np)
         .select(col("q_id"), col("n_id"), lit(1).as("hit"))
       truth.join(cand, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
