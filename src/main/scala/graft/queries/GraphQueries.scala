@@ -139,28 +139,34 @@ object GraphQueries {
       .join(deg.select(col("node").as("v"), (col("deg") * 1000000 + col("v")).as("ov")), "v")
     val oe = o.select(
       when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("a"),
-      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("b"),
-      greatest(col("ou"), col("ov")).as("ob"))
+      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // wedge (a→y, a→z) closes only through an oriented edge y→z, so y
-    // must be a SOURCE of some oriented edge — the semi-join is sound on
-    // any graph (a filtered wedge can never close) and prunes wedges
-    // centered on pure sinks, e.g. strictly bipartite graphs. The
-    // irreducible cost that remains is Σ_a C(out_deg(a), 2) wedge rows,
-    // the degree-ordered algorithm's own bound (measured: ~32M wedges /
-    // 12 s at the 10× event tier, time sub-linear per wedge).
-    val sources = oe.select(col("a").as("y")).distinct()
-    val e1 = oe.select(col("a"), col("b").as("y"), col("ob").as("ob1"))
-      .join(sources, Seq("y"), "leftsemi")
-    val e2 = oe.select(col("a"), col("b").as("z"), col("ob").as("ob2"))
-    val wedges = e1.join(e2, Seq("a")).filter(col("ob1") < col("ob2"))
-    val closing = oe.select(col("a").as("y"), col("b").as("z"))
-    val tri = wedges.join(closing, Seq("y", "z"))
-      .select(col("a").as("x"), col("y"), col("z"))
-    tri.select(col("x").as("node"))
-      .union(tri.select(col("y").as("node")))
-      .union(tri.select(col("z").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    // Edge-iterator form (r13 rewrite, the g12 array-native lesson): a
+    // triangle with order u < v < w is exactly one oriented edge (u, v)
+    // plus one common OUT-neighbor w ∈ N⁺(u) ∩ N⁺(v) — so building the
+    // oriented adjacency ONCE (arrays bounded by oriented out-degree,
+    // i.e. the O(√E) arboricity bound; never a hot node's raw degree)
+    // and intersecting per edge replaces the former wedge ENUMERATION
+    // (Σ_a C(out_deg(a), 2) rows through an exchange — 1.7M rows at
+    // sf0.1, ~32M at the 10× tier) plus its closing join. Shuffle BYTES
+    // stay wedge-bound (Σ out_deg² array elements), but they travel on
+    // |oe| rows instead of |wedges| rows and the closing join is gone —
+    // the intersect IS the closing check. Per triangle: u and v each
+    // count the intersection size, w counts once per membership —
+    // identical per-node participation counts to the wedge form.
+    val adj = oe.groupBy(col("a").as("ja"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val withCommon = oe
+      .join(adj.select(col("ja").as("j1"), col("nbrs").as("na")), col("a") === col("j1"))
+      .join(adj.select(col("ja").as("j2"), col("nbrs").as("nb")), col("b") === col("j2"))
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("common"))
+      .filter(size(col("common")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withCommon.select(col("a").as("node"), size(col("common")).cast("long").as("c"))
+      .union(withCommon.select(col("b").as("node"), size(col("common")).cast("long").as("c")))
+      .union(withCommon.select(explode(col("common")).as("node"), lit(1L).as("c")))
+      .groupBy("node").agg(sum(col("c")).as("n_tri"))
       .orderBy("node")
   }
 
