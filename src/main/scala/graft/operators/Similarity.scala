@@ -320,7 +320,6 @@ object Similarity {
     val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
-    coarse.write.mode("overwrite").parquet(s"$store/coarse")
     def subs(qc: Column, out: String) =
       explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("s"),
@@ -331,21 +330,38 @@ object Similarity {
     val csub = v.filter(codebookPred)
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-    csub.write.mode("overwrite").parquet(s"$store/codebook")
-    // codes are CLUSTER-PARTITIONED (`partitionBy`): retrieval probes a
-    // handful of clusters per query, and the partitioned layout turns
-    // that probe set into static partition pruning on the codes scan —
-    // the io07 layout applied to the index's own store; a flat layout
-    // would pay O(corpus) codes I/O per query at 100 TB (VERDICT r8 #1b)
-    // ONE encode path ([[assignAndEncode]]) serves both this build and
-    // admitIvfPqBatch — the e29 rebuild-equality invariant is held by
-    // shared code, not by keeping two expression blocks in lockstep
-    assignAndEncode(v, coarse, csub, m, dsub)
-      // cluster rows by target directory first (files ∝ clusters, not
-      // tasks×clusters — see bm25BuildIndex's note)
-      .repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$store/codes")
+    // The three store dirs are independent outputs of the one persisted
+    // frame — submit them concurrently (guide §2.6 / the
+    // writeAnalyses discipline): on a cluster the two tiny model-param
+    // writes back-fill executors the codes job leaves idle, and the
+    // build stops paying 3 × serial job latency. coalesce(1) on the
+    // param dirs: model params are broadcast-class, so one file each —
+    // every retrieval re-reads these dirs, and 32 four-row task files
+    // cost footer reads for nothing.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future(coarse.coalesce(1).write.mode("overwrite").parquet(s"$store/coarse")),
+        Future(csub.coalesce(1).write.mode("overwrite").parquet(s"$store/codebook")),
+        // codes are CLUSTER-PARTITIONED (`partitionBy`): retrieval
+        // probes a handful of clusters per query, and the partitioned
+        // layout turns that probe set into static partition pruning on
+        // the codes scan — the io07 layout applied to the index's own
+        // store; a flat layout would pay O(corpus) codes I/O per query
+        // at 100 TB (VERDICT r8 #1b). ONE encode path
+        // ([[assignAndEncode]]) serves both this build and
+        // admitIvfPqBatch — the e29 rebuild-equality invariant is held
+        // by shared code, not by keeping two expression blocks in
+        // lockstep. Cluster rows by target directory first (files ∝
+        // clusters, not tasks×clusters — see bm25BuildIndex's note).
+        Future(assignAndEncode(v, coarse, csub, m, dsub)
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$store/codes")))
+      Await.result(Future.sequence(writes), Duration.Inf)
+    }
     v.unpersist()
   }
 
