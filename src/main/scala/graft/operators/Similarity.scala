@@ -1574,6 +1574,41 @@ object Similarity {
       .select("qd", "rank", "cd", "score")
   }
 
+  /** The e26 recall-evaluation shape: corpus-wide MaxSim truth AND the
+    * candidate-restricted ranking, derived from ONE shared
+    * per-(query-token, doc) max frame — the candidate scores are a
+    * strict subset of the truth leg's maxima, so re-scanning the corpus
+    * for the shortlist (a second [[maxSimTopKShortlist]] pass) computes
+    * nothing the truth pass didn't already hold. Returns
+    * (truth, shortlisted), each bit-identical to [[maxSimTopK]] /
+    * [[maxSimTopKShortlist]] run independently. Production serving runs
+    * [[maxSimTopKShortlist]] alone (e24); this shape exists only where
+    * BOTH rankings are wanted (recall evaluation).
+    */
+  def maxSimTopKWithShortlist(vectors: DataFrame, idCol: String, embCol: String,
+                              docMod: Long, numQueryDocs: Long,
+                              candidates: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col(idCol).as("vid"),
+      pmod(col(idCol), lit(docMod)).as("d"), col(embCol).as("emb"))
+    val q = v.filter(col("d") < numQueryDocs)
+      .select(col("vid").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
+    val p = v.crossJoin(broadcast(q))
+      .filter(col("d") =!= col("qd"))
+      .select(col("qd"), col("qv"), col("d").as("cd"),
+        dotFixed(col("q_emb"), col("emb")).as("dp"))
+      .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
+    def top(frame: DataFrame): DataFrame = frame
+      .groupBy("qd", "cd").agg(sum("m").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qd", "rank", "cd", "score")
+    val cand = candidates.select(col("qd"), col("cd"))
+    (top(p), top(p.join(broadcast(cand), Seq("qd", "cd"))))
+  }
+
   def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,
                       maxVectors: Int = 1000000,
                       maxBroadcastBytes: Long = 128L << 20): DataFrame = {

@@ -1232,12 +1232,14 @@ object SimilarityQueries {
     val cand = short.select(pmod(col("q_id"), lit(100)).as("qd"),
         pmod(col("n_id"), lit(100)).as("cd"))
       .filter(col("cd") =!= col("qd")).distinct()
-    val got = Similarity.maxSimTopKShortlist(emb, "vec_id", "embedding",
-        docMod = 100, numQueryDocs = 2, candidates = cand, k = 5)
-      .select(col("qd"), col("cd"), lit(1).as("hit"))
-    val truth = Similarity.maxSimTopK(emb, "vec_id", "embedding",
-        docMod = 100, numQueryDocs = 2, k = 5)
-      .select("qd", "cd")
+    // truth and shortlist ranking share one per-(query-token, doc) max
+    // frame (the candidate scores are a subset of the truth leg's) —
+    // results identical to independent maxSimTopK/maxSimTopKShortlist
+    val (truthFull, gotFull) = Similarity.maxSimTopKWithShortlist(
+      emb, "vec_id", "embedding", docMod = 100, numQueryDocs = 2,
+      candidates = cand, k = 5)
+    val got = gotFull.select(col("qd"), col("cd"), lit(1).as("hit"))
+    val truth = truthFull.select("qd", "cd")
     truth.join(got, Seq("qd", "cd"), "left")
       .groupBy("qd")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))

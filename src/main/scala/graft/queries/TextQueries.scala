@@ -909,21 +909,32 @@ object TextQueries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tfc.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tfc.join(dl, "doc_id")
-      .withColumn("bucket", termBucket(col("term"), buckets))
-      // cluster rows by their target directory first: without it every
-      // write task opens a file in every bucket dir (tasks×buckets small
-      // files + committer overhead — measured ~2× on the build leg);
-      // with it, file count ∝ buckets. At 100 TB the same repartition is
-      // what bounds files-per-bucket.
-      .repartition(buckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$store/postings")
-    tfc.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$store/terms")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
-      .withColumn("buckets", lit(buckets))
-      .write.mode("overwrite").parquet(s"$store/stats")
+    // the three store dirs are independent outputs of the one persisted
+    // frame — submit them concurrently (guide §2.6, the buildIvfPqStore
+    // discipline) instead of paying three serial job latencies
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        // cluster rows by their target directory first: without it every
+        // write task opens a file in every bucket dir (tasks×buckets
+        // small files + committer overhead — measured ~2× on the build
+        // leg); with it, file count ∝ buckets. At 100 TB the same
+        // repartition is what bounds files-per-bucket.
+        Future(tfc.join(dl, "doc_id")
+          .withColumn("bucket", termBucket(col("term"), buckets))
+          .repartition(buckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$store/postings")),
+        Future(tfc.groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$store/terms")),
+        Future(dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_tokens"))
+          .withColumn("buckets", lit(buckets))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$store/stats")))
+      Await.result(Future.sequence(writes), Duration.Inf)
+    }
     tfc.unpersist()
   }
 
