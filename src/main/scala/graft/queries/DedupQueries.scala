@@ -138,8 +138,12 @@ object DedupQueries {
          |ORDER BY hamming, id_a, id_b""".stripMargin
     }) { (spark, dir) =>
     // same persist-before-fanout rule as m01: count + top-100 both read it
+    // simhash fingerprinting is scan-stage per-row work on a single-row-
+    // group gate file — parallelize the scan (guide §2.5; measured
+    // 1.3 -> 0.7 s, fingerprinting scales with cores again)
     val pairs = Dedup.simHashPairs(
-      Tables.documents(spark, dir), "doc_id", "text", SimBits, ChunkBits)
+      Tables.parallelizeSmallScan(Tables.documents(spark, dir), dir, "documents"),
+      "doc_id", "text", SimBits, ChunkBits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = pairs.agg(count(lit(1)).as("n_candidates"))
     pairs.orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(100)
@@ -178,7 +182,8 @@ object DedupQueries {
          |ORDER BY hamming, id_a, id_b""".stripMargin
     }) { (spark, dir) =>
     val pairs = Dedup.simHashPairs(
-      Tables.documents(spark, dir), "doc_id", "text", 64, ChunkBits, mix64 = true)
+      Tables.parallelizeSmallScan(Tables.documents(spark, dir), dir, "documents"),
+      "doc_id", "text", 64, ChunkBits, mix64 = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = pairs.agg(count(lit(1)).as("n_candidates"))
     pairs.orderBy(asc("hamming"), asc("id_a"), asc("id_b")).limit(100)
