@@ -215,8 +215,13 @@ object IncrementalComponents {
         storedChanged.map(l => (l, find(l))))
     val out = batchRows.toDF("node", "label").unionByName(members).distinct()
     // an all-empty batch must not create a part-file-less labels dir
-    // (parquet schema inference cannot read one back)
-    if (!out.isEmpty)
+    // (parquet schema inference cannot read one back). Emptiness is
+    // decidable DRIVER-SIDE — members is non-empty exactly when a
+    // stored label lost (its resolved (node, label) row is in the
+    // pruned raw scan by construction) — so don't pay an isEmpty
+    // action that evaluates the whole union (incl. the members scan)
+    // once for the check and again for the write.
+    if (batchRows.nonEmpty || storedChanged.nonEmpty)
       out.withColumn("lbucket", pmod(col("label"), lit(LabelBuckets)))
         .withColumn("ver", lit(batchId))
         .repartition(col("lbucket"))
