@@ -47,7 +47,26 @@ object StreamingQueries {
     // instead of starving on the gate constant.
     val peek = spark.read.parquet(s"$dir/events.parquet")
     val tsType = peek.schema("ts").dataType
-    val parts = math.max(partitions.toLong, peek.count() / 250000L)
+    // row count from the parquet FOOTERS (each file's metadata carries
+    // it) instead of a count() scan job — the count only sizes the
+    // state-store partition floor, and every streaming gate paid a full
+    // source scan for it
+    val srcRows: Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
+      files.map { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    }
+    val parts = math.max(partitions.toLong, srcRows / 250000L)
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val staging = java.nio.file.Files.createTempDirectory(prefix)
     // the source may be a single parquet FILE (driver testdata) or a
