@@ -154,8 +154,11 @@ object GraphQueries {
     // the intersect IS the closing check. Per triangle: u and v each
     // count the intersection size, w counts once per membership —
     // identical per-node participation counts to the wedge form.
+    // both join sides below consume adj — persist or the agg subtree
+    // plans (and runs) twice (the m05 persist-before-fanout rule)
     val adj = oe.groupBy(col("a").as("ja"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withCommon = oe
       .join(adj.select(col("ja").as("j1"), col("nbrs").as("na")), col("a") === col("j1"))
       .join(adj.select(col("ja").as("j2"), col("nbrs").as("nb")), col("b") === col("j2"))
