@@ -391,17 +391,6 @@ object Similarity {
     csub.coalesce(1)
       .agg(sort_array(collect_list(struct(col("s"), col("c_id"), col("cqs")))).as("cwords"))
 
-  /** Per-row nearest-centroid struct (gdist, g_id) over the folded
-    * `cents` array — `array_min` on the (dist, id) struct is EXACTLY
-    * `min(struct(dist, id))`'s ordering (lexicographic: smallest dist,
-    * ties to the lower id), so results are bit-identical to the former
-    * aggregate form.
-    */
-  private def nearestCent(q: Column, cents: Column): Column =
-    array_min(transform(cents,
-      c => struct(sqDistL(q, c.getField("gq")).as("gdist"),
-        c.getField("g_id").as("g_id"))))
-
   /** Per-row PQ codes over the folded `cwords` array: for each subspace
     * s, argmin (dist, c_id) over that subspace's codewords — one
     * array<struct<s, best>> per vector, exploded by callers. Ties to
@@ -433,15 +422,29 @@ object Similarity {
     * (vec, subspace): (vec_id, subspace, code, dist_q, cluster).
     */
   private def assignAndEncode(v: DataFrame, coarse: DataFrame,
-                              csub: DataFrame, m: Int, dsub: Int): DataFrame =
-    v.crossJoin(broadcast(centsRow(coarse)))
-      .crossJoin(broadcast(cwordsRow(csub)))
-      .select(col("id"),
-        nearestCent(col("q"), col("cents")).getField("g_id").as("cluster"),
-        explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+                              csub: DataFrame, m: Int, dsub: Int): DataFrame = {
+    // Coarse assignment stays the broadcast-join + min-struct AGG form:
+    // the per-row array_min(transform(cents, ...)) fold was tried and
+    // MEASURED 2.8× slower at the 100× tier (e16 10.3 → 28.5 s) — with
+    // √n centroids the deeply nested interpreted HOF tree's per-element
+    // constant beats the one narrow (id, cluster) agg+join it saves.
+    // The per-subspace PQ argmin keeps the folded-codebook per-row form
+    // (pqCodes): PQ codebooks are small and FIXED (≤256 codewords per
+    // subspace), and the fold measured ~2× FASTER at the 100× tier
+    // (e15 6.9 → 3.4 s) by deleting the (id, s)-keyed agg exchange.
+    val assigned = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+      .groupBy("id")
+      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
+      .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
+    v.crossJoin(broadcast(cwordsRow(csub)))
+      .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
       .select(col("id").as("vec_id"), col("e.s").as("subspace"),
-        col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"),
-        col("cluster"))
+        col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"))
+      .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
+  }
 
   /** Retrieval against a [[buildIvfPqStore]] store: queries arrive as a
     * (id, embedding) frame at runtime; everything else — routing
@@ -1230,13 +1233,22 @@ object Similarity {
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
     val cwords = cwordsRow(csub)
-    // per-row cluster + codes (no corpus shuffle — see assignAndEncode)
-    val clustered = v.crossJoin(broadcast(cents)).crossJoin(broadcast(cwords))
-      .select(col("id"),
-        nearestCent(col("q"), col("cents")).getField("g_id").as("cluster"),
-        explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+    // corpus-side cluster assignment: broadcast-join + min-struct agg
+    // (codegen-friendly; the per-row folded-cents argmin measured 2.8×
+    // slower at the 100× tier — see assignAndEncode); PQ codes keep the
+    // folded-codebook per-row form (bounded codebook, measured faster)
+    val assigned = v.crossJoin(broadcast(coarse))
+      .select(col("id"), col("g_id"),
+        aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _).as("gdist"))
+      .groupBy("id")
+      .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
+      .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
+    val clustered = v.crossJoin(broadcast(cwords))
+      .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
       .select(col("id").as("vec_id"), col("e.s").as("subspace"),
-        col("e.best.c_id").as("code"), col("cluster"))
+        col("e.best.c_id").as("code"))
+      .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
     // per-query probe list, rank-indexed: sorted (gdist, g_id) prefix —
     // identical ordering to the former per-query rank window
     val probes = v.filter(queryPred).crossJoin(broadcast(cents))
