@@ -608,26 +608,20 @@ object GraphQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = und.select(col("u").as("node"), col("v").as("nb"))
       .union(und.select(col("v").as("node"), col("u").as("nb")))
-    // r13: the two cap windows become sorted-prefix aggs ((node, nb)
-    // pairs are unique, so "first 16 by nb per node" ≡
-    // slice(sort_array(...), 1, 16)), and the common-neighbor SELF-JOIN
-    // becomes per-nb pair explosion out of the capped node array — the
-    // g04 edge-iterator lesson: the candidate pairs (≤ C(16,2) per nb,
-    // identical set to the join's) are generated without shuffling the
-    // capped adjacency twice through an nb-keyed join.
-    val cadj0 = adj.groupBy("node")
-      .agg(slice(sort_array(collect_list(col("nb"))), 1, 16).as("nbs"))
-      .select(col("node"), explode(col("nbs")).as("nb"))
-    val cadj = cadj0.groupBy("nb")
-      .agg(slice(sort_array(collect_list(col("node"))), 1, 16).as("nodes"))
+    val wNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy("nb")
+    val wNb = org.apache.spark.sql.expressions.Window
+      .partitionBy("nb").orderBy("node")
+    val cadj = adj
+      .withColumn("__rn", row_number().over(wNode))
+      .filter(col("__rn") <= 16).drop("__rn")
+      .withColumn("__rc", row_number().over(wNb))
+      .filter(col("__rc") <= 16).drop("__rc")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = cadj.select(explode(col("nodes")).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val pairCombos = flatten(transform(col("nodes"), (x, i) =>
-      transform(slice(col("nodes"), i + lit(2), size(col("nodes"))),
-        y => struct(x.as("u"), y.as("v")))))
-    val cn = cadj.select(explode(pairCombos).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val deg = cadj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val cn = cadj.select(col("node").as("u"), col("nb"))
+      .join(cadj.select(col("node").as("v"), col("nb")), "nb")
+      .filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("cn"))
     val cand = cn.join(und, Seq("u", "v"), "left_anti")
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
