@@ -342,6 +342,10 @@ object Similarity {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // failure handling (ADVICE r13): Future.sequence fails fast on the
+      // first failed write and the finally below always unpersists; the
+      // sibling jobs run to completion on their own (they write disjoint
+      // dirs, so a partial store is overwritten by the retry)
       val writes = Seq(
         Future(coarse.coalesce(1).write.mode("overwrite").parquet(s"$store/coarse")),
         Future(csub.coalesce(1).write.mode("overwrite").parquet(s"$store/codebook")),
@@ -360,14 +364,76 @@ object Similarity {
           .repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$store/codes")))
-      Await.result(Future.sequence(writes), Duration.Inf)
+      try Await.result(Future.sequence(writes), Duration.Inf)
+      finally v.unpersist()
     }
-    v.unpersist()
   }
 
   /** Integer squared L2 between two code arrays (exact, engine-stable). */
   private def sqDistL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Driver-side twin of [[sqDistL]] for the coordinator-side routing
+    * below — same integer arithmetic, element for element.
+    */
+  private def sqDistLocal(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+  private def asLong(v: Any): Long = v match {
+    case x: Long             => x
+    case x: Int              => x.toLong
+    case x: java.lang.Number => x.longValue
+  }
+
+  /** QUERY-SIDE routing and ADC tables computed on the COORDINATOR
+    * (guide §1.2 / §5): the probe list is |q|·k integer squared-L2s
+    * against the broadcast-class centroid set, the distance tables
+    * |q|·m·k more against the codebook — request-sized × model-sized
+    * work, exactly what every production ANN serving system computes on
+    * the query coordinator per request. Running each as a Spark
+    * broadcast-build job (the former folded-row form) paid a full job
+    * launch plus a scan of the query frame PER LEG; both frames are
+    * broadcast into the corpus-side plan afterward either way, so the
+    * bytes shipped are identical. Ordering is (gdist, g_id) ascending —
+    * bit-identical to the former array_sort(struct(gdist, g_id)) prefix.
+    * Returns (probeRows, tabRows): (q_id, [p_rank,] cluster) and
+    * (q_id, s, c_id, tdist) with values passed through untouched from
+    * the collected rows, so downstream join types are unchanged.
+    */
+  private def localProbesAndTab(
+      qRows: Array[org.apache.spark.sql.Row],
+      centRows: Array[org.apache.spark.sql.Row],
+      cwRows: Array[org.apache.spark.sql.Row],
+      nprobe: Int, dsub: Int, withRank: Boolean)
+    : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+    import org.apache.spark.sql.Row
+    val cents = centRows.map(r =>
+      (r.get(0), asLong(r.get(0)), r.getSeq[Long](1).toArray))
+    val cws = cwRows.map(r =>
+      (r.get(1), asLong(r.get(1)), r.get(0), r.getSeq[Long](2).toArray))
+      .sortBy { case (_, sL, cid, _) => (sL, asLong(cid)) }
+    val probes = qRows.toSeq.flatMap { qr =>
+      val qid = qr.get(0); val qq = qr.getSeq[Long](1).toArray
+      val ranked = cents
+        .map { case (gid, gidL, gq) => (sqDistLocal(qq, gq), gidL, gid) }
+        .sortBy { case (d, gl, _) => (d, gl) }
+        .take(nprobe)
+      ranked.zipWithIndex.map { case ((_, _, gid), i) =>
+        if (withRank) Row(qid, Integer.valueOf(i + 1), gid) else Row(qid, gid)
+      }
+    }
+    val tab = qRows.toSeq.flatMap { qr =>
+      val qid = qr.get(0); val qq = qr.getSeq[Long](1).toArray
+      cws.map { case (s, sL, cid, cqs) =>
+        val off = (sL * dsub).toInt
+        Row(qid, s, cid,
+          java.lang.Long.valueOf(sqDistLocal(qq.slice(off, off + dsub), cqs)))
+      }
+    }
+    (probes, tab)
+  }
 
   /** The coarse-centroid table folded to ONE broadcast-able row
     * `cents: array<struct<g_id, gq>>` (sorted by g_id for a
@@ -441,6 +507,10 @@ object Similarity {
       .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
     v.crossJoin(broadcast(cwordsRow(csub)))
       .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      // degenerate (empty) codebook: array_min over no codewords is null
+      // — drop such rows rather than write null codes into the store
+      // (the former keyed-agg form produced zero rows; ADVICE r13)
+      .filter(col("e.best").isNotNull)
       .select(col("id").as("vec_id"), col("e.s").as("subspace"),
         col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"))
       .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
@@ -460,46 +530,47 @@ object Similarity {
                       maxAllowedIds: Long = 4000000L): DataFrame = {
     recoverForget(spark, store)    // never serve a half-installed swap
     recoverRebalance(spark, store) // ...of either store mutation
-    val coarse = spark.read.parquet(s"$store/coarse")
-    val csub = spark.read.parquet(s"$store/codebook")
+    val coarse = spark.read.parquet(s"$store/coarse").select("g_id", "gq")
+    val csub = spark.read.parquet(s"$store/codebook").select("c_id", "s", "cqs")
     val codes = spark.read.parquet(s"$store/codes")
     val q = queries.select(col(idCol).as("q_id"), quantize(col(embCol)).as("qq"))
-    // per-query probe list from the folded centroid row (sorted
-    // (gdist, g_id) prefix — identical ordering to the former rank
-    // window, without the corpus-side shuffle the window cost)
-    val probes = q.crossJoin(broadcast(centsRow(coarse)))
-      .select(col("q_id"),
-        explode(slice(array_sort(transform(col("cents"),
-          c => struct(sqDistL(col("qq"), c.getField("gq")).as("gdist"),
-            c.getField("g_id").as("g_id")))), 1, nprobe)).as("pr"))
-      .select(col("q_id"), col("pr.g_id").as("cluster"))
-    // resolve the probe table driver-side (nprobe × |queries| rows —
-    // broadcast-class, the same rows the join below broadcasts anyway):
-    // the distinct clusters become a literal IN so the cluster-
-    // partitioned codes scan is STATICALLY pruned to the probed
-    // partitions (`PartitionFilters`; PlanSpec pins it) — search I/O is
-    // ∝ probed clusters, not corpus size — and re-materializing the
-    // collected rows as a local frame keeps the centroid-routing subplan
-    // from executing twice (once for the IN, once for the join)
-    // budget the collect the cosinePairsTopK way: nprobe × |queries| is
-    // broadcast-class by DESIGN (queries are a sampled/request-sized
-    // frame), but nothing else stops a caller handing the corpus as the
-    // query side — fail fast with the remedy instead of an OOM
-    val probeRows = probes.limit(maxProbeRows + 1).collect()
-    require(probeRows.length <= maxProbeRows,
+    // The query frame is request-sized BY CONTRACT (budgeted below, the
+    // cosinePairsTopK convention) and the model params are broadcast-
+    // class by the IVF provisioning invariant (k ∝ √n) — so collect all
+    // three ONCE and compute the probe lists and per-query ADC distance
+    // tables on the coordinator ([[localProbesAndTab]]): the former
+    // folded-row form ran each leg as its own broadcast-BUILD job (a
+    // full job launch + a scan of the query frame per leg — two scans
+    // of the query side per retrieval) for request×model-sized integer
+    // arithmetic. The distinct probed clusters become a literal IN so
+    // the cluster-partitioned codes scan is STATICALLY pruned to the
+    // probed partitions (`PartitionFilters`; PlanSpec pins it) — search
+    // I/O stays ∝ probed clusters, not corpus size.
+    val qCap = math.min(maxProbeRows.toLong / math.max(1, nprobe),
+      Int.MaxValue.toLong - 1).toInt
+    val qRows = q.limit(qCap + 1).collect()
+    require(qRows.length <= qCap,
       s"ivfPqStoredTopK: > $maxProbeRows probe rows (nprobe=$nprobe × " +
         "|queries|) — the query side must be a bounded request frame; " +
         "split the queries into batches or raise maxProbeRows")
-    val probedClusters = probeRows.map(_.get(1)).distinct.toSeq
+    val centRows = coarse.collect()
+    val cwRows = csub.collect()
+    val (probeRows, tabRows) =
+      localProbesAndTab(qRows, centRows, cwRows, nprobe, dsub, withRank = false)
+    val probedClusters = probeRows.map(_.get(1)).distinct
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val probesLocal = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probes.schema)
-    // per-query ADC distance tables from the folded codebook row (the
-    // former qsub ⋈ codebook repeated the subspace join per query row)
-    val tab = q.crossJoin(broadcast(cwordsRow(csub)))
-      .select(col("q_id").as("tq_id"), col("qq"), explode(col("cwords")).as("w"))
-      .select(col("tq_id"), col("w.s").as("s"), col("w.c_id").as("c_id"),
-        sqDistL(slice(col("qq"), col("w.s") * dsub + lit(1), lit(dsub)),
-          col("w.cqs")).as("tdist"))
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(
+        StructField("q_id", q.schema("q_id").dataType),
+        StructField("cluster", coarse.schema("g_id").dataType))))
+    val tab = spark.createDataFrame(
+      java.util.Arrays.asList(tabRows: _*),
+      StructType(Seq(
+        StructField("tq_id", q.schema("q_id").dataType),
+        StructField("s", csub.schema("s").dataType),
+        StructField("c_id", csub.schema("c_id").dataType),
+        StructField("tdist", LongType))))
     // FILTERED search (the FAISS IDSelector / vector-DB metadata-filter
     // shape): the allow-list is applied to the codes scan BEFORE any
     // ADC work — pre-filtering, so top-k is computed among ELIGIBLE
@@ -808,6 +879,16 @@ object Similarity {
     recoverForget(spark, store)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // the max live g_id is only needed to NAME the two split clusters —
+    // independent of the whole seed chain, so its one-job collect runs
+    // concurrently with it (guide §2.6) instead of serializing after
+    // the sided persist
+    val coarseLive = spark.read.parquet(s"$store/coarse")
+    val mxF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(coarseLive.agg(max(col("g_id"))).collect()(0).getLong(0))
+    }
     val sizes = ivfPqClusterSizes(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     if (sizes.isEmpty) return -1L
@@ -839,8 +920,10 @@ object Similarity {
         when(sq(col("r"), lit(seedB.toArray)) < col("d_a"), 1L)
           .otherwise(0L).as("sd"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarseLive = spark.read.parquet(s"$store/coarse")
-    val mx = coarseLive.agg(max(col("g_id"))).collect()(0).getLong(0)
+    val mx = {
+      import scala.concurrent.{Await, duration}
+      Await.result(mxF, duration.Duration.Inf)
+    }
     // per-dimension floor-mean per side: dims × sides rows (m·dsub × 2)
     val cent = sided
       .select(col("sd"), posexplode(col("r")).as(Seq("pos", "v")))
@@ -1119,6 +1202,8 @@ object Similarity {
     // integer arithmetic per candidate, bit-identical output
     v.crossJoin(broadcast(cwordsRow(csub)))
       .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      // empty-codebook guard — see assignAndEncode (ADVICE r13)
+      .filter(col("e.best").isNotNull)
       .select(col("id").as("vec_id"), col("e.s").as("subspace"),
         col("e.best.c_id").as("code"), col("e.best.dist").as("dist_q"))
   }
@@ -1218,13 +1303,14 @@ object Similarity {
     */
   def knnIvfPqAdcCurve(vectors: DataFrame, idCol: String, embCol: String,
                        coarsePred: Column, codebookPred: Column, queryPred: Column,
-                       k: Int, nprobes: Seq[Int], m: Int = 4, dsub: Int = 16): DataFrame = {
+                       k: Int, nprobes: Seq[Int], m: Int = 4, dsub: Int = 16,
+                       maxQueryRows: Int = 1000000): DataFrame = {
     require(nprobes.nonEmpty, "knnIvfPqAdcCurve: empty nprobes")
+    val spark = vectors.sparkSession
     val maxNp = nprobes.max
     val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
-    val cents = centsRow(coarse)
     def subs(qc: Column, out: String) =
       explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("s"),
@@ -1232,38 +1318,77 @@ object Similarity {
     val csub = v.filter(codebookPred)
       .select(col("id").as("c_id"), subs(col("q"), "cqs"))
       .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-    val cwords = cwordsRow(csub)
+    // Collect the model params and the request-sized query set ONCE from
+    // the persisted quantized frame (the first collect materializes the
+    // cache; the former folded-row form ran FOUR broadcast-BUILD jobs —
+    // coarse, cents fold, cwords fold ×2 legs — each re-scanning it),
+    // then compute probes and ADC tables coordinator-side
+    // ([[localProbesAndTab]]) and broadcast plain local frames: local
+    // relations broadcast without launching a job, so the query plans
+    // from here on are the same joins over the same rows with the
+    // model-param subplans gone. Budgeted like ivfPqStoredTopK: the
+    // query side is a bounded sample by contract.
+    val centRows = coarse.collect()
+    val cwRows = csub.collect()
+    val qRows = v.filter(queryPred).limit(maxQueryRows + 1).collect()
+    require(qRows.length <= maxQueryRows,
+      s"knnIvfPqAdcCurve: > $maxQueryRows query rows — the query side " +
+        "must be a bounded sample/request frame; raise maxQueryRows if " +
+        "the driver heap allows")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+    val coarseLocal = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), coarse.schema)
+    // the folded single-row codebook ([[cwordsRow]]'s shape), assembled
+    // locally: sort_array orders structs by (s, c_id, cqs) and (s, c_id)
+    // is unique, so the local sort is the same order
+    val cwStruct = StructType(Seq(
+      StructField("s", csub.schema("s").dataType),
+      StructField("c_id", csub.schema("c_id").dataType),
+      StructField("cqs", csub.schema("cqs").dataType)))
+    val cwordsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(Row(
+        cwRows.map(r => (asLong(r.get(1)), asLong(r.get(0)), r))
+          .sortBy { case (sL, cL, _) => (sL, cL) }
+          .map { case (_, _, r) => Row(r.get(1), r.get(0), r.get(2)) }.toSeq)),
+      StructType(Seq(StructField("cwords", ArrayType(cwStruct)))))
     // corpus-side cluster assignment: broadcast-join + min-struct agg
     // (codegen-friendly; the per-row folded-cents argmin measured 2.8×
     // slower at the 100× tier — see assignAndEncode); PQ codes keep the
     // folded-codebook per-row form (bounded codebook, measured faster)
-    val assigned = v.crossJoin(broadcast(coarse))
+    val assigned = v.crossJoin(broadcast(coarseLocal))
       .select(col("id"), col("g_id"),
         aggregate(zip_with(col("q"), col("gq"), (x, y) => (x - y) * (x - y)),
           lit(0L), _ + _).as("gdist"))
       .groupBy("id")
       .agg(min(struct(col("gdist"), col("g_id"))).as("b"))
       .select(col("id").as("a_id"), col("b.g_id").as("cluster"))
-    val clustered = v.crossJoin(broadcast(cwords))
+    val clustered = v.crossJoin(broadcast(cwordsLocal))
       .select(col("id"), explode(pqCodes(col("q"), col("cwords"), m, dsub)).as("e"))
+      // degenerate (empty) codebook: pqCodes' array_min over no
+      // codewords is null — drop such rows to keep the former keyed-agg
+      // "no codebook → no codes" semantics (ADVICE r13)
+      .filter(col("e.best").isNotNull)
       .select(col("id").as("vec_id"), col("e.s").as("subspace"),
         col("e.best.c_id").as("code"))
       .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
     // per-query probe list, rank-indexed: sorted (gdist, g_id) prefix —
     // identical ordering to the former per-query rank window
-    val probes = v.filter(queryPred).crossJoin(broadcast(cents))
-      .select(col("id").as("q_id"),
-        posexplode(slice(array_sort(transform(col("cents"),
-          c => struct(sqDistL(col("q"), c.getField("gq")).as("gdist"),
-            c.getField("g_id").as("g_id")))), 1, maxNp)))
-      .select(col("q_id"), (col("pos") + 1).as("p_rank"),
-        col("col.g_id").as("cluster"))
-    // per-query ADC distance tables from the folded codebook row
-    val tab = v.filter(queryPred).crossJoin(broadcast(cwords))
-      .select(col("id").as("tq_id"), col("q"), explode(col("cwords")).as("w"))
-      .select(col("tq_id"), col("w.s").as("s"), col("w.c_id").as("c_id"),
-        sqDistL(slice(col("q"), col("w.s") * dsub + lit(1), lit(dsub)),
-          col("w.cqs")).as("tdist"))
+    val (probeRows, tabRows) =
+      localProbesAndTab(qRows, centRows, cwRows, maxNp, dsub, withRank = true)
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(
+        StructField("q_id", v.schema("id").dataType),
+        StructField("p_rank", IntegerType),
+        StructField("cluster", coarse.schema("g_id").dataType))))
+    val tab = spark.createDataFrame(
+      java.util.Arrays.asList(tabRows: _*),
+      StructType(Seq(
+        StructField("tq_id", v.schema("id").dataType),
+        StructField("s", csub.schema("s").dataType),
+        StructField("c_id", csub.schema("c_id").dataType),
+        StructField("tdist", LongType))))
     // score once at maxNp; every (q, vec) pair lives in exactly ONE
     // cluster, so its probe rank is constant across its m code rows and
     // `min(p_rank)` is that rank — filtering scored pairs by rank ≤ np
@@ -1600,25 +1725,44 @@ object Similarity {
   def maxSimTopKWithShortlist(vectors: DataFrame, idCol: String, embCol: String,
                               docMod: Long, numQueryDocs: Long,
                               candidates: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    val p = maxSimMaxFrame(vectors, idCol, embCol, docMod, numQueryDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (maxSimTopFromMax(p, k),
+      maxSimTopFromMax(
+        p.join(broadcast(candidates.select(col("qd"), col("cd"))), Seq("qd", "cd")), k))
+  }
+
+  /** The per-(query-token, doc) max frame (qd, qv, cd, m) both e26
+    * rankings derive from — exposed so the caller can persist and
+    * MATERIALIZE it concurrently with independent eager work (the store
+    * build of the shortlist leg, guide §2.6): the frame reads only the
+    * corpus, never the store.
+    */
+  def maxSimMaxFrame(vectors: DataFrame, idCol: String, embCol: String,
+                     docMod: Long, numQueryDocs: Long): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"),
       pmod(col(idCol), lit(docMod)).as("d"), col(embCol).as("emb"))
     val q = v.filter(col("d") < numQueryDocs)
       .select(col("vid").as("qv"), col("d").as("qd"), col("emb").as("q_emb"))
-    val p = v.crossJoin(broadcast(q))
+    v.crossJoin(broadcast(q))
       .filter(col("d") =!= col("qd"))
       .select(col("qd"), col("qv"), col("d").as("cd"),
         dotFixed(col("q_emb"), col("emb")).as("dp"))
       .groupBy("qd", "qv", "cd").agg(max("dp").as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Per-query top-k ranking over a [[maxSimMaxFrame]] (or a
+    * candidate-restricted subset of one) — [[maxSimTopK]]'s scoring and
+    * tie-break, bit for bit.
+    */
+  def maxSimTopFromMax(frame: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qd").orderBy(desc("score"), asc("cd"))
-    def top(frame: DataFrame): DataFrame = frame
+    frame
       .groupBy("qd", "cd").agg(sum("m").as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qd", "rank", "cd", "score")
-    val cand = candidates.select(col("qd"), col("cd"))
-    (top(p), top(p.join(broadcast(cand), Seq("qd", "cd"))))
   }
 
   def cosinePairsTopK(vectors: DataFrame, idCol: String, embCol: String, k: Int,

@@ -140,7 +140,6 @@ object GraphQueries {
     val oe = o.select(
       when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("a"),
       when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Edge-iterator form (r13 rewrite, the g12 array-native lesson): a
     // triangle with order u < v < w is exactly one oriented edge (u, v)
     // plus one common OUT-neighbor w ∈ N⁺(u) ∩ N⁺(v) — so building the
@@ -150,26 +149,31 @@ object GraphQueries {
     // (Σ_a C(out_deg(a), 2) rows through an exchange — 1.7M rows at
     // sf0.1, ~32M at the 10× tier) plus its closing join. Shuffle BYTES
     // stay wedge-bound (Σ out_deg² array elements), but they travel on
-    // |oe| rows instead of |wedges| rows and the closing join is gone —
-    // the intersect IS the closing check. Per triangle: u and v each
-    // count the intersection size, w counts once per membership —
-    // identical per-node participation counts to the wedge form.
-    // both join sides below consume adj — persist or the agg subtree
-    // plans (and runs) twice (the m05 persist-before-fanout rule)
+    // |edges| rows instead of |wedges| rows and the closing join is gone
+    // — the intersect IS the closing check.
+    // r14 (gate-SF cost, VERDICT r13 #3): the (a, b) pairs ARE the
+    // exploded adjacency, so the left join side derives from adj itself
+    // — the former oe ⋈ adj(a) join and oe's persist are gone (oe now
+    // has ONE consumer, the adj agg); and the three counting unions
+    // (each a separate scan of a persisted withCommon) fold into ONE
+    // explode pass — u and v take |common|, each w ∈ common counts 1 —
+    // so withCommon has one consumer and needs no persist either.
+    // Persists: 4 → 2 (und, adj — each genuinely consumed twice).
     val adj = oe.groupBy(col("a").as("ja"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withCommon = oe
-      .join(adj.select(col("ja").as("j1"), col("nbrs").as("na")), col("a") === col("j1"))
+    val withCommon = adj
+      .select(col("ja").as("a"), col("nbrs").as("na"), explode(col("nbrs")).as("b"))
       .join(adj.select(col("ja").as("j2"), col("nbrs").as("nb")), col("b") === col("j2"))
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("common"))
       .filter(size(col("common")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    withCommon.select(col("a").as("node"), size(col("common")).cast("long").as("c"))
-      .union(withCommon.select(col("b").as("node"), size(col("common")).cast("long").as("c")))
-      .union(withCommon.select(explode(col("common")).as("node"), lit(1L).as("c")))
-      .groupBy("node").agg(sum(col("c")).as("n_tri"))
+    withCommon
+      .select(explode(concat(
+        array(struct(col("a").as("node"), size(col("common")).cast("long").as("c")),
+          struct(col("b").as("node"), size(col("common")).cast("long").as("c"))),
+        transform(col("common"), w => struct(w.as("node"), lit(1L).as("c"))))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
       .orderBy("node")
   }
 
@@ -260,10 +264,21 @@ object GraphQueries {
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // r14 (the suite's worst anti-scaler, VERDICT r13 #2): the former
+      // union-of-two-selects degree agg scanned its input twice, and —
+      // worse — `sub` was NOT persisted, so the whole two-semi-join tree
+      // executed once per union leg, and `keep` re-computed its degree
+      // agg inside EACH broadcast build (plan-verified: 31 Exchange
+      // mentions, the keep subtree duplicated twice and the join tree
+      // twice). One explode(array(u, v)) pass replaces each union (same
+      // row multiset, one scan), and keep is persisted so the second
+      // broadcast build reads the 150-row cache instead of re-running
+      // the degree agg.
       def degrees(e: org.apache.spark.sql.DataFrame) =
-        e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        e.select(explode(array(col("u"), col("v"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = degrees(und).filter(col("deg") >= 30).select("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val sub = und
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "leftsemi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "leftsemi")
@@ -516,21 +531,32 @@ object GraphQueries {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
-    val labels = adj.groupBy("node", "nbr").agg(count(lit(1)).as("c"))
-      .groupBy("node")
-      .agg(min(struct((-col("c")).as("negc"), col("nbr").as("label"))).as("ml"))
-      .select(col("node"), col("ml.label").as("label"))
+    // r14 (VERDICT r13 #2): one explode pass builds the undirected
+    // adjacency (the former union re-scanned und per leg), and — since
+    // und is DISTINCT pairs — every (node, nbr) appears exactly once, so
+    // "most frequent neighbor label, count desc / label asc" is simply
+    // MIN(nbr): the g05-shaped two-level agg (per-(node, nbr) counts,
+    // then an argmax struct-min — two exchanges) collapses to ONE keyed
+    // agg that also folds the degree count dc needed anyway. d_c then
+    // reads nodeInfo directly instead of re-aggregating adj + a join.
+    // (g05 itself keeps the two-level form: its later rounds join a
+    // label table where counts exceed 1 — here round-1 labels are the
+    // gate's semantics.) Oracle unchanged; the SQL's window form and
+    // this min() produce identical labels on distinct-pair adjacency.
+    val adj = und.select(
+      explode(array(struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+    val nodeInfo = adj.groupBy("node")
+      .agg(min(col("nbr")).as("label"), count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = und.agg(count(lit(1)).as("m"))
     val ec = und
-      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
-      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .join(nodeInfo.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(nodeInfo.select(col("node").as("v"), col("label").as("lv")), "v")
       .filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
-    val dc = adj.groupBy("node").agg(count(lit(1)).as("d"))
-      .join(labels, "node")
+    val dc = nodeInfo
       .groupBy("label").agg(sum("d").cast("bigint").as("d_c"))
     dc.join(ec, Seq("label"), "left")
       .na.fill(0L, Seq("e_c"))

@@ -1223,6 +1223,21 @@ object SimilarityQueries {
     }) { (spark, dir) =>
     val store = Dsl.tempStore("e26_index")
     val emb = Tables.embeddings(spark, dir)
+    // truth and shortlist ranking share one per-(query-token, doc) max
+    // frame (the candidate scores are a subset of the truth leg's) —
+    // results identical to independent maxSimTopK/maxSimTopKShortlist.
+    // The max frame reads ONLY the corpus, never the store, so its
+    // materialization runs CONCURRENTLY with the store build + stored
+    // search of the shortlist leg (guide §2.6 job overlap) instead of
+    // serializing after them.
+    val p = Similarity.maxSimMaxFrame(emb, "vec_id", "embedding",
+        docMod = 100, numQueryDocs = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(p.count())
+    }
     Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
       col("id") >= NumCentroids && col("id") < NumCentroids + 4,
       col("id") < NumCentroids, store)
@@ -1232,12 +1247,13 @@ object SimilarityQueries {
     val cand = short.select(pmod(col("q_id"), lit(100)).as("qd"),
         pmod(col("n_id"), lit(100)).as("cd"))
       .filter(col("cd") =!= col("qd")).distinct()
-    // truth and shortlist ranking share one per-(query-token, doc) max
-    // frame (the candidate scores are a subset of the truth leg's) —
-    // results identical to independent maxSimTopK/maxSimTopKShortlist
-    val (truthFull, gotFull) = Similarity.maxSimTopKWithShortlist(
-      emb, "vec_id", "embedding", docMod = 100, numQueryDocs = 2,
-      candidates = cand, k = 5)
+    locally {
+      import scala.concurrent.{Await, duration}
+      Await.result(pF, duration.Duration.Inf)
+    }
+    val truthFull = Similarity.maxSimTopFromMax(p, 5)
+    val gotFull = Similarity.maxSimTopFromMax(
+      p.join(broadcast(cand.select(col("qd"), col("cd"))), Seq("qd", "cd")), 5)
     val got = gotFull.select(col("qd"), col("cd"), lit(1).as("hit"))
     val truth = truthFull.select("qd", "cd")
     truth.join(got, Seq("qd", "cd"), "left")
@@ -1552,17 +1568,30 @@ object SimilarityQueries {
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin) { (spark, dir) =>
     val store = Dsl.tempStore("e30_index")
     val emb = Tables.embeddings(spark, dir)
+    // the survivor-restricted brute truth reads only the corpus —
+    // materialize it concurrently with the store build + forget + stored
+    // search (guide §2.6 job overlap) instead of serializing after them
+    val truth = Similarity.knnBrute(emb.filter(col("vec_id") % 10 =!= 7),
+        "vec_id", "embedding", col("id") < NumQueries, K)
+      .select("q_id", "n_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(truth.count())
+    }
     Similarity.buildIvfPqStore(emb, "vec_id", "embedding",
       col("id") >= NumCentroids && col("id") < NumCentroids + 4,
       col("id") < NumCentroids, store)
     Similarity.forgetFromIvfPqStore(spark, store,
       emb.filter(col("vec_id") % 10 === 7).select("vec_id"))
-    val truth = Similarity.knnBrute(emb.filter(col("vec_id") % 10 =!= 7),
-        "vec_id", "embedding", col("id") < NumQueries, K)
-      .select("q_id", "n_id")
     val cand = Similarity.ivfPqStoredTopK(spark, store,
         emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding", K, NProbe)
       .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    locally {
+      import scala.concurrent.{Await, duration}
+      Await.result(tF, duration.Duration.Inf)
+    }
     truth.join(cand, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))

@@ -53,14 +53,12 @@ object StreamingQueries {
     // source scan for it
     val srcRows: Long = {
       val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(root)
-      files.map { p =>
+      // enumerate via the already-loaded frame (ADVICE r13): inputFiles
+      // is exactly the file set Spark will read — a nested/partitioned
+      // source or extension-less part files would make a hand-rolled
+      // one-level listStatus silently read srcRows = 0
+      peek.inputFiles.toSeq.map { uri =>
+        val p = new org.apache.hadoop.fs.Path(uri)
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
         try rd.getRecordCount finally rd.close()
