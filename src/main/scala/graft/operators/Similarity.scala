@@ -403,20 +403,17 @@ object Similarity {
     * the collected rows, so downstream join types are unchanged.
     */
   private def localProbesAndTab(
-      qRows: Array[org.apache.spark.sql.Row],
-      centRows: Array[org.apache.spark.sql.Row],
-      cwRows: Array[org.apache.spark.sql.Row],
+      qRows: Seq[(Any, Array[Long])],
+      cents: Seq[(Any, Array[Long])],
+      cwords: Seq[(Any, Long, Array[Long])],
       nprobe: Int, dsub: Int, withRank: Boolean)
     : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
     import org.apache.spark.sql.Row
-    val cents = centRows.map(r =>
-      (r.get(0), asLong(r.get(0)), r.getSeq[Long](1).toArray))
-    val cws = cwRows.map(r =>
-      (r.get(1), asLong(r.get(1)), r.get(0), r.getSeq[Long](2).toArray))
-      .sortBy { case (_, sL, cid, _) => (sL, asLong(cid)) }
-    val probes = qRows.toSeq.flatMap { qr =>
-      val qid = qr.get(0); val qq = qr.getSeq[Long](1).toArray
-      val ranked = cents
+    val centsL = cents.map { case (gid, gq) => (gid, asLong(gid), gq) }
+    val cws = cwords
+      .sortBy { case (cid, sL, _) => (sL, asLong(cid)) }
+    val probes = qRows.flatMap { case (qid, qq) =>
+      val ranked = centsL
         .map { case (gid, gidL, gq) => (sqDistLocal(qq, gq), gidL, gid) }
         .sortBy { case (d, gl, _) => (d, gl) }
         .take(nprobe)
@@ -424,11 +421,10 @@ object Similarity {
         if (withRank) Row(qid, Integer.valueOf(i + 1), gid) else Row(qid, gid)
       }
     }
-    val tab = qRows.toSeq.flatMap { qr =>
-      val qid = qr.get(0); val qq = qr.getSeq[Long](1).toArray
-      cws.map { case (s, sL, cid, cqs) =>
+    val tab = qRows.flatMap { case (qid, qq) =>
+      cws.map { case (cid, sL, cqs) =>
         val off = (sL * dsub).toInt
-        Row(qid, s, cid,
+        Row(qid, java.lang.Long.valueOf(sL), cid,
           java.lang.Long.valueOf(sqDistLocal(qq.slice(off, off + dsub), cqs)))
       }
     }
@@ -548,15 +544,27 @@ object Similarity {
     // I/O stays ∝ probed clusters, not corpus size.
     val qCap = math.min(maxProbeRows.toLong / math.max(1, nprobe),
       Int.MaxValue.toLong - 1).toInt
-    val qRows = q.limit(qCap + 1).collect()
+    // the three collects are independent one-file/one-frame jobs —
+    // submit them concurrently (§2.6) instead of 3 × serial job latency
+    val (qRows, centRows, cwRows) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fq = Future(q.limit(qCap + 1).collect())
+      val fc = Future(coarse.collect())
+      val fw = Future(csub.collect())
+      (Await.result(fq, Duration.Inf), Await.result(fc, Duration.Inf),
+        Await.result(fw, Duration.Inf))
+    }
     require(qRows.length <= qCap,
       s"ivfPqStoredTopK: > $maxProbeRows probe rows (nprobe=$nprobe × " +
         "|queries|) — the query side must be a bounded request frame; " +
         "split the queries into batches or raise maxProbeRows")
-    val centRows = coarse.collect()
-    val cwRows = csub.collect()
-    val (probeRows, tabRows) =
-      localProbesAndTab(qRows, centRows, cwRows, nprobe, dsub, withRank = false)
+    val (probeRows, tabRows) = localProbesAndTab(
+      qRows.toSeq.map(r => (r.get(0), r.getSeq[Long](1).toArray)),
+      centRows.toSeq.map(r => (r.get(0), r.getSeq[Long](1).toArray)),
+      cwRows.toSeq.map(r => (r.get(0), asLong(r.get(1)), r.getSeq[Long](2).toArray)),
+      nprobe, dsub, withRank = false)
     val probedClusters = probeRows.map(_.get(1)).distinct
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val probesLocal = spark.createDataFrame(
@@ -1310,47 +1318,56 @@ object Similarity {
     val maxNp = nprobes.max
     val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarse = v.filter(coarsePred).select(col("id").as("g_id"), col("q").as("gq"))
-    def subs(qc: Column, out: String) =
-      explode(transform(sequence(lit(0), lit(m - 1)),
-        s => struct(s.cast("long").as("s"),
-          slice(qc, s * dsub + 1, lit(dsub)).as(out)))).as("e")
-    val csub = v.filter(codebookPred)
-      .select(col("id").as("c_id"), subs(col("q"), "cqs"))
-      .select(col("c_id"), col("e.s").as("s"), col("e.cqs").as("cqs"))
-    // Collect the model params and the request-sized query set ONCE from
-    // the persisted quantized frame (the first collect materializes the
-    // cache; the former folded-row form ran FOUR broadcast-BUILD jobs —
-    // coarse, cents fold, cwords fold ×2 legs — each re-scanning it),
-    // then compute probes and ADC tables coordinator-side
-    // ([[localProbesAndTab]]) and broadcast plain local frames: local
-    // relations broadcast without launching a job, so the query plans
-    // from here on are the same joins over the same rows with the
-    // model-param subplans gone. Budgeted like ivfPqStoredTopK: the
-    // query side is a bounded sample by contract.
-    val centRows = coarse.collect()
-    val cwRows = csub.collect()
-    val qRows = v.filter(queryPred).limit(maxQueryRows + 1).collect()
-    require(qRows.length <= maxQueryRows,
-      s"knnIvfPqAdcCurve: > $maxQueryRows query rows — the query side " +
-        "must be a bounded sample/request frame; raise maxQueryRows if " +
-        "the driver heap allows")
+    // Collect the model params and the request-sized query set in ONE
+    // predicate-tagged pass over the persisted quantized frame (which
+    // the collect also materializes — the former folded-row form ran
+    // FOUR broadcast-BUILD jobs, coarse / cents fold / cwords fold ×2
+    // legs, each re-scanning it), then compute probes and ADC tables
+    // coordinator-side ([[localProbesAndTab]]) and broadcast plain
+    // local frames: local relations broadcast without launching a job,
+    // so the query plans from here on are the same joins over the same
+    // rows with the model-param subplans gone. Budgeted like
+    // ivfPqStoredTopK: queries are a bounded sample by contract, model
+    // params broadcast-class by the provisioning invariant.
+    val tagRows = v.select(col("id"), col("q"), coarsePred.as("__c"),
+        codebookPred.as("__cb"), queryPred.as("__q"))
+      .filter(col("__c") || col("__cb") || col("__q"))
+      .limit(maxQueryRows + 1).collect()
+    require(tagRows.length <= maxQueryRows,
+      s"knnIvfPqAdcCurve: > $maxQueryRows query+model rows — the query " +
+        "side must be a bounded sample/request frame; raise maxQueryRows " +
+        "if the driver heap allows")
+    def tag(r: org.apache.spark.sql.Row, i: Int): Boolean =
+      !r.isNullAt(i) && r.getBoolean(i)
+    val centsT = tagRows.toSeq.filter(tag(_, 2))
+      .map(r => (r.get(0), r.getSeq[Long](1)))
+    val qT = tagRows.toSeq.filter(tag(_, 4))
+      .map(r => (r.get(0), r.getSeq[Long](1)))
+    // the per-subspace codebook slices, cut driver-side — the same
+    // slice(q, s·dsub+1, dsub) the former subs() explode produced
+    val cwT = tagRows.toSeq.filter(tag(_, 3)).flatMap { r =>
+      val cid = r.get(0); val qq = r.getSeq[Long](1)
+      (0 until m).map(s => (cid, s.toLong, qq.slice(s * dsub, (s + 1) * dsub)))
+    }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+    val idType = v.schema("id").dataType
+    val qType = v.schema("q").dataType
     val coarseLocal = spark.createDataFrame(
-      java.util.Arrays.asList(centRows: _*), coarse.schema)
+      java.util.Arrays.asList(centsT.map { case (g, gq) => Row(g, gq) }: _*),
+      StructType(Seq(StructField("g_id", idType), StructField("gq", qType))))
     // the folded single-row codebook ([[cwordsRow]]'s shape), assembled
     // locally: sort_array orders structs by (s, c_id, cqs) and (s, c_id)
     // is unique, so the local sort is the same order
     val cwStruct = StructType(Seq(
-      StructField("s", csub.schema("s").dataType),
-      StructField("c_id", csub.schema("c_id").dataType),
-      StructField("cqs", csub.schema("cqs").dataType)))
+      StructField("s", LongType),
+      StructField("c_id", idType),
+      StructField("cqs", qType)))
     val cwordsLocal = spark.createDataFrame(
       java.util.Arrays.asList(Row(
-        cwRows.map(r => (asLong(r.get(1)), asLong(r.get(0)), r))
-          .sortBy { case (sL, cL, _) => (sL, cL) }
-          .map { case (_, _, r) => Row(r.get(1), r.get(0), r.get(2)) }.toSeq)),
+        cwT.map { case (cid, sL, cqs) => (sL, asLong(cid), cid, cqs) }
+          .sortBy { case (sL, cL, _, _) => (sL, cL) }
+          .map { case (sL, _, cid, cqs) => Row(java.lang.Long.valueOf(sL), cid, cqs) })),
       StructType(Seq(StructField("cwords", ArrayType(cwStruct)))))
     // corpus-side cluster assignment: broadcast-join + min-struct agg
     // (codegen-friendly; the per-row folded-cents argmin measured 2.8×
@@ -1374,20 +1391,23 @@ object Similarity {
       .join(assigned, col("vec_id") === col("a_id")).drop("a_id")
     // per-query probe list, rank-indexed: sorted (gdist, g_id) prefix —
     // identical ordering to the former per-query rank window
-    val (probeRows, tabRows) =
-      localProbesAndTab(qRows, centRows, cwRows, maxNp, dsub, withRank = true)
+    val (probeRows, tabRows) = localProbesAndTab(
+      qT.map { case (i, qq) => (i, qq.toArray) },
+      centsT.map { case (g, gq) => (g, gq.toArray) },
+      cwT.map { case (cid, sL, cqs) => (cid, sL, cqs.toArray) },
+      maxNp, dsub, withRank = true)
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*),
       StructType(Seq(
-        StructField("q_id", v.schema("id").dataType),
+        StructField("q_id", idType),
         StructField("p_rank", IntegerType),
-        StructField("cluster", coarse.schema("g_id").dataType))))
+        StructField("cluster", idType))))
     val tab = spark.createDataFrame(
       java.util.Arrays.asList(tabRows: _*),
       StructType(Seq(
-        StructField("tq_id", v.schema("id").dataType),
-        StructField("s", csub.schema("s").dataType),
-        StructField("c_id", csub.schema("c_id").dataType),
+        StructField("tq_id", idType),
+        StructField("s", LongType),
+        StructField("c_id", idType),
         StructField("tdist", LongType))))
     // score once at maxNp; every (q, vec) pair lives in exactly ONE
     // cluster, so its probe rank is constant across its m code rows and

@@ -331,20 +331,38 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    // r14: array-native adjacency (the g04/g12 lesson). The former
+    // row-form round consumed its input frame TWICE (once per union
+    // leg), so d1's whole subtree executed twice inside d2 — and the
+    // exploded adjacency union re-scanned the distinct subtree per
+    // direction. One explode builds both directions in one pass; the
+    // round becomes d ⋈ adjacency-arrays → explode(self ∪ nbrs+1) →
+    // min agg, consuming d ONCE (same multiset: each d row contributes
+    // itself and one dist+1 row per neighbor; a node without
+    // neighbors keeps its row via the left join's null → empty array).
+    val adj = und.select(
+      explode(array(struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+      .groupBy("node").agg(collect_list(col("nbr")).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     import org.apache.spark.sql.DataFrame
     def round(d: DataFrame): DataFrame =
-      d.select(col("node"), col("dist"))
-        .unionAll(d.join(adj, Seq("node"))
-          .select(col("nbr").as("node"), (col("dist") + 1).as("dist")))
-        .groupBy("node").agg(min(col("dist")).as("dist"))
+      d.join(adj, Seq("node"), "left")
+        .select(explode(concat(
+          array(struct(col("node"), col("dist"))),
+          transform(coalesce(col("nbrs"), array().cast("array<bigint>")),
+            nb => struct(nb.as("node"), (col("dist") + 1).as("dist"))))).as("e"))
+        .groupBy(col("e.node").as("node")).agg(min(col("e.dist")).as("dist"))
     import spark.implicits._
     val d0 = Seq((0L, 0L)).toDF("node", "dist")
     val d2 = round(round(d0)).persist(StorageLevel.MEMORY_AND_DISK)
     val du = d2.select(col("node").as("u_node"), col("dist").as("u_dist"))
-    d2.join(adj.select(col("nbr").as("node"), col("node").as("cand")), Seq("node"), "left")
+    // the parent scan: adj is symmetric, so "edges INTO node" = the
+    // node's own neighbor list; explode_outer keeps the no-neighbor
+    // null row the former left join produced
+    d2.join(adj, Seq("node"), "left")
+      .select(col("node"), col("dist"), explode_outer(col("nbrs")).as("cand"))
       .join(du, col("cand") === col("u_node"), "left")
       .groupBy("node", "dist")
       .agg(coalesce(min(when(col("u_dist") === col("dist") - 1, col("cand"))),
@@ -456,24 +474,38 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
-    val m1 = adj.groupBy("node").agg(min("nbr").as("mn"))
-      .select(col("node"), least(col("mn"), col("node")).as("m"))
-    val ls = adj.filter(col("nbr") > col("node"))
-      .join(m1, "node")
-      .select(col("nbr").as("child"), col("m").as("parent"))
+    // r14: each star step folds its per-node minimum AND its neighbor
+    // fan-out into ONE keyed agg (min + conditional collect_list) and
+    // re-emits via explode — the former form consumed every
+    // intermediate twice or more without persists (adj's union legs,
+    // the m ⋈ adj join, ss's two legs), so the distinct-edge subtree
+    // executed up to 4× per run. Semantics unchanged: large-star hangs
+    // the strictly-larger neighbors under m(u) = min(Γ(u) ∪ {u}) —
+    // min(nbr) over ALL neighbors, least'd with the node — and
+    // small-star hangs the ≤-neighborhood plus the node itself under
+    // the local minimum; collect_list(when(...)) keeps exactly the
+    // fan-out side (nulls are skipped), so explode emits the same
+    // (child, parent) multiset the join produced.
+    val adj = und.select(
+      explode(array(struct(col("u").as("node"), col("v").as("nbr")),
+        struct(col("v").as("node"), col("u").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+    val ls = adj.groupBy("node")
+      .agg(least(min(col("nbr")), col("node")).as("m"),
+        collect_list(when(col("nbr") > col("node"), col("nbr"))).as("bigger"))
+      .select(col("m").as("parent"), explode(col("bigger")).as("child"))
       .distinct()
     val adj2 = ls.filter(col("child") =!= col("parent"))
-      .select(col("child").as("node"), col("parent").as("nbr"))
-      .unionAll(ls.filter(col("child") =!= col("parent"))
-        .select(col("parent").as("node"), col("child").as("nbr")))
+      .select(explode(array(
+        struct(col("child").as("node"), col("parent").as("nbr")),
+        struct(col("parent").as("node"), col("child").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
     val le = adj2.filter(col("nbr") <= col("node"))
-    val m2 = le.groupBy("node").agg(min("nbr").as("mn"))
-      .select(col("node"), least(col("mn"), col("node")).as("m"))
-    val ss = le.join(m2.select(col("node"), col("m")), "node")
-      .select(col("nbr").as("child"), col("m").as("parent"))
-      .unionAll(m2.select(col("node").as("child"), col("m").as("parent")))
+    val ss = le.groupBy("node")
+      .agg(least(min(col("nbr")), col("node")).as("m"),
+        collect_list(col("nbr")).as("nbrs"))
+      .select(col("m").as("parent"),
+        explode(concat(col("nbrs"), array(col("node")))).as("child"))
       .filter(col("child") =!= col("parent"))
       .distinct()
     ss.orderBy("child", "parent")
