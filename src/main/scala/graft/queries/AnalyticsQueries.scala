@@ -114,14 +114,25 @@ object AnalyticsQueries {
       struct(lit("l_quantity").as("metric"), col("l_quantity").as("value")),
       struct(lit("l_extendedprice").as("metric"), col("l_extendedprice").as("value"))
     )).as("r")).select(col("r.metric").as("metric"), col("r.value").as("value"))
-    val w = Window.partitionBy("metric").orderBy("value")
-    val ranked = long
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("metric")))
+    // r14 distributed selection (VERDICT r13 #8): the former per-metric
+    // row_number window sorted ALL value rows in 2 tasks (one per
+    // metric). Pre-aggregating to (metric, value) counts is map-side
+    // combinable across 32 tasks, and the per-metric sort then runs
+    // over DISTINCT values only; the nearest-rank pick is unchanged —
+    // sorted position r falls inside value v's run iff
+    // cum(v) − count(v) < r ≤ cum(v), exactly row_number() = r.
+    val vc = long.groupBy("metric", "value").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("metric").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("metric")))
+    def pick(frac: Double): Column = {
+      val r = ceil(lit(frac) * col("n")).cast("long")
+      max(when(col("cum") - col("c") < r && r <= col("cum"), col("value")))
+    }
     val q = ranked.groupBy("metric").agg(
-      max(when(col("rn") === ceil(lit(0.25) * col("n")).cast("long"), col("value"))).as("q1"),
-      max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("value"))).as("median"),
-      max(when(col("rn") === ceil(lit(0.75) * col("n")).cast("long"), col("value"))).as("q3"))
+      pick(0.25).as("q1"), pick(0.5).as("median"), pick(0.75).as("q3"))
     def half(e: Column): (Column, Column) = {
       val v = floor(e * 100000000.0).cast("long")
       (shiftright(v, 32), v.bitwiseAND(lit(4294967295L)))
