@@ -319,10 +319,28 @@ object Pipeline {
     * implementation name, guard on input existence, skip if the output
     * already exists, time each stage; returns the summary frame with the
     * reference's time-share column (orchestrator.py:59-65).
+    *
+    * r14 (guide §2.6 job overlap): stages whose file hand-offs are
+    * independent run CONCURRENTLY — in pl02's config the three
+    * consumers of `posts_preprocessed.csv` and the image chain overlap
+    * instead of paying serial wall-clock; pl01's two corpus stages
+    * both read `docs` and overlap entirely. The sequential orchestrator's
+    * ordering is preserved exactly where it is observable: stage k
+    * starts only after every EARLIER stage that writes k's input
+    * (read-after-write), writes k's output (write-write), or reads k's
+    * output (write-after-read) has finished — path overlap includes
+    * directory nesting — so each stage sees the same file state it saw
+    * under sequential execution, and a failed producer still surfaces
+    * as the consumer's `missing_input`. Per-stage seconds are each
+    * stage's own wall time from its (post-dependency) start, the same
+    * quantity the reference times.
     */
   def run(spark: SparkSession, rootDir: String, cfg: PipelineConfig,
           skipIfExists: Boolean = true): DataFrame = {
-    val results = cfg.stages.map { st =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def runOne(st: StageConfig): StageResult = {
       val in = s"$rootDir/${st.input}"
       val out = s"$rootDir/${st.output}"
       if (!st.enabled) StageResult(st.name, "disabled", 0.0)
@@ -356,6 +374,24 @@ object Pipeline {
         }
       }
     }
+    // paths conflict when equal or nested (a stage writing images/ must
+    // order against one reading images/images)
+    def overlaps(a: String, b: String): Boolean =
+      a.nonEmpty && b.nonEmpty &&
+        (a == b || a.startsWith(b + "/") || b.startsWith(a + "/"))
+    val stages = cfg.stages.toIndexedSeq
+    val futures = new Array[Future[StageResult]](stages.size)
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val deps = (0 until i).filter { j =>
+        val p = stages(j)
+        overlaps(p.output, st.input) || overlaps(p.output, st.output) ||
+          overlaps(p.input, st.output)
+      }.map(futures(_))
+      futures(i) =
+        if (deps.isEmpty) Future(runOne(st))
+        else Future.sequence(deps.toSeq).map(_ => runOne(st))
+    }
+    val results = futures.toSeq.map(f => Await.result(f, Duration.Inf))
     import spark.implicits._
     val total = math.max(results.map(_.seconds).sum, 1e-9)
     results.toDF()
