@@ -432,11 +432,15 @@ class PlanSpec extends SparkSpec {
       .mkString("\n")
     assert(pf.contains("cluster#") && pf.contains(" IN "),
       s"e19: no static cluster IN-list in PartitionFilters:\n$plan")
-    // the corpus appears ONLY as the 5-row runtime query frame (pushed
-    // vec_id bound) — never as an unbounded search-side scan
+    // the corpus must never appear as an unbounded search-side scan.
+    // r14: the request-sized query frame is collected coordinator-side
+    // (probe lists + ADC tables are local relations), so the retrieval
+    // plan normally contains NO embeddings scan at all — the strictly
+    // stronger form of the original pin; any embeddings scan that does
+    // appear must still carry the query-side bound.
     val corpusScans = plan.linesIterator
       .filter(_.contains("embeddings.parquet")).toSeq
-    assert(corpusScans.nonEmpty && corpusScans.forall(_.contains("LessThan(vec_id")),
+    assert(corpusScans.forall(_.contains("LessThan(vec_id")),
       s"e19: an embeddings scan without the query-side bound:\n$plan")
   }
 
