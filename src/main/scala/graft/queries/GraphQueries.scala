@@ -154,11 +154,13 @@ object GraphQueries {
     // r14 (gate-SF cost, VERDICT r13 #3): the (a, b) pairs ARE the
     // exploded adjacency, so the left join side derives from adj itself
     // — the former oe ⋈ adj(a) join and oe's persist are gone (oe now
-    // has ONE consumer, the adj agg); and the three counting unions
-    // (each a separate scan of a persisted withCommon) fold into ONE
-    // explode pass — u and v take |common|, each w ∈ common counts 1 —
-    // so withCommon has one consumer and needs no persist either.
-    // Persists: 4 → 2 (und, adj — each genuinely consumed twice).
+    // has ONE consumer, the adj agg). Persists: 4 → 3. The counting
+    // unions STAY three scans of the persisted withCommon: folding them
+    // into one concat+explode pass was A/B'd at the 100× tier (G04AB,
+    // canary 0.205) and measured 13.4 vs 8.8 s — the per-row
+    // struct-array construction costs more than two extra columnar
+    // cache scans save; at gate SF the two forms are within 0.15 s.
+    // Tier sweep decides (the r13 g11/e16 rule).
     val adj = oe.groupBy(col("a").as("ja"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -168,12 +170,11 @@ object GraphQueries {
       .select(col("a"), col("b"),
         array_intersect(col("na"), col("nb")).as("common"))
       .filter(size(col("common")) > 0)
-    withCommon
-      .select(explode(concat(
-        array(struct(col("a").as("node"), size(col("common")).cast("long").as("c")),
-          struct(col("b").as("node"), size(col("common")).cast("long").as("c"))),
-        transform(col("common"), w => struct(w.as("node"), lit(1L).as("c"))))).as("e"))
-      .groupBy(col("e.node").as("node")).agg(sum(col("e.c")).as("n_tri"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withCommon.select(col("a").as("node"), size(col("common")).cast("long").as("c"))
+      .union(withCommon.select(col("b").as("node"), size(col("common")).cast("long").as("c")))
+      .union(withCommon.select(explode(col("common")).as("node"), lit(1L).as("c")))
+      .groupBy("node").agg(sum(col("c")).as("n_tri"))
       .orderBy("node")
   }
 
